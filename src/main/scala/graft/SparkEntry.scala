@@ -1,13 +1,48 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator claimed done in SURVEY §2 has a `queries` entry; those
+  * expressible in ANSI SQL also carry an `oracleSql` entry the driver
+  * replays in DuckDB over the same parquet tables. Column names are
+  * aliased identically on both sides (the compare hashes values under
+  * name-sorted columns).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (RelationalQueries.q1Agg _),
+    "q2_filter_project" -> (RelationalQueries.q2FilterProject _),
+    "q3_join_agg" -> (RelationalQueries.q3JoinAgg _),
+    "q4_topk" -> (RelationalQueries.q4TopK _),
+    "q5_window" -> (RelationalQueries.q5Window _),
+    "q6_distinct" -> (RelationalQueries.q6Distinct _),
+    "q7_setops" -> (RelationalQueries.q7SetOps _),
+    "q8_semi_anti" -> (RelationalQueries.q8SemiAnti _),
+    "q9_rollup" -> (RelationalQueries.q9Rollup _),
+    "q10_argmin" -> (RelationalQueries.q10Argmin _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> RelationalQueries.q1Sql,
+    "q2_filter_project" -> RelationalQueries.q2Sql,
+    "q3_join_agg" -> RelationalQueries.q3Sql,
+    "q4_topk" -> RelationalQueries.q4Sql,
+    "q5_window" -> RelationalQueries.q5Sql,
+    "q6_distinct" -> RelationalQueries.q6Sql,
+    "q7_setops" -> RelationalQueries.q7Sql,
+    "q8_semi_anti" -> RelationalQueries.q8Sql,
+    "q9_rollup" -> RelationalQueries.q9Sql,
+    "q10_argmin" -> RelationalQueries.q10Sql,
+  )
 }

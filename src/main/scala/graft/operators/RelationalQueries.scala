@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational workload over the star schema — the declarative core every
+  * mrjob pattern in SURVEY §2.3 reduces to (agg, join, window, top-k,
+  * semi/anti, set ops, rollup).
+  *
+  * Determinism contract with the DuckDB oracle: money arithmetic goes
+  * through DECIMAL so sums are exact (double summation is
+  * order-dependent and a 32-thread shuffle would hash-mismatch the
+  * oracle); final values are cast back to DOUBLE, which is a unique
+  * representation of the exact decimal in both engines.
+  *
+  * Scale posture: every query here keeps aggregation partial (map-side
+  * combine is automatic for hash aggregates), broadcasts dimension
+  * tables, and never collects to the driver. Top-k uses sort-limit,
+  * which Spark executes as per-partition TakeOrdered + driver merge of
+  * k rows — no global sort at 100 TB.
+  */
+object RelationalQueries {
+
+  /** Exact money: cast to decimal before summing. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** revenue term l_extendedprice * (1 - l_discount), exact in decimal. */
+  private def revenue: Column =
+    (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+        col("l_discount").cast("decimal(18,2)")))
+
+  /** q1: TPC-H Q1-style pricing summary — hash aggregation with partial
+    * (map-side) agg; the combiner/reducer sum pattern of
+    * mr_word_freq_count generalized to multiple measures. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenue).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order,
+      |  SUM(l_quantity) / COUNT(*) AS avg_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q2: projection + predicate — both must reach the parquet scan
+    * (PushedFilters / pruned ReadSchema; mrjob's shell pre_filter done
+    * right, SURVEY §2.1 mapper_pre_filter). */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q2Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_quantity >= 45 AND l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q3: customer ⋈ orders ⋈ lineitem revenue by nation — the
+    * reduce-side-join pattern (mr_text_classifier tag-union, SURVEY
+    * §2.4) as real joins. nation/region are broadcast (small dims);
+    * orders⋈lineitem shuffles on the join key once. */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    val nat = Tables.load(spark, dir, "nation")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  val q3Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** q4: top-k by measure with deterministic tie-break — sort-limit
+    * (TakeOrderedAndProject, no global sort), the
+    * mr_most_used_word single-reducer-max pattern at scale. */
+  def q4TopK(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    ord.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(25)
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 25""".stripMargin
+
+  /** q5: window functions — rank within partition + running sum; the
+    * SORT_VALUES marker-key emulation (mr_next_word_stats, SURVEY §2.4)
+    * as a real window. One shuffle on the partition key. */
+  def q5Window(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    ord.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q5Sql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** q6: exact distinct counts — expand-based multi-distinct hash agg
+    * (mrjob dedup-inside-reducer, mr_text_classifier.py:290-296). */
+  def q6Distinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q6Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q7: set ops — union/intersect/except; mrjob only had multi-input
+    * union (SURVEY §2.4 set ops). Nations appearing among customers vs
+    * suppliers. */
+  def q7SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    val both = cust.intersect(supp).withColumn("which", lit("both"))
+    val custOnly = cust.except(supp).withColumn("which", lit("customer_only"))
+    val suppOnly = supp.except(cust).withColumn("which", lit("supplier_only"))
+    both.union(custOnly).union(suppOnly).orderBy(col("which"), col("nationkey"))
+  }
+
+  val q7Sql: String =
+    """SELECT * FROM (
+      |  SELECT nationkey, 'both' AS which FROM
+      |    (SELECT DISTINCT c_nationkey AS nationkey FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT nationkey, 'customer_only' AS which FROM
+      |    (SELECT DISTINCT c_nationkey AS nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT nationkey, 'supplier_only' AS which FROM
+      |    (SELECT DISTINCT s_nationkey AS nationkey FROM supplier EXCEPT SELECT DISTINCT c_nationkey FROM customer)
+      |) ORDER BY which, nationkey""".stripMargin
+
+  /** q8: semi/anti join — customers with an open order but no 'F' order;
+    * the broadcast stop-word file of mr_most_used_word (FILES +
+    * membership test) is exactly a broadcast semi/anti join. */
+  def q8SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val open = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val fin = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    cust.join(open, cust("c_custkey") === open("o_custkey"), "left_semi")
+      .join(fin, cust("c_custkey") === fin("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q8Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q9: rollup — grouping-set aggregation mrjob never had (free in
+    * Spark, SURVEY §2.4). NULL group markers via grouping(). */
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  val q9Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** q10: argmin-by-composite-order — mr_phone_to_url's min(struct(...))
+    * pattern (SURVEY §2.3): cheapest supplier per part via min_by on an
+    * ordered struct; one shuffle, no window needed. */
+  def q10Argmin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_partkey"))
+      .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("m"))
+      .select(col("l_partkey"), col("m.l_suppkey").as("best_suppkey"),
+        col("m.l_extendedprice").as("best_price"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val q10Sql: String =
+    """SELECT l_partkey, l_suppkey AS best_suppkey, l_extendedprice AS best_price
+      |FROM (
+      |  SELECT l_partkey, l_suppkey, l_extendedprice,
+      |    ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY l_extendedprice ASC, l_suppkey ASC) AS rn
+      |  FROM lineitem) t
+      |WHERE rn = 1
+      |ORDER BY l_partkey""".stripMargin
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result), replays
+<verifyOutDir>/oracle_sql.json in DuckDB over the same parquet tables,
+sorts columns by name and rows by value, and reports exact-match /
+mismatch per query. Dev-only tool (driver-side python libs).
+"""
+import json
+import sys
+import glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_bad += 1
+            continue
+        got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        try:
+            exp = norm(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_bad += 1
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            n_bad += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            n_bad += 1
+            continue
+        # exact value compare (driver hashes values)
+        eq = True
+        for c in got.columns:
+            a, b = got[c], exp[c]
+            try:
+                same = (a.astype(object).where(pd.notnull(a), None).tolist() ==
+                        b.astype(object).where(pd.notnull(b), None).tolist())
+            except Exception:
+                same = a.tolist() == b.tolist()
+            if not same:
+                eq = False
+                diff = [(i, x, y) for i, (x, y) in
+                        enumerate(zip(a.tolist(), b.tolist())) if x != y][:3]
+                print(f"FAIL {name}: col {c} differs, e.g. {diff}")
+        if eq:
+            print(f"OK   {name} ({len(got)} rows)")
+            n_ok += 1
+        else:
+            n_bad += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
