@@ -29,6 +29,16 @@ object SparkEntry {
     "q8_semi_anti" -> (RelationalQueries.q8SemiAnti _),
     "q9_rollup" -> (RelationalQueries.q9Rollup _),
     "q10_argmin" -> (RelationalQueries.q10Argmin _),
+    "word_freq" -> (TextQueries.wordFreq _),
+    "wc" -> (TextQueries.wc _),
+    "most_used_word" -> (TextQueries.mostUsedWord _),
+    "grep" -> (TextQueries.grep _),
+    "next_word_stats" -> (TextQueries.nextWordStats _),
+    "sort_and_group" -> (TextQueries.sortAndGroup _),
+    "count_by_source" -> (TextQueries.countBySource _),
+    "input_file_counts" -> (TextQueries.inputFileCounts _),
+    "sample" -> (TextQueries.sample _),
+    "tf_idf" -> (TextQueries.tfIdf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +54,14 @@ object SparkEntry {
     "q8_semi_anti" -> RelationalQueries.q8Sql,
     "q9_rollup" -> RelationalQueries.q9Sql,
     "q10_argmin" -> RelationalQueries.q10Sql,
+    "word_freq" -> TextQueries.wordFreqSql,
+    "wc" -> TextQueries.wcSql,
+    "most_used_word" -> TextQueries.mostUsedWordSql,
+    "grep" -> TextQueries.grepSql,
+    "next_word_stats" -> TextQueries.nextWordStatsSql,
+    "sort_and_group" -> TextQueries.sortAndGroupSql,
+    "count_by_source" -> TextQueries.countBySourceSql,
+    "sample" -> TextQueries.sampleSql,
+    "tf_idf" -> TextQueries.tfIdfSql,
   )
 }

@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** The mrjob example workload (SURVEY §2.3) re-expressed declaratively
+  * over the `documents` table.
+  *
+  * Reference semantics (cited per query) come from
+  * /root/reference/mrjob/examples/; execution is Spark-first: tokenize
+  * with built-in array functions (codegen'd, no UDFs), aggregate with
+  * partial+final hash agg (what mrjob's combiner+reducer hand-build,
+  * mrjob/spark/harness.py:439-509), broadcast small lookup sets (what
+  * mrjob ships as task files), and use window functions where the
+  * reference needed SORT_VALUES marker-key tricks.
+  *
+  * Tokenization contract with the oracle: documents.text is
+  * single-space separated lowercase words (driver synthetic data), so
+  * `split(text, ' ')` here == `string_split(text, ' ')` in DuckDB.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** Stop-word set for most_used_word — analog of the FILES-shipped
+    * stop_words.txt broadcast membership test
+    * (mr_most_used_word.py:33-59). Small dim → broadcast anti join. */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  private def stopWordsSqlList: String =
+    StopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** word_freq: the classic word count (mr_word_freq_count.py:23-33).
+    * explode → groupBy → count; map-side partial agg replaces the
+    * combiner. */
+  def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("word"))
+
+  val wordFreqSql: String =
+    """SELECT word, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |GROUP BY word
+      |ORDER BY word""".stripMargin
+
+  /** wc: chars/words/lines totals (mr_wc.py:19-41) — global agg, no
+    * grouping; mapper_final's in-task counting is the map-side partial
+    * sum Spark does automatically. */
+  def wc(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).agg(
+      count(lit(1)).as("lines"),
+      sum(size(split(col("text"), " "))).as("words"),
+      sum(length(col("text"))).as("chars"))
+
+  val wcSql: String =
+    """SELECT COUNT(*) AS lines,
+      |  SUM(len(string_split(text, ' '))) AS words,
+      |  SUM(length(text)) AS chars
+      |FROM documents""".stripMargin
+
+  /** most_used_word (mr_most_used_word.py:32-88): count words, drop
+    * stop words (broadcast anti membership), take the global argmax
+    * with a deterministic tie-break — sort-limit, not a single
+    * reducer. */
+  def mostUsedWord(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(!col("word").isInCollection(StopWords))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(1)
+
+  val mostUsedWordSql: String =
+    s"""SELECT word, COUNT(*) AS n
+       |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       |WHERE word NOT IN ${stopWordsSqlList}
+       |GROUP BY word
+       |ORDER BY n DESC, word ASC
+       |LIMIT 1""".stripMargin
+
+  /** grep (mr_grep.py:21-38): pure selection, pushed to the scan. */
+  def grep(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("text").contains("window") && col("lang") === "en")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val grepSql: String =
+    """SELECT doc_id, lang, n_chars
+      |FROM documents
+      |WHERE text LIKE '%window%' AND lang = 'en'
+      |ORDER BY doc_id""".stripMargin
+
+  /** next_word_stats (mr_next_word_stats.py:28-96): bigram counts plus
+    * the share of each next word. The reference needs SORT_VALUES and a
+    * ('prev','*') marker key so the total arrives first; here the total
+    * is a window sum over the grouped counts — one shuffle, no marker
+    * rows. */
+  def nextWordStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(split(col("text"), " ").as("ts"))
+    val pairs = toks
+      .filter(size(col("ts")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1).as("prev_word"),
+        slice(col("ts"), lit(2), size(col("ts")) - 1).as("word"))).as("p"))
+      .select(col("p.prev_word"), col("p.word"))
+    val counts = pairs.groupBy(col("prev_word"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("prev_word"))
+    counts
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("pct",
+        col("n").cast("double") / col("total").cast("double"))
+      .orderBy(col("prev_word"), col("word"))
+  }
+
+  val nextWordStatsSql: String =
+    """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      |pairs AS (
+      |  SELECT unnest(list_zip(ts[1:length(ts)-1], ts[2:length(ts)])) AS p
+      |  FROM toks WHERE length(ts) >= 2),
+      |counts AS (
+      |  SELECT p[1] AS prev_word, p[2] AS word, COUNT(*) AS n
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT prev_word, word, n,
+      |  SUM(n) OVER (PARTITION BY prev_word) AS total,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_word) AS DOUBLE) AS pct
+      |FROM counts
+      |ORDER BY prev_word, word""".stripMargin
+
+  /** sort_and_group (tests/mr_sort_and_group.py:18-26): values
+    * collected per key in sorted order — collect_set + sort_array
+    * replaces the SORT_VALUES shuffle contract. */
+  def sortAndGroup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"))
+      .agg(sort_array(collect_set(col("source"))).as("sources"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  val sortAndGroupSql: String =
+    """SELECT lang, list_sort(list(DISTINCT source)) AS sources, COUNT(*) AS n_docs
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** count_lines_by_file (mr_count_lines_by_file.py:19-26): per-input
+    * grouping; `source` stands in for mapreduce.map.input.file (the
+    * real input_file_name() variant is inputFileCounts below). */
+  def countBySource(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+
+  val countBySourceSql: String =
+    """SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** input_file_name() parity for mapreduce.map.input.file
+    * (harness.py:306-325) — not SQL-oracle-able (file layout detail),
+    * driver records rows>0. */
+  def inputFileCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** log_sampler (mr_log_sampler.py:32-120): the reference reservoir-
+    * samples with a seeded RNG; distributed + oracle-deterministic
+    * analog is a systematic hash sample (same idea at 100 TB: sampling
+    * must not funnel through one reducer). */
+  def sample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("doc_id") % 17 === 3)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val sampleSql: String =
+    """SELECT doc_id, lang, source
+      |FROM documents
+      |WHERE doc_id % 17 = 3
+      |ORDER BY doc_id""".stripMargin
+
+  /** tf-idf (mr_text_classifier.py's ngram scoring distilled, SURVEY
+    * §2.3): tf per (doc, term) joined with document frequency — the
+    * tag-union reduce-side join done as a real join. df is tiny
+    * (vocab-sized) → broadcast. */
+  def tfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val n = d.count() // vocab-free scalar; computed once, folds into lit
+    val terms = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("tf_idf",
+        round(col("tf") * log(lit(n.toDouble) / col("df").cast("double")), 6))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tf_idf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  val tfIdfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |  ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tf_idf
+      |FROM tf JOIN df USING (term) CROSS JOIN n
+      |ORDER BY tf.doc_id, tf.term""".stripMargin
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantic checks for every SparkEntry query at sf0.001.
+  * Deep correctness is the DuckDB differ (tools/check.py / driver t2);
+  * these pin cheap invariants so `sbt test` catches regressions fast. */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = SparkFixture.Sf0001
+
+  test("every registered query returns rows and a nonempty schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries entry: $missing")
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1 aggregates partition-independently (4 vs 1 shuffle partitions)") {
+    val a = operators.RelationalQueries.q1Agg(spark, dir).collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val b = operators.RelationalQueries.q1Agg(spark, dir).collect().toSeq
+      assert(a == b, "aggregation result depends on partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("word_freq total equals wc word count") {
+    val total = operators.TextQueries.wordFreq(spark, dir)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val words = operators.TextQueries.wc(spark, dir)
+      .collect()(0).getAs[Long]("words")
+    assert(total == words)
+  }
+
+  test("next_word_stats pct sums to 1 per prev_word") {
+    val bad = operators.TextQueries.nextWordStats(spark, dir)
+      .groupBy(col("prev_word")).agg(sum(col("pct")).as("s"))
+      .filter(abs(col("s") - 1.0) > 1e-9)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("most_used_word excludes stop words") {
+    val w = operators.TextQueries.mostUsedWord(spark, dir)
+      .collect()(0).getAs[String]("word")
+    assert(!operators.TextQueries.StopWords.contains(w))
+  }
+
+  test("q10 argmin picks the minimum price per part") {
+    val df = operators.RelationalQueries.q10Argmin(spark, dir)
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    val expect = li.groupBy(col("l_partkey"))
+      .agg(min(col("l_extendedprice")).as("p"))
+    val joined = df.join(expect, Seq("l_partkey"))
+      .filter(col("best_price") =!= col("p")).count()
+    assert(joined == 0)
+  }
+}

@@ -20,6 +20,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # arrays/lists aren't sortable/hashable in pandas — tuple-ize
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple))
+                     or type(v).__name__ == 'ndarray').any():
+            df[c] = df[c].map(
+                lambda v: tuple(v) if v is not None and not
+                (isinstance(v, float)) else v)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
