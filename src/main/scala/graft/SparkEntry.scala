@@ -39,6 +39,8 @@ object SparkEntry {
     "input_file_counts" -> (TextQueries.inputFileCounts _),
     "sample" -> (TextQueries.sample _),
     "tf_idf" -> (TextQueries.tfIdf _),
+    "word_freq_mr" -> (MrApiQueries.wordFreqMr _),
+    "wc_mr" -> (MrApiQueries.wcMr _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,5 +65,7 @@ object SparkEntry {
     "count_by_source" -> TextQueries.countBySourceSql,
     "sample" -> TextQueries.sampleSql,
     "tf_idf" -> TextQueries.tfIdfSql,
+    "word_freq_mr" -> TextQueries.wordFreqSql,
+    "wc_mr" -> MrApiQueries.wcMrSql,
   )
 }

@@ -1,0 +1,42 @@
+package graft.api
+
+/** One MapReduce step, typed end-to-end: input pairs (K1,V1) →
+  * intermediate (K2,V2) → output (K3,V3).
+  *
+  * This is the Scala analog of the reference's step surface
+  * (mrjob/job.py:260-474, MRStep param list mrjob/step.py:34-45):
+  * mapper / combiner / reducer plus per-task init/final brackets and
+  * the SORT_VALUES secondary-sort flag (mrjob/job.py:1569-1593).
+  *
+  * Semantics notes mirrored from the reference:
+  *  - the combiner may run 0..n times over partial groups
+  *    (mrjob/job.py:295-309) — so it must be idempotent-ish; here it
+  *    runs map-side inside an Aggregator partial merge;
+  *  - reducer values are a lazily streamed Iterator (mrjob/job.py:884-890)
+  *    — groups never need to fit in memory unless a combiner collapsed
+  *    them first;
+  *  - init/final may emit pairs (e.g. mr_wc.py:31-41 counts in task
+  *    state and emits in final) — run inside mapPartitions brackets,
+  *    exactly how the reference's own Spark harness wraps them
+  *    (mrjob/spark/harness.py:396-436).
+  */
+final case class MrStep[K1, V1, K2, V2, K3, V3](
+    mapper: (K1, V1) => IterableOnce[(K2, V2)],
+    reducer: (K2, Iterator[V2]) => IterableOnce[(K3, V3)],
+    mapperInit: () => IterableOnce[(K2, V2)] = MrStep.emptyInit[K2, V2] _,
+    mapperFinal: () => IterableOnce[(K2, V2)] = MrStep.emptyInit[K2, V2] _,
+    combiner: Option[(K2, Iterator[V2]) => IterableOnce[V2]] = None,
+    reducerInit: () => IterableOnce[(K3, V3)] = MrStep.emptyInit[K3, V3] _,
+    reducerFinal: () => IterableOnce[(K3, V3)] = MrStep.emptyInit[K3, V3] _,
+    sortValues: Boolean = false,
+    numReducers: Option[Int] = None)
+
+object MrStep {
+  def emptyInit[K, V](): IterableOnce[(K, V)] = Iterator.empty
+
+  /** Map-only step (no reducer — mrjob inserts an identity reducer /
+    * elides the reduce phase, mrjob/step.py:79-86). */
+  def mapOnly[K1, V1, K2, V2](
+      f: (K1, V1) => IterableOnce[(K2, V2)]): MrStep[K1, V1, K2, V2, K2, V2] =
+    MrStep(mapper = f, reducer = (k: K2, vs: Iterator[V2]) => vs.map(k -> _))
+}

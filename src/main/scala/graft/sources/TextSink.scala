@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SaveMode}
+import graft.api.LineProtocol
+
+/** Text part-file sink — the reference's output contract: a directory
+  * of part files, `_`/`.`-prefixed entries ignored on read-back
+  * (mrjob/sim.py:627-639, mrjob/runner.py:512-562;
+  * harness saveAsTextFile: mrjob/spark/harness.py:270-282).
+  *
+  * `maxOutputFiles` maps to coalesce (harness.py:266-268) — a narrow
+  * repartition that caps file count without a shuffle. Compression
+  * mirrors `mapreduce.output.fileoutputformat.compress.codec`
+  * (mrjob/spark/runner.py:446-454): "gzip" | "snappy" | "bzip2" |
+  * "none".
+  */
+object TextSink {
+  def write[K, V](ds: Dataset[(K, V)], protocol: LineProtocol[K, V],
+      path: String, maxOutputFiles: Option[Int] = None,
+      compression: String = "none"): Unit = {
+    import ds.sparkSession.implicits._
+    val lines = ds.map { case (k, v) => protocol.write(k, v) }
+    val sized = maxOutputFiles.fold(lines)(n => lines.coalesce(n))
+    sized.write.mode(SaveMode.Overwrite)
+      .option("compression", compression)
+      .text(path)
+  }
+
+  /** Read back a part-file directory, skipping hidden/_ files the way
+    * the reference's cat_output does (mrjob/runner.py:512-562) — Spark
+    * applies the same default PathFilter. */
+  def readBack[K, V](spark: org.apache.spark.sql.SparkSession,
+      protocol: LineProtocol[K, V], path: String)(
+      implicit e: org.apache.spark.sql.Encoder[(K, V)]): Dataset[(K, V)] =
+    spark.read.textFile(path).map(protocol.read _)
+}
