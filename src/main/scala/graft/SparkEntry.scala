@@ -41,6 +41,22 @@ object SparkEntry {
     "tf_idf" -> (TextQueries.tfIdf _),
     "word_freq_mr" -> (MrApiQueries.wordFreqMr _),
     "wc_mr" -> (MrApiQueries.wcMr _),
+    "ann_topk" -> (SimilarityOps.annTopK _),
+    "ann_lsh_topk" -> (SimilarityOps.annLshTopK _),
+    "dedup_embedding" -> ((s: SparkSession, d: String) =>
+      SimilarityOps.dedupEmbedding(s, d)),
+    "dedup_exact" -> (DedupOps.dedupExact _),
+    "dedup_fingerprint" -> (DedupOps.dedupFingerprint _),
+    "dedup_jaccard" -> (DedupOps.dedupJaccard _),
+    "dedup_minhash" -> (DedupOps.dedupMinhash _),
+    "dedup_simhash" -> (DedupOps.dedupSimhash _),
+    "lang_id" -> (TextAnalysis.langId _),
+    "quality_score" -> (TextAnalysis.qualityScore _),
+    "token_count" -> (TextAnalysis.tokenCount _),
+    "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "events_hourly" -> (EventQueries.eventsHourly _),
+    "events_json" -> (EventQueries.eventsJson _),
+    "events_sessionize" -> (EventQueries.eventsSessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,5 +83,17 @@ object SparkEntry {
     "tf_idf" -> TextQueries.tfIdfSql,
     "word_freq_mr" -> TextQueries.wordFreqSql,
     "wc_mr" -> MrApiQueries.wcMrSql,
+    "ann_topk" -> SimilarityOps.annTopKSql,
+    "dedup_embedding" -> SimilarityOps.dedupEmbeddingSql,
+    "dedup_exact" -> DedupOps.dedupExactSql,
+    "dedup_fingerprint" -> DedupOps.dedupFingerprintSql,
+    "dedup_jaccard" -> DedupOps.dedupJaccardSql,
+    "lang_id" -> TextAnalysis.langIdSql,
+    "quality_score" -> TextAnalysis.qualityScoreSql,
+    "token_count" -> TextAnalysis.tokenCountSql,
+    "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "events_hourly" -> EventQueries.eventsHourlySql,
+    "events_json" -> EventQueries.eventsJsonSql,
+    "events_sessionize" -> EventQueries.eventsSessionizeSql,
   )
 }

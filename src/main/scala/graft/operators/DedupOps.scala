@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Document deduplication family (BASELINE.json extension surface):
+  * exact, fingerprint, blocked n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design notes (the point of each variant):
+  *  - exact / fingerprint: one hash-groupBy shuffle on a derived key —
+  *    embarrassingly scalable;
+  *  - blocked Jaccard: exact pairwise similarity but only inside
+  *    blocking keys (lang, source) — never N² across the corpus;
+  *  - MinHash+LSH: near-dup candidates via band-bucket join — the
+  *    100 TB path: cost ∝ Σ bucket², tunable via bands×rows;
+  *  - SimHash: 64-bit fingerprint, near-dups = hamming proximity via
+  *    chunk-collision join (no pairwise scan).
+  */
+object DedupOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** Exact duplicate summary: hash-groupBy on full text. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("text")).as("n_distinct_texts"),
+      (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))
+
+  val dedupExactSql: String =
+    """SELECT COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT text) AS n_distinct_texts,
+      |  COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs
+      |FROM documents""".stripMargin
+
+  /** Token-set fingerprint dedup: docs sharing the same sorted distinct
+    * token set are near-dup candidates; output the group-size
+    * histogram (group_size → n_groups). */
+  def dedupFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(sort_array(array_distinct(split(col("text"), " "))).as("fp"))
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("group_size"))
+
+  val dedupFingerprintSql: String =
+    """SELECT group_size, COUNT(*) AS n_groups FROM (
+      |  SELECT list_sort(list_distinct(string_split(text, ' '))) AS fp,
+      |    COUNT(*) AS group_size
+      |  FROM documents GROUP BY fp) t
+      |GROUP BY group_size
+      |ORDER BY group_size""".stripMargin
+
+  /** Blocked exact Jaccard near-dup pairs: token-set Jaccard ≥ 0.8
+    * within (lang, source) blocks. Deterministic ratio of ints. */
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("source"),
+      sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+    val a = d.select(col("lang"), col("source"), col("doc_id").as("i"),
+      col("toks").as("ti"))
+    val b = d.select(col("lang"), col("source"), col("doc_id").as("j"),
+      col("toks").as("tj"))
+    val inter = size(array_intersect(col("ti"), col("tj")))
+    val uni = size(col("ti")) + size(col("tj")) - inter
+    a.join(b, Seq("lang", "source"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("i"), col("j"))
+  }
+
+  val dedupJaccardSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_sort(list_distinct(string_split(text, ' '))) AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
+      |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+      |    AND a.doc_id < b.doc_id)
+      |SELECT i, j, jaccard FROM p WHERE jaccard >= 0.8
+      |ORDER BY i, j""".stripMargin
+
+  // ---------------- MinHash + LSH (non-oracled scale path) ----------
+
+  /** 3-token shingles of a text column (codegen'd array ops). */
+  def shingles(text: Column): Column = {
+    val ts = split(text, " ")
+    val n = size(ts)
+    when(n < 3, array(text)).otherwise(
+      transform(sequence(lit(1), n - 2), i =>
+        concat_ws(" ", element_at(ts, i), element_at(ts, i + 1),
+          element_at(ts, i + 2))))
+  }
+
+  /** MinHash signatures: for each of `k` hash seeds, the min xxhash64
+    * over the doc's shingles. One explode + one groupBy — linear. */
+  def minhashSignatures(d: DataFrame, k: Int = 32): DataFrame = {
+    val exploded = d.select(col("doc_id"),
+      explode(shingles(col("text"))).as("sh"))
+    val mins: Seq[Column] = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH band-bucket candidate pairs: split the signature into
+    * `bands`, hash each band, join docs colliding on (band, hash).
+    * Then exact shingle-Jaccard verification ≥ `threshold`. */
+  def minhashPairs(d: DataFrame, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSignatures(d, k)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    val sh = d.select(col("doc_id"),
+      array_distinct(shingles(col("text"))).as("shs"))
+    val inter = size(array_intersect(col("si"), col("sj")))
+    val uni = size(col("si")) + size(col("sj")) - inter
+    cands
+      .join(sh.select(col("doc_id").as("i"), col("shs").as("si")), Seq("i"))
+      .join(sh.select(col("doc_id").as("j"), col("shs").as("sj")), Seq("j"))
+      .select(col("i"), col("j"),
+        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Driver-facing MinHash query: near-dup pair count + strongest
+    * pairs summary (single row — candidate generation is seed-defined,
+    * so no SQL oracle; semantics are ScalaTest-validated against
+    * brute-force Jaccard). */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(docs(spark, dir)).agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(round(max(col("jaccard")), 6), lit(0d)).as("max_jaccard"),
+      coalesce(round(min(col("jaccard")), 6), lit(0d)).as("min_jaccard"))
+
+  // ---------------- SimHash (non-oracled scale path) ----------------
+
+  /** 64-bit SimHash over token hashes: sign-sum of each bit across
+    * token xxhash64s. Linear: explode + groupBy + bit fold. */
+  def simhash(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // per bit: +1 if set else -1; sum > 0 → bit set in fingerprint
+    val bitSums: Seq[Column] = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1))
+        .as(s"b$b")
+    }
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Near-dup candidates: hamming distance ≤ 3 found by colliding on
+    * any of four 16-bit chunks (pigeonhole: ≤3 differing bits leave at
+    * least one chunk identical). */
+  def simhashPairs(d: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val s = simhash(d)
+    val chunked = s.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
+    val popcountDiff = {
+      val x = col("x.simhash").bitwiseXOR(col("y.simhash"))
+      bit_count(x)
+    }
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        popcountDiff.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Driver-facing SimHash query (summary row; ScalaTest-validated). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(docs(spark, dir)).agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Event-stream (batch) workload over the `events` table: time-bucket
+  * aggregation, JSON prop extraction, gap-based sessionization.
+  *
+  * Timestamp determinism with the oracle: the parquet column is
+  * nanosecond-precision, which Spark 4 only reads as nanos-since-epoch
+  * longs (`spark.sql.legacy.parquet.nanosAsLong`) while DuckDB keeps a
+  * ns timestamp — so every comparison/grouping goes through either a
+  * formatted string bucket or micros-since-epoch (`ns / 1000` here ==
+  * `epoch_us(ts)` there, both floor for positive epochs), never raw
+  * timestamps. Money-style sums go through DECIMAL as usual.
+  *
+  * The streaming (incremental) versions of these live in
+  * graft.streaming — the reference has no incremental processing at
+  * all (SURVEY §1.1), so those are additive and not oracle-gated.
+  */
+object EventQueries {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  /** ts (nanos long) → micros long. Integral DIV — `/` would go
+    * through double and lose precision above 2^53 ns. */
+  private def tsMicros = expr("ts DIV 1000")
+
+  /** Hourly tumbling-window counts/sums per event type. */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        date_format(timestamp_micros(tsMicros), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val eventsHourlySql: String =
+    """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY hour, event_type
+      |ORDER BY hour, event_type""".stripMargin
+
+  /** JSON prop extraction + aggregation (the protocol layer's
+    * JSON-value dynamism, relationally). */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val eventsJsonSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Gap-based sessionization: a new session starts after a >30-min
+    * silence per user. Two windows over one user-keyed shuffle:
+    * lag → boundary flag → running sum = session id; then per-session
+    * rollup. The classic pattern mrjob cannot express without
+    * SORT_VALUES + stateful reducers (SURVEY §2.4). */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), tsMicros.as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("boundary",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("boundary")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val eventsSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |b AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |           OR us - lag(us) OVER w > 30 * 60 * 1000000
+      |         THEN 1 ELSE 0 END AS boundary
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+      |s AS (
+      |  SELECT user_id, us,
+      |    CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM b)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(us) AS start_us, MAX(us) AS end_us
+      |FROM s
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+}

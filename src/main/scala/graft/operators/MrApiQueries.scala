@@ -58,8 +58,8 @@ object MrApiQueries {
     """SELECT stat, value FROM (
       |  SELECT 'lines' AS stat, COUNT(*) AS value FROM documents
       |  UNION ALL
-      |  SELECT 'words', SUM(len(string_split(text, ' '))) FROM documents
+      |  SELECT 'words', CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM documents
       |  UNION ALL
-      |  SELECT 'chars', SUM(length(text)) FROM documents
+      |  SELECT 'chars', CAST(SUM(length(text)) AS BIGINT) FROM documents
       |) t ORDER BY stat""".stripMargin
 }

@@ -131,7 +131,7 @@ object RelationalQueries {
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
     ord.select(
         col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-        row_number().over(w).as("rn"),
+        row_number().over(w).cast("long").as("rn"),
         sum(col("o_totalprice").cast("decimal(18,2)"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double").as("running_spend"))

@@ -59,8 +59,8 @@ object TextQueries {
 
   val wcSql: String =
     """SELECT COUNT(*) AS lines,
-      |  SUM(len(string_split(text, ' '))) AS words,
-      |  SUM(length(text)) AS chars
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS words,
+      |  CAST(SUM(length(text)) AS BIGINT) AS chars
       |FROM documents""".stripMargin
 
   /** most_used_word (mr_most_used_word.py:32-88): count words, drop
@@ -128,7 +128,7 @@ object TextQueries {
       |  SELECT p[1] AS prev_word, p[2] AS word, COUNT(*) AS n
       |  FROM pairs GROUP BY 1, 2)
       |SELECT prev_word, word, n,
-      |  SUM(n) OVER (PARTITION BY prev_word) AS total,
+      |  CAST(SUM(n) OVER (PARTITION BY prev_word) AS BIGINT) AS total,
       |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_word) AS DOUBLE) AS pct
       |FROM counts
       |ORDER BY prev_word, word""".stripMargin
@@ -159,7 +159,7 @@ object TextQueries {
       .orderBy(col("source"))
 
   val countBySourceSql: String =
-    """SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin
