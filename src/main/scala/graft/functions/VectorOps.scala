@@ -23,29 +23,31 @@ object VectorOps {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * lit(1000000d)).cast("long"))
 
-  /** Integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Integer dot product of two quantized vectors (codegen'd primitive
+    * loop — see [[ArrayDotProduct]]). */
+  def dotQ(a: Column, b: Column): Column = ArrayDotProduct.dot(a, b)
 
   /** Integer squared norm of a quantized vector. */
-  def norm2Q(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+  def norm2Q(a: Column): Column = ArrayDotProduct.dot(a, a)
 
-  /** Deterministic cosine similarity between two quantized vectors. */
+  /** Deterministic cosine similarity between two quantized vectors.
+    * For pairwise workloads, precompute the norms per side instead
+    * (see SimilarityOps) — this form recomputes both per pair. */
   def cosineQ(a: Column, b: Column): Column =
     dotQ(a, b).cast("double") /
       (sqrt(norm2Q(a).cast("double")) * sqrt(norm2Q(b).cast("double")))
 
-  /** Float64 cosine (sequential fold) — for Spark-only paths where no
-    * oracle parity is needed; faster than quantize+int math. */
+  /** Cosine from a precomputed dot and squared norms. */
+  def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Float64 cosine — for Spark-only paths where no oracle parity is
+    * needed. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) =>
-      x.cast("double") * y.cast("double")), lit(0d), (acc, x) => acc + x)
-    val na = aggregate(transform(a, x =>
-      x.cast("double") * x.cast("double")), lit(0d), (acc, x) => acc + x)
-    val nb = aggregate(transform(b, x =>
-      x.cast("double") * x.cast("double")), lit(0d), (acc, x) => acc + x)
-    dot / (sqrt(na) * sqrt(nb))
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    cosineFrom(ArrayDotProduct.dot(ad, bd),
+      ArrayDotProduct.dot(ad, ad), ArrayDotProduct.dot(bd, bd))
   }
 
   /** The DuckDB SQL fragment mirroring [[quantize]] — kept next to the

@@ -36,17 +36,21 @@ object SimilarityOps {
     * the K nearest other vectors. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
+    // quantize + norm once per side; the pair loop only pays one dot
     val cand = e.select(col("vec_id").as("c_vec_id"),
-      VectorOps.quantize(col("embedding")).as("cv"))
+        VectorOps.quantize(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.norm2Q(col("cv")))
     val queries = e.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("q_vec_id"),
         VectorOps.quantize(col("embedding")).as("qv"))
+      .withColumn("qn", VectorOps.norm2Q(col("qv")))
     val w = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("cos").desc, col("c_vec_id").asc)
     broadcast(queries)
       .join(cand, col("q_vec_id") =!= col("c_vec_id"))
       .select(col("q_vec_id"), col("c_vec_id"),
-        VectorOps.cosineQ(col("qv"), col("cv")).as("cos"))
+        VectorOps.cosineFrom(VectorOps.dotQ(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select(col("q_vec_id"), col("c_vec_id"), col("rank"), col("cos"))
@@ -81,12 +85,15 @@ object SimilarityOps {
       threshold: Double = 0.4): DataFrame = {
     val e = emb(spark, dir)
     val a = e.select(col("vec_id").as("i"),
-      VectorOps.quantize(col("embedding")).as("iv"))
+        VectorOps.quantize(col("embedding")).as("iv"))
+      .withColumn("ina", VectorOps.norm2Q(col("iv")))
     val b = e.select(col("vec_id").as("j"),
-      VectorOps.quantize(col("embedding")).as("jv"))
-    a.join(b, col("i") < col("j"))
+        VectorOps.quantize(col("embedding")).as("jv"))
+      .withColumn("jnb", VectorOps.norm2Q(col("jv")))
+    broadcast(a).join(b, col("i") < col("j"))
       .select(col("i"), col("j"),
-        VectorOps.cosineQ(col("iv"), col("jv")).as("cos"))
+        VectorOps.cosineFrom(VectorOps.dotQ(col("iv"), col("jv")),
+          col("ina"), col("jnb")).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy(col("i"), col("j"))
   }
@@ -115,19 +122,19 @@ object SimilarityOps {
   }
 
   /** Bucket ids per vector: for each table, an int whose bits are
-    * sign(plane · v). Adds `bucket_<t>` columns. */
+    * sign(plane · v). Adds `bucket_<t>` columns. Planes are literal
+    * array<double> columns dotted via the codegen'd [[graft.functions
+    * .ArrayDotProduct]] — a few KB of plan literals, not an unrolled
+    * element_at chain (which bloated the task binary to 6 MB). */
   def withLshBuckets(df: DataFrame, vec: Column, tables: Int = 4,
       bits: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(tables, bits, dim)
+    val v = vec.cast("array<double>")
     (0 until tables).foldLeft(df) { (d, t) =>
       val bitCols: Seq[Column] = (0 until bits).map { b =>
-        val plane = planes(t)(b)
-        // plane · v > 0 — fold the fixed-length dot product as a sum
-        // of literal-weighted element accesses (pure codegen, no UDF)
-        val dot = (0 until dim).map { i =>
-          element_at(vec, i + 1).cast("double") * lit(plane(i))
-        }.reduce(_ + _)
-        when(dot > 0d, lit(1 << b)).otherwise(lit(0))
+        val plane = typedLit(planes(t)(b).toSeq)
+        when(graft.functions.ArrayDotProduct.dot(v, plane) > 0d,
+          lit(1 << b)).otherwise(lit(0))
       }
       d.withColumn(s"bucket_$t", bitCols.reduce(_ + _))
     }
@@ -139,23 +146,27 @@ object SimilarityOps {
     * (approximation is seed-defined); validated in ScalaTest against
     * [[annTopK]] mechanics. */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = withLshBuckets(emb(spark, dir),
-      col("embedding")).withColumn("v", VectorOps.quantize(col("embedding")))
+    val e = withLshBuckets(emb(spark, dir), col("embedding"))
+      .withColumn("v", VectorOps.quantize(col("embedding")))
+      .withColumn("n2", VectorOps.norm2Q(col("v")))
     val tables = 4
     // candidate pairs: same bucket in any table, deduped
     val pairs = (0 until tables).map { t =>
       val a = e.select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
-        col(s"bucket_$t").as("bk")).filter(col("q_vec_id") < QueryCount)
+        col("n2").as("qn"), col(s"bucket_$t").as("bk"))
+        .filter(col("q_vec_id") < QueryCount)
       val b = e.select(col("vec_id").as("c_vec_id"), col("v").as("cv"),
-        col(s"bucket_$t").as("bk"))
+        col("n2").as("cn"), col(s"bucket_$t").as("bk"))
       a.join(b, Seq("bk")).filter(col("q_vec_id") =!= col("c_vec_id"))
-        .select(col("q_vec_id"), col("c_vec_id"), col("qv"), col("cv"))
+        .select(col("q_vec_id"), col("c_vec_id"), col("qv"), col("cv"),
+          col("qn"), col("cn"))
     }.reduce(_ union _).dropDuplicates("q_vec_id", "c_vec_id")
     val w = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("cos").desc, col("c_vec_id").asc)
     pairs
       .select(col("q_vec_id"), col("c_vec_id"),
-        VectorOps.cosineQ(col("qv"), col("cv")).as("cos"))
+        VectorOps.cosineFrom(VectorOps.dotQ(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select(col("q_vec_id"), col("c_vec_id"), col("rank"), col("cos"))
