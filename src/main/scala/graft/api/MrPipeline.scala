@@ -111,6 +111,27 @@ final class MrPipeline[K, V](val ds: Dataset[(K, V)]) extends Serializable {
       implicit e2: Encoder[(K2, V2)]): MrPipeline[K2, V2] =
     new MrPipeline(ds.mapPartitions(_.flatMap { case (k, v) => f(k, v) }))
 
+  /** Custom partitioner parity (mrjob PARTITIONER / Hadoop partitioner
+    * class, mrjob/job.py:1390-1408, e.g. tests/mr_partitioner.py): route
+    * each key to an explicit partition. RDD hop (Datasets only expose
+    * hash/range partitioning); the narrow map back re-enters the
+    * Dataset world. */
+  def partitionByKey(n: Int)(fn: K => Int)(
+      implicit e: Encoder[(K, V)]): MrPipeline[K, V] = {
+    val p = new org.apache.spark.Partitioner {
+      def numPartitions: Int = n
+      def getPartition(key: Any): Int = {
+        val h = fn(key.asInstanceOf[K]) % n
+        if (h < 0) h + n else h
+      }
+    }
+    val spark = ds.sparkSession
+    val pairs = new org.apache.spark.rdd.PairRDDFunctions(ds.rdd)(
+      ClassTag.Any.asInstanceOf[ClassTag[K]],
+      ClassTag.Any.asInstanceOf[ClassTag[V]])
+    new MrPipeline(spark.createDataset(pairs.partitionBy(p)))
+  }
+
   /** `*_cmd` / `*_pre_filter` parity: pipe records through a shell
     * command (mrjob/job.py:340-363). The reference's own Spark harness
     * REFUSES cmd substeps (harness.py:634-637); `RDD.pipe` lets this

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.api.{MrPipeline, RawValueProtocol, TextPairProtocol}
+import graft.sources.{TextSink, WholeFileSource}
+
+/** Input/output machinery parity: whole-file source (mapper_raw),
+  * Hadoop InputFormat scan, compressed part files, per-file counts,
+  * custom partitioner. */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def tmpDir() =
+    java.nio.file.Files.createTempDirectory("graft-src").toString
+
+  private def writeLines(lines: Seq[(String, String)], out: String,
+      compression: String = "none", parts: Int = 2): Unit = {
+    import spark.implicits._
+    TextSink.write(spark.createDataset(lines), TextPairProtocol, out,
+      maxOutputFiles = Some(parts), compression = compression)
+  }
+
+  test("gzip part files round-trip (cat.py decompression parity)") {
+    val out = tmpDir()
+    writeLines(Seq(("k1", "v1"), ("k2", "v2"), ("k3", "v3")), out, "gzip")
+    val files = new java.io.File(out).listFiles.map(_.getName)
+    assert(files.exists(_.endsWith(".gz")), s"no .gz parts in ${files.toSeq}")
+    val back = TextSink.readBack(spark, TextPairProtocol, out)(
+      spark.implicits.newProductEncoder).collect().toMap
+    assert(back == Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v3"))
+  }
+
+  test("binaryFiles reads whole files; mapRaw parses per file (mapper_raw)") {
+    import spark.implicits._
+    val out = tmpDir()
+    writeLines(Seq(("a", "1"), ("b", "2"), ("c", "3")), out)
+    val parsed = WholeFileSource.mapRaw(spark, s"$out/part-*",
+      (path: String, bytes: Array[Byte]) => {
+        val text = new String(bytes, "UTF-8")
+        text.split("\n").filter(_.nonEmpty).iterator
+          .map(l => (path.split("/").last, l))
+      })
+    val got = parsed.collect()
+    assert(got.length == 3)
+    assert(got.map(_._2).sorted.toSeq == Seq("a\t1", "b\t2", "c\t3"))
+  }
+
+  test("hadoopTextFile reads via Hadoop TextInputFormat") {
+    val out = tmpDir()
+    writeLines(Seq(("x", "10"), ("y", "20")), out)
+    val lines = WholeFileSource.hadoopTextFile(spark, s"$out/part-*")
+      .collect().sorted
+    assert(lines.toSeq == Seq("x\t10", "y\t20"))
+  }
+
+  test("linesPerFile groups by input_file_name") {
+    val out = tmpDir()
+    writeLines(Seq(("a", "1"), ("b", "2"), ("c", "3"), ("d", "4")), out,
+      parts = 2)
+    val counts = WholeFileSource.linesPerFile(spark, s"$out/part-*")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.size == 2)
+    assert(counts.values.sum == 4)
+  }
+
+  test("partitionByKey places keys on the requested partitions") {
+    import spark.implicits._
+    val data = spark.createDataset(
+      Seq(("even0", 0), ("odd1", 1), ("even2", 2), ("odd3", 3)))
+    val placed = MrPipeline.fromDataset(data)
+      .partitionByKey(2)(k => if (k.startsWith("even")) 0 else 1)
+      .ds.rdd.mapPartitionsWithIndex { (i, it) =>
+        it.map { case (k, _) => (i, k) }
+      }.collect().toSet
+    assert(placed == Set((0, "even0"), (0, "even2"), (1, "odd1"), (1, "odd3")))
+  }
+
+  test("raw value protocol keeps whole lines (RawValueProtocol default)") {
+    val out = tmpDir()
+    import spark.implicits._
+    TextSink.write(
+      spark.createDataset(Seq((null: String, "line one"),
+        (null: String, "line two"))),
+      RawValueProtocol, out, maxOutputFiles = Some(1))
+    val back = spark.read.textFile(out).collect().sorted
+    assert(back.toSeq == Seq("line one", "line two"))
+  }
+}
