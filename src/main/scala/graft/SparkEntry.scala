@@ -58,6 +58,7 @@ object SparkEntry {
     "events_json" -> (EventQueries.eventsJson _),
     "events_sessionize" -> (EventQueries.eventsSessionize _),
     "multimodal_features" -> (MultimodalOps.multimodalFeatures _),
+    "text_classifier" -> (TextClassifier.classify _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,5 +97,6 @@ object SparkEntry {
     "events_hourly" -> EventQueries.eventsHourlySql,
     "events_json" -> EventQueries.eventsJsonSql,
     "events_sessionize" -> EventQueries.eventsSessionizeSql,
+    "text_classifier" -> TextClassifier.classifySql,
   )
 }
