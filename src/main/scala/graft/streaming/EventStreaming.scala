@@ -43,6 +43,69 @@ object EventStreaming {
 
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
+  case class SessionState(start_us: Long, end_us: Long, n_events: Long)
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** Streaming gap-based sessionization — the incremental version of
+    * EventQueries.eventsSessionize. Per user, events within `gapMin`
+    * minutes of each other share a session; a session CLOSES when the
+    * gap passes (next event too late, or event-time timeout once the
+    * watermark moves past end + gap). The still-open trailing session
+    * per user stays in state — exactly the at-scale contract: state
+    * holds one open session per active key, nothing else.
+    *
+    * Within one micro-batch a key's events are sorted in memory —
+    * bounded by per-key-per-batch volume, the standard
+    * flatMapGroupsWithState trade. */
+  def sessionize(spark: SparkSession, eventsDir: String,
+      gapMin: Int = 30): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapUs = gapMin.toLong * 60 * 1000000
+    spark.readStream
+      .schema(EventSchema)
+      .parquet(eventsDir)
+      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_ts", s"$gapMin minutes")
+      // keep the watermarked attribute itself in the projection — the
+      // stateful operator requires it to survive to its input
+      .select(col("user_id").as[Long],
+        col("event_ts").as[java.time.Instant],
+        expr("ts DIV 1000").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.time.Instant, Long)],
+         state: GroupState[SessionState]) =>
+          if (rows.isEmpty) {
+            // event-time timeout: watermark passed end + gap → close
+            val closed = state.getOption.map(s =>
+              ClosedSession(user, s.start_us, s.end_us, s.n_events))
+            state.remove()
+            closed.iterator
+          } else {
+            val times = rows.map(_._3).toArray.sorted
+            var sessions = List.empty[SessionState]
+            var cur = state.getOption.orNull
+            times.foreach { t =>
+              cur match {
+                case null =>
+                  cur = SessionState(t, t, 1)
+                case s if t - s.end_us <= gapUs =>
+                  cur = SessionState(s.start_us, t, s.n_events + 1)
+                case s =>
+                  sessions ::= s
+                  cur = SessionState(t, t, 1)
+              }
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.end_us / 1000 + gapUs / 1000)
+            sessions.reverse.iterator.map(s =>
+              ClosedSession(user, s.start_us, s.end_us, s.n_events))
+          }
+      }
+  }
+
   /** Stateful per-user running totals via mapGroupsWithState — the
     * custom-state escape hatch (what a stateful reducer would be if
     * the reference had streaming). */

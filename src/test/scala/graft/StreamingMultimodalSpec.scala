@@ -58,6 +58,40 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize closes every batch session except the trailing one per user") {
+    val q = EventStreaming.sessionize(spark, eventsDir).writeStream
+      .outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out")
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = EventQueries.eventsSessionize(spark, dir)
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // all sessions close except possibly each user's trailing one
+      // (it DOES close when the global watermark passed its end + gap
+      // — the event-time timeout path)
+      batch.foreach { case (user, n) =>
+        val c = closed.getOrElse(user, 0L)
+        assert(c == n - 1 || c == n,
+          s"user $user: $c closed vs $n batch")
+      }
+      // per-session shape also matches: compare (start, end, n) sets
+      val closedRows = spark.table("sessions_out")
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val batchRows = EventQueries.eventsSessionize(spark, dir)
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(closedRows.subsetOf(batchRows))
+    } finally q.stop()
+  }
+
   test("multimodal feature extraction matches direct computation") {
     import spark.implicits._
     val feats = MultimodalOps.multimodalFeatures(spark, dir)
