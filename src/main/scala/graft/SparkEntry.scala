@@ -38,6 +38,7 @@ object SparkEntry {
     "count_by_source" -> (TextQueries.countBySource _),
     "input_file_counts" -> (TextQueries.inputFileCounts _),
     "sample" -> (TextQueries.sample _),
+    "stratified_sample" -> (TextQueries.stratifiedSample _),
     "tf_idf" -> (TextQueries.tfIdf _),
     "word_freq_mr" -> (MrApiQueries.wordFreqMr _),
     "wc_mr" -> (MrApiQueries.wcMr _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "sort_and_group" -> TextQueries.sortAndGroupSql,
     "count_by_source" -> TextQueries.countBySourceSql,
     "sample" -> TextQueries.sampleSql,
+    "stratified_sample" -> TextQueries.stratifiedSampleSql,
     "tf_idf" -> TextQueries.tfIdfSql,
     "word_freq_mr" -> TextQueries.wordFreqSql,
     "wc_mr" -> MrApiQueries.wcMrSql,

@@ -44,3 +44,10 @@ final class Counters(spark: SparkSession) extends Serializable {
       g -> m.map { case ((_, n), acc) => n -> acc.value.longValue }.toMap
     }
 }
+
+/** set_status analog (mrjob/job.py:585-597): a keepalive/status line.
+  * Surfaces in the Spark UI / event log as the job description. */
+object Status {
+  def set(spark: SparkSession, msg: String): Unit =
+    spark.sparkContext.setJobDescription(msg)
+}

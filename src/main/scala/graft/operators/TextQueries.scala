@@ -188,6 +188,28 @@ object TextQueries {
       |WHERE doc_id % 17 = 3
       |ORDER BY doc_id""".stripMargin
 
+  /** Stratified systematic sample: every 5th doc per language in
+    * doc_id order — per-stratum sampling with exact per-stratum
+    * control (the deterministic analog of sampleBy fractions; at
+    * 100 TB the window is one shuffle on the stratum key). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") % 5 === 1)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang, rn FROM (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rn
+      |  FROM documents) t
+      |WHERE rn % 5 = 1
+      |ORDER BY lang, doc_id""".stripMargin
+
   /** tf-idf (mr_text_classifier.py's ngram scoring distilled, SURVEY
     * §2.3): tf per (doc, term) joined with document frequency — the
     * tag-union reduce-side join done as a real join. df is tiny
