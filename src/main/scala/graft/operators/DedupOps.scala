@@ -204,4 +204,38 @@ object DedupOps {
     simhashPairs(docs(spark, dir)).agg(
       count(lit(1)).as("n_pairs"),
       coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
+
+  /** Resolve near-dup PAIRS into KEEP/DROP decisions: connected
+    * components by iterated min-label propagation — `iters` rounds of
+    * hash joins, labels monotonically decrease to the component min.
+    * No driver-side loops over data (the loop is over plan
+    * construction; each round is one join + aggregate). A round moves
+    * labels one hop (with partial path compression, since a neighbor's
+    * label may already point far away), so `iters` must cover the
+    * cluster diameter — near-dup clusters are shallow in practice
+    * (pairs and small cliques), and convergence is checkable by one
+    * extra round changing nothing.
+    *
+    * Returns (doc_id, keep_id): keep_id = min doc_id of the
+    * component; rows with doc_id == keep_id survive dedup. */
+  def resolveDupClusters(pairs: DataFrame, iters: Int = 4): DataFrame = {
+    // symmetric edge list
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+    val nodes = edges.select(col("a").as("doc_id")).distinct()
+    var labels = nodes.withColumn("keep_id", col("doc_id"))
+    for (_ <- 1 to iters) {
+      // each node adopts the min label among itself and its neighbors
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "b")
+          .withColumnRenamed("keep_id", "nb_label"), Seq("b"))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("nb_label")).as("min_nb"))
+      labels = labels.join(viaNeighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("keep_id"), coalesce(col("min_nb"), col("keep_id")))
+            .as("keep_id"))
+    }
+    labels
+  }
 }

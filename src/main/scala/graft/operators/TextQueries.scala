@@ -216,7 +216,9 @@ object TextQueries {
     * (vocab-sized) → broadcast. */
   def tfIdf(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val n = d.count() // vocab-free scalar; computed once, folds into lit
+    // corpus size as a broadcast scalar relation — no driver-side
+    // action (a .count() here would run an extra job per invocation)
+    val n = d.select(count(lit(1)).as("n"))
     val terms = d.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
@@ -224,8 +226,9 @@ object TextQueries {
     val df = terms.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
       .withColumn("tf_idf",
-        round(col("tf") * log(lit(n.toDouble) / col("df").cast("double")), 6))
+        round(col("tf") * log(col("n").cast("double") / col("df").cast("double")), 6))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tf_idf"))
       .orderBy(col("doc_id"), col("term"))
   }

@@ -78,6 +78,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lshPairs.forall { case (q, c) => q != c })
   }
 
+  test("resolveDupClusters labels every member with the component min") {
+    import spark.implicits._
+    // components: {1,2,3,4} as a chain, {10,11} as a pair, 20 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("i", "j")
+    val labels = DedupOps.resolveDupClusters(pairs, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // dedup keeps exactly one doc per component
+    val kept = labels.filter { case (d, k) => d == k }.keySet
+    assert(kept == Set(1L, 10L))
+  }
+
   test("quantized cosine equals float64 cosine to 1e-5") {
     import spark.implicits._
     val e = graft.sources.Tables.load(spark, SparkFixture.Sf0001, "embeddings")

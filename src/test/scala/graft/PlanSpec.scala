@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-quality gates: the properties that make these queries hold at
+  * 100 TB, asserted against the actual physical plans so regressions
+  * (a filter that stops reaching the scan, a broadcast that becomes a
+  * shuffle, a lost partial agg) fail the build — not just slow it. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = SparkFixture.Sf0001
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2: predicates are pushed into the parquet scan, schema pruned") {
+    val p = plan(operators.RelationalQueries.q2FilterProject(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"no pushed filters:\n$p")
+    assert(!p.contains("l_shipdate"), "reads columns the query never uses")
+  }
+
+  test("q3: dimension joins broadcast; aggregation is partial+final") {
+    val p = plan(operators.RelationalQueries.q3JoinAgg(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"dims not broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation:\n$p")
+  }
+
+  test("q4: top-k is TakeOrdered, not a global sort") {
+    val p = plan(operators.RelationalQueries.q4TopK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")
+  }
+
+  test("word_freq: partial aggregation before the shuffle") {
+    val p = plan(operators.TextQueries.wordFreq(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial agg:\n$p")
+  }
+
+  test("grep: filter reaches the scan (no full-scan-then-filter of other cols)") {
+    val p = plan(operators.TextQueries.grep(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull"), s"nothing pushed:\n$p")
+  }
+
+  test("ann_topk: query side is broadcast (no shuffle of the big side)") {
+    val p = plan(operators.SimilarityOps.annTopK(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"queries not broadcast:\n$p")
+  }
+
+  test("whole-stage codegen covers the word_freq pipeline") {
+    val cg = operators.TextQueries.wordFreq(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(cg.contains("WholeStageCodegen"), s"no codegen spans:\n$cg")
+  }
+}
