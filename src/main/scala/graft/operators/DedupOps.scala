@@ -99,20 +99,61 @@ object DedupOps {
           element_at(ts, i + 2))))
   }
 
-  /** MinHash signatures: for each of `k` hash seeds, the min xxhash64
-    * over the doc's distinct shingles. One explode + one groupBy with
-    * k min-aggregates (partial agg map-side, so the shuffle carries at
-    * most one row per (doc, partition)).
+  /** Numeric shingling: hash each token once, then combine three
+    * consecutive token hashes arithmetically (30-bit modular space so
+    * ANSI long math can't overflow). Equivalent to hashing string
+    * shingles up to negligible collisions, but never builds
+    * concatenated strings — the MinHash hot path works on long arrays.
+    *
+    * Two pieces, used across a REAL projection boundary: inlining
+    * `tokenHashes` into `shingleHashesFrom`'s three element_at sites
+    * re-evaluates the whole token-hash transform per shingle (O(n²)
+    * per doc — measured slower than string shingles). */
+  private val ShingleM = 1073741789L // 30-bit prime
+
+  def tokenHashes(text: Column): Column =
+    transform(split(text, " "), t => pmod(xxhash64(t), lit(ShingleM)))
+
+  def shingleHashesFrom(th: Column): Column = {
+    val n = size(th)
+    when(n < 3, slice(th, 1, 1)).otherwise(
+      transform(sequence(lit(1), n - 2), i =>
+        pmod(pmod(element_at(th, i) * 65599L + element_at(th, i + 1),
+          lit(ShingleM)) * 65599L + element_at(th, i + 2), lit(ShingleM))))
+  }
+
+  /** Per-seed multiply-add constants for the universal-hash family
+    * h_i(x) = A_i * x + B_i over the single base hash — the standard
+    * one-hash MinHash construction: one xxhash64 per shingle, k cheap
+    * long ops instead of k full string hashes. Constants are 31-bit
+    * and the base is folded to 31 bits so A*x + B < 2^62 — ANSI mode
+    * (Spark 4 default) raises on long overflow, so the arithmetic must
+    * genuinely fit. Seeded, deterministic. */
+  private def hashFamily(k: Int): Array[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(k)((rng.nextInt(Int.MaxValue - 1).toLong + 1,
+      rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures: min over the doc's distinct shingles of k
+    * derived hashes. One explode + one groupBy with k min-aggregates
+    * (partial agg map-side, so the shuffle carries at most one row
+    * per (doc, partition)); each shingle is string-hashed ONCE.
     *
     * NOT a row-wise nested `transform(seq(k), i -> array_min(...))`:
     * nested higher-order lambdas evaluate outside codegen and
     * re-derive the shingle array per seed — measured 36× slower at
     * sf0.1 than this explode+agg form. */
   def minhashSignatures(d: DataFrame, k: Int = 32): DataFrame = {
-    val exploded = d.select(col("doc_id"),
-      explode(array_distinct(shingles(col("text")))).as("sh"))
-    val mins: Seq[Column] = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val fam = hashFamily(k)
+    val exploded = d
+      .select(col("doc_id"), tokenHashes(col("text")).as("th"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingleHashesFrom(col("th")))).as("h0"))
+    val mins: Seq[Column] = (0 until k).map { i =>
+      val (a, b) = fam(i)
+      min(col("h0") * lit(a) + lit(b)).as(s"h$i")
+    }
     exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
@@ -134,8 +175,9 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    val sh = d.select(col("doc_id"),
-      array_distinct(shingles(col("text"))).as("shs"))
+    val sh = d.select(col("doc_id"), tokenHashes(col("text")).as("th"))
+      .select(col("doc_id"),
+        array_distinct(shingleHashesFrom(col("th"))).as("shs"))
     val inter = size(array_intersect(col("si"), col("sj")))
     val uni = size(col("si")) + size(col("sj")) - inter
     cands
