@@ -58,6 +58,7 @@ object SparkEntry {
     "events_hourly" -> (EventQueries.eventsHourly _),
     "events_json" -> (EventQueries.eventsJson _),
     "events_sessionize" -> (EventQueries.eventsSessionize _),
+    "events_asof" -> (EventQueries.eventsAsof _),
     "multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "text_classifier" -> (TextClassifier.classify _),
   )
@@ -99,6 +100,7 @@ object SparkEntry {
     "events_hourly" -> EventQueries.eventsHourlySql,
     "events_json" -> EventQueries.eventsJsonSql,
     "events_sessionize" -> EventQueries.eventsSessionizeSql,
+    "events_asof" -> EventQueries.eventsAsofSql,
     "text_classifier" -> TextClassifier.classifySql,
   )
 }

@@ -91,6 +91,52 @@ object EventQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** As-of join: for every 'error' event, the user's most recent
+    * 'signup' at-or-before it. Spark has no ASOF JOIN operator; the
+    * guide's preference (a) — compose built-ins — applies: tag-union
+    * both sides, one user-keyed window, `last(_, ignoreNulls)` carries
+    * the newest left-side timestamp forward. ONE shuffle on user_id,
+    * no range-join explosion — this shape holds at 100 TB (an actual
+    * range join would be quadratic per user without range bucketing).
+    * Ties: a signup at the exact error micro sorts first (tag 0 <
+    * tag 1) and therefore counts as "before". */
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), tsMicros.as("us"))
+    val tagged = e.filter(col("event_type").isin("signup", "error"))
+      .withColumn("tag", when(col("event_type") === "signup", 0).otherwise(1))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_signup_us",
+        last(when(col("tag") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("error_event_id"), col("user_id"),
+        col("us").as("error_us"), col("last_signup_us"),
+        (col("us") - col("last_signup_us")).as("gap_us"))
+      .orderBy(col("error_event_id"))
+  }
+
+  val eventsAsofSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events WHERE event_type IN ('signup', 'error')),
+      |tagged AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS tag
+      |  FROM e),
+      |carried AS (
+      |  SELECT user_id, event_id, us, tag,
+      |    last_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY us ASC, tag ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_us
+      |  FROM tagged)
+      |SELECT event_id AS error_event_id, user_id, us AS error_us,
+      |  last_signup_us, us - last_signup_us AS gap_us
+      |FROM carried WHERE tag = 1
+      |ORDER BY error_event_id""".stripMargin
+
   val eventsSessionizeSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -26,6 +26,20 @@ object TextSink {
       .text(path)
   }
 
+  /** HADOOP_OUTPUT_FORMAT parity (mrjob/job.py:1324-1342; harness
+    * saveAsHadoopFile mrjob/spark/harness.py:271-279): write pairs
+    * through a classic Hadoop OutputFormat. Produces Hadoop-style
+    * `part-NNNNN` names (the exact reference naming contract). */
+  def writeHadoopText[K, V](ds: Dataset[(K, V)], path: String): Unit = {
+    import org.apache.hadoop.io.Text
+    import org.apache.hadoop.mapred.TextOutputFormat
+    val rdd = ds.rdd.map { case (k, v) =>
+      (new Text(String.valueOf(k)), new Text(String.valueOf(v)))
+    }
+    new org.apache.spark.rdd.PairRDDFunctions(rdd)
+      .saveAsHadoopFile[TextOutputFormat[Text, Text]](path)
+  }
+
   /** Read back a part-file directory, skipping hidden/_ files the way
     * the reference's cat_output does (mrjob/runner.py:512-562) — Spark
     * applies the same default PathFilter. */

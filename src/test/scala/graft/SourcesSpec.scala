@@ -76,6 +76,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(placed == Set((0, "even0"), (0, "even2"), (1, "odd1"), (1, "odd3")))
   }
 
+  test("Hadoop OutputFormat sink writes part-NNNNN files (HADOOP_OUTPUT_FORMAT)") {
+    import spark.implicits._
+    val out = tmpDir() + "/hadoop-out"
+    val data = spark.createDataset(Seq(("k1", "v1"), ("k2", "v2")))
+      .coalesce(1)
+    TextSink.writeHadoopText(data, out)
+    val names = new java.io.File(out).listFiles.map(_.getName)
+    assert(names.contains("part-00000"), s"got ${names.toSeq}")
+    val lines = spark.read.textFile(out).collect().sorted
+    assert(lines.toSeq == Seq("k1\tv1", "k2\tv2"))
+  }
+
   test("raw value protocol keeps whole lines (RawValueProtocol default)") {
     val out = tmpDir()
     import spark.implicits._
