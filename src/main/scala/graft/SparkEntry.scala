@@ -34,6 +34,7 @@ object SparkEntry {
     "most_used_word" -> (TextQueries.mostUsedWord _),
     "grep" -> (TextQueries.grep _),
     "next_word_stats" -> (TextQueries.nextWordStats _),
+    "trigram_counts" -> (TextQueries.trigramCounts _),
     "sort_and_group" -> (TextQueries.sortAndGroup _),
     "count_by_source" -> (TextQueries.countBySource _),
     "input_file_counts" -> (TextQueries.inputFileCounts _),
@@ -59,6 +60,8 @@ object SparkEntry {
     "events_json" -> (EventQueries.eventsJson _),
     "events_sessionize" -> (EventQueries.eventsSessionize _),
     "events_asof" -> (EventQueries.eventsAsof _),
+    "events_pivot" -> (EventQueries.eventsPivot _),
+    "events_median" -> (EventQueries.eventsMedian _),
     "multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "text_classifier" -> (TextClassifier.classify _),
   )
@@ -81,6 +84,7 @@ object SparkEntry {
     "most_used_word" -> TextQueries.mostUsedWordSql,
     "grep" -> TextQueries.grepSql,
     "next_word_stats" -> TextQueries.nextWordStatsSql,
+    "trigram_counts" -> TextQueries.trigramCountsSql,
     "sort_and_group" -> TextQueries.sortAndGroupSql,
     "count_by_source" -> TextQueries.countBySourceSql,
     "sample" -> TextQueries.sampleSql,
@@ -101,6 +105,8 @@ object SparkEntry {
     "events_json" -> EventQueries.eventsJsonSql,
     "events_sessionize" -> EventQueries.eventsSessionizeSql,
     "events_asof" -> EventQueries.eventsAsofSql,
+    "events_pivot" -> EventQueries.eventsPivotSql,
+    "events_median" -> EventQueries.eventsMedianSql,
     "text_classifier" -> TextClassifier.classifySql,
   )
 }

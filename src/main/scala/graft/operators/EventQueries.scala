@@ -137,6 +137,56 @@ object EventQueries {
       |FROM carried WHERE tag = 1
       |ORDER BY error_event_id""".stripMargin
 
+  /** Pivot: per-user event-type counts as columns. Spark `pivot` with
+    * an explicit value list (never the implicit distinct-scan variant
+    * at scale); the oracle is the equivalent conditional aggregation. */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("user_id"))
+  }
+
+  val eventsPivotSql: String =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'error') AS error,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'view') AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Exact per-group median (lower element for even n — position
+    * (n+1) div 2) via row_number: deterministic, one shuffle per group
+    * key, no interpolation-formula drift between engines. */
+  def eventsMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("event_type"), col("value").as("median_value"),
+        col("n").as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsMedianSql: String =
+    """SELECT event_type, value AS median_value, n AS n_events FROM (
+      |  SELECT event_type, value, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events) t
+      |WHERE rn = (n + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   val eventsSessionizeSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

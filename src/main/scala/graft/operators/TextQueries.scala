@@ -210,6 +210,34 @@ object TextQueries {
       |WHERE rn % 5 = 1
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** n-gram generation (n=3): the general form of the bigram pattern
+    * (mr_text_classifier NGRAM handling); counts of word trigrams. */
+  def trigramCounts(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(split(col("text"), " ").as("ts"))
+    toks.filter(size(col("ts")) >= 3)
+      .select(explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 2).as("w1"),
+        slice(col("ts"), lit(2), size(col("ts")) - 2).as("w2"),
+        slice(col("ts"), lit(3), size(col("ts")) - 2).as("w3"))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .orderBy(col("w1"), col("w2"), col("w3"))
+  }
+
+  val trigramCountsSql: String =
+    """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      |grams AS (
+      |  SELECT unnest(list_zip(ts[1:length(ts)-2], ts[2:length(ts)-1],
+      |    ts[3:length(ts)])) AS g
+      |  FROM toks WHERE length(ts) >= 3)
+      |SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, COUNT(*) AS n
+      |FROM grams
+      |GROUP BY 1, 2, 3
+      |HAVING COUNT(*) >= 5
+      |ORDER BY w1, w2, w3""".stripMargin
+
   /** tf-idf (mr_text_classifier.py's ngram scoring distilled, SURVEY
     * §2.3): tf per (doc, term) joined with document frequency — the
     * tag-union reduce-side join done as a real join. df is tiny
