@@ -66,48 +66,56 @@ object TextAnalysis {
   }
 
   /** Quality score: length/stopword/type-token ratios combined into a
-    * deterministic [0,1] score (integer counts → IEEE-stable ratios,
-    * rounded at 6 dp on both sides). */
+    * deterministic score.
+    *
+    * All ratio outputs are INTEGER parts-per-million (`1e6 * a DIV b`)
+    * rather than rounded doubles: `round(double, 6)` proved
+    * engine-divergent at a half boundary (Spark rounds the exact
+    * binary expansion via BigDecimal HALF_UP; DuckDB rounds in
+    * floating arithmetic — one sf0.1 row differed by 1e-6). Integer
+    * division of identical longs cannot drift.
+    *
+    * quality = 0.5·ttr + 0.3·(1−stop_ratio) + 0.2·min(avg_len/10, 1)
+    * expressed over the common denominator 100·n:
+    * (50·d + 30·(n−s) + min(2·c, 20·n)) · 1e6 DIV (100·n). */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
-    val nToks = size(toks).cast("long")
-    val nDistinct = size(array_distinct(toks)).cast("long")
-    val stopHits = hits(toks, TextQueries.StopWords)
-    val tokChars = aggregate(transform(toks, t => length(t).cast("long")),
-      lit(0L), (acc, x) => acc + x)
-    val ttr = nDistinct.cast("double") / nToks.cast("double")
-    val stopRatio = stopHits.cast("double") / nToks.cast("double")
-    val avgLen = tokChars.cast("double") / nToks.cast("double")
-    docs(spark, dir).select(
-      col("doc_id"),
-      nToks.as("n_tokens"),
-      nDistinct.as("n_distinct"),
-      stopHits.as("stop_hits"),
-      round(ttr, 6).as("type_token_ratio"),
-      round(stopRatio, 6).as("stop_ratio"),
-      round(avgLen, 6).as("avg_token_len"),
-      round(ttr * 0.5 + (lit(1d) - stopRatio) * 0.3 +
-        least(avgLen / 10d, lit(1d)) * 0.2, 6).as("quality"))
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n"),
+        size(array_distinct(toks)).cast("long").as("d"),
+        hits(toks, TextQueries.StopWords).as("s"),
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("c"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_tokens"),
+        col("d").as("n_distinct"),
+        col("s").as("stop_hits"),
+        expr("1000000 * d DIV n").as("ttr_ppm"),
+        expr("1000000 * s DIV n").as("stop_ppm"),
+        expr("1000 * c DIV n").as("avg_len_milli"),
+        expr("(50 * d + 30 * (n - s) + least(2 * c, 20 * n)) * 1000000 DIV (100 * n)")
+          .as("quality_ppm"))
       .orderBy(col("doc_id"))
   }
 
   val qualityScoreSql: String = {
     val stopIn = TextQueries.StopWords.map(w => s"'$w'")
       .mkString("(", ", ", ")")
-    s"""SELECT doc_id, n_tokens, n_distinct, stop_hits,
-       |  ROUND(ttr, 6) AS type_token_ratio,
-       |  ROUND(stop_ratio, 6) AS stop_ratio,
-       |  ROUND(avg_len, 6) AS avg_token_len,
-       |  ROUND(ttr * 0.5 + (1 - stop_ratio) * 0.3 +
-       |        least(avg_len / 10, 1) * 0.2, 6) AS quality
+    s"""SELECT doc_id,
+       |  n AS n_tokens, d AS n_distinct, s AS stop_hits,
+       |  1000000 * d // n AS ttr_ppm,
+       |  1000000 * s // n AS stop_ppm,
+       |  1000 * c // n AS avg_len_milli,
+       |  (50 * d + 30 * (n - s) + least(2 * c, 20 * n)) * 1000000 // (100 * n) AS quality_ppm
        |FROM (
        |  SELECT doc_id,
-       |    len(ts) AS n_tokens,
-       |    len(list_distinct(ts)) AS n_distinct,
-       |    len(list_filter(ts, t -> t IN $stopIn)) AS stop_hits,
-       |    CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS ttr,
-       |    CAST(len(list_filter(ts, t -> t IN $stopIn)) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS stop_ratio,
-       |    CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS avg_len
+       |    CAST(len(ts) AS BIGINT) AS n,
+       |    CAST(len(list_distinct(ts)) AS BIGINT) AS d,
+       |    CAST(len(list_filter(ts, t -> t IN $stopIn)) AS BIGINT) AS s,
+       |    CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS c
        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) x) t
        |ORDER BY doc_id""".stripMargin
   }
@@ -117,25 +125,28 @@ object TextAnalysis {
     * compression proxy. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     val pattern = "[a-z']+|[0-9]+|[^a-z0-9 ]"
-    val ws = size(split(col("text"), " ")).cast("long")
-    val bpe = size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
-      .cast("long")
-    docs(spark, dir).select(
-      col("doc_id"),
-      ws.as("ws_tokens"),
-      bpe.as("re_tokens"),
-      round(length(col("text")).cast("double") / bpe.cast("double"), 6)
-        .as("chars_per_token"))
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+          .cast("long").as("re_tokens"),
+        length(col("text")).cast("long").as("len"))
+      // integer milli-ratio, not round(double): see qualityScore
+      .select(col("doc_id"), col("ws_tokens"), col("re_tokens"),
+        expr("1000 * len DIV re_tokens").as("chars_per_token_milli"))
       .orderBy(col("doc_id"))
   }
 
   val tokenCountSql: String =
-    """SELECT doc_id,
-      |  len(string_split(text, ' ')) AS ws_tokens,
-      |  len(regexp_extract_all(text, '[a-z'']+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
-      |  ROUND(CAST(length(text) AS DOUBLE) /
-      |        CAST(len(regexp_extract_all(text, '[a-z'']+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE), 6) AS chars_per_token
-      |FROM documents
+    """SELECT doc_id, ws_tokens, re_tokens,
+      |  1000 * len // re_tokens AS chars_per_token_milli
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |    CAST(len(regexp_extract_all(text, '[a-z'']+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+      |    CAST(length(text) AS BIGINT) AS len
+      |  FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
   /** Document fingerprint: rolling polynomial hash over the token

@@ -255,9 +255,14 @@ object TextQueries {
       .agg(countDistinct(col("doc_id")).as("df"))
     tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(n))
-      .withColumn("tf_idf",
-        round(col("tf") * log(col("n").cast("double") / col("df").cast("double")), 6))
-      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tf_idf"))
+      // idf quantized once per term to micro-nats (integer), so the
+      // per-row product is exact integer math — round(double, 6) per
+      // row diverges between engines at half boundaries
+      .withColumn("idf_micro",
+        round(log(col("n").cast("double") / col("df").cast("double"))
+          * 1000000d).cast("long"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * col("idf_micro")).as("tf_idf_micro"))
       .orderBy(col("doc_id"), col("term"))
   }
 
@@ -268,7 +273,7 @@ object TextQueries {
       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
       |n AS (SELECT COUNT(*) AS n FROM documents)
       |SELECT tf.doc_id, tf.term, tf.tf, df.df,
-      |  ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tf_idf
+      |  tf.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) * 1000000) AS BIGINT) AS tf_idf_micro
       |FROM tf JOIN df USING (term) CROSS JOIN n
       |ORDER BY tf.doc_id, tf.term""".stripMargin
 }

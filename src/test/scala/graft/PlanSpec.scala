@@ -53,6 +53,17 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"queries not broadcast:\n$p")
   }
 
+  test("windowed top-k gets WindowGroupLimit (map-side k-pruning before shuffle)") {
+    // rank()<=k filters must not shuffle the full input: Spark's
+    // InferWindowGroupLimit inserts partial limits — the reason the
+    // window form of per-key top-k survives 100 TB. If this ever
+    // disappears (regression or a plan shape change), the query
+    // silently becomes a full-shuffle window.
+    val p = plan(operators.SimilarityOps.annTopK(spark, dir))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"no partial window limit:\n$p")
+  }
+
   test("whole-stage codegen covers the word_freq pipeline") {
     val cg = operators.TextQueries.wordFreq(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
