@@ -55,10 +55,17 @@ object DedupOps {
       |ORDER BY group_size""".stripMargin
 
   /** Blocked exact Jaccard near-dup pairs: token-set Jaccard ≥ 0.8
-    * within (lang, source) blocks. Deterministic ratio of ints. */
+    * within (lang, source) blocks. Deterministic ratio of ints.
+    *
+    * The pair loop intersects token-HASH arrays (xxhash64 per distinct
+    * token, computed once per doc) — long equality beats string
+    * equality across ~100k pairs, and set sizes are identical to the
+    * string form barring 64-bit collisions (none at corpus vocab
+    * sizes), so the oracle's string-set SQL matches exactly. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("source"),
-      sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+      array_distinct(transform(split(col("text"), " "), t => xxhash64(t)))
+        .as("toks"))
     val a = d.select(col("lang"), col("source"), col("doc_id").as("i"),
       col("toks").as("ti"))
     val b = d.select(col("lang"), col("source"), col("doc_id").as("j"),
