@@ -1,7 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions.col
 import scala.reflect.ClassTag
 
@@ -15,12 +14,12 @@ import scala.reflect.ClassTag
   *    is `init ++ flatMap(mapper) ++ final` (lazy, so `final` runs
   *    after the partition drains — same contract as
   *    harness.py:396-436);
-  *  - combiner → a typed [[Aggregator]] with a bounded buffer: Spark
-  *    runs Aggregators map-side before the shuffle (partial agg), which
-  *    is precisely the combiner contract "runs 0..n times over partial
-  *    groups" (mrjob/job.py:295-309) — and unlike the reference's
-  *    `combineByKey` list-merging (harness.py:439-509) it stays inside
-  *    Tungsten's hash-agg operator;
+  *  - combiner → [[MapSideCombine]]: a bounded hash buffer inside the
+  *    map task, applying the combiner to per-key runs before the
+  *    shuffle — the combiner contract "runs 0..n times over partial
+  *    groups" (mrjob/job.py:295-309) as classic map-side combine,
+  *    without the reference's post-shuffle `combineByKey` list-merging
+  *    (harness.py:439-509) or any per-row Kryo encoding;
   *  - reducer → `repartition(key) + sortWithinPartitions(key[, value])
   *    + mapPartitions(adjacent-group iterator)`: the classic scalable
   *    secondary sort. Values reach the reducer as a lazy Iterator —
@@ -43,9 +42,8 @@ final class MrPipeline[K, V](val ds: Dataset[(K, V)]) extends Serializable {
     * (mrjob steps(), mrjob/job.py:497-545 — a linear DAG, which in
     * Spark is simply function composition inside one job).
     *
-    * `ordV2` is only consulted when `sortValues` is set on the
-    * combiner path (the plain reducer path sorts values inside
-    * Tungsten via the `_2` column); it defaults to null otherwise.
+    * `ordV2` is unused (kept for source compatibility — SORT_VALUES
+    * now sorts inside Tungsten on both paths).
     */
   def step[K2, V2, K3, V3](s: MrStep[K, V, K2, V2, K3, V3])(
       implicit e2: Encoder[(K2, V2)],
@@ -63,44 +61,40 @@ final class MrPipeline[K, V](val ds: Dataset[(K, V)]) extends Serializable {
         mFinal()
     }
 
+    // ---- optional map-side combine (bounded hash buffer) ----
+    // The combiner contract is "runs 0..n times over partial groups"
+    // (mrjob/job.py:295-309); running it inside mapPartitions before
+    // the shuffle is the classic MapReduce map-side combine. Memory is
+    // bounded two ways: per-key value buffers flush through the
+    // combiner at CombineFlushAt, and the whole map spills its
+    // combined entries downstream at CombineMaxKeys — degrading
+    // gracefully to "no combine" for high-cardinality keys, exactly
+    // like Hadoop's combiner. (An earlier Aggregator-based version
+    // paid Kryo buffer encoding per shuffle row — slower.)
+    val preCombined: Dataset[(K2, V2)] = s.combiner match {
+      case Some(c) =>
+        mapped.mapPartitions { it =>
+          new MapSideCombine(it, c)
+        }
+      case None => mapped
+    }
+
+    // ---- shuffle + reduce: hash-partition by key, Tungsten
+    // in-partition sort on (key[, value]), lazily group adjacent keys.
     val r = s.reducer
     val rInit = s.reducerInit
     val rFinal = s.reducerFinal
-
-    // ---- shuffle + reduce phase ----
-    val reduced: Dataset[(K3, V3)] = s.combiner match {
-      case Some(c) =>
-        // Partial agg via Aggregator: map-side combine inside Tungsten.
-        if (s.sortValues) require(ordV2 != null,
-          "sortValues with a combiner needs an Ordering[V2]")
-        val agg = new CombinerAggregator[K2, V2](c)
-        val combined: Dataset[(K2, List[V2])] =
-          mapped.groupByKey(_._1).agg(agg.toColumn.name("vs"))
-        val sortVals = s.sortValues
-        val ord = ordV2
-        combined.mapPartitions { it =>
-          rInit().iterator ++
-            it.flatMap { case (k, vs) =>
-              val ordered = if (sortVals) vs.sorted(ord) else vs
-              r(k, ordered.iterator)
-            } ++
-            rFinal()
-        }
-      case None =>
-        // Secondary sort: hash-partition by key, Tungsten in-partition
-        // sort on (key[, value]), lazily group adjacent equal keys.
-        val n = s.numReducers.getOrElse(
-          ds.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
-        val sortCols = if (s.sortValues) Seq(col("_1"), col("_2"))
-                       else Seq(col("_1"))
-        val arranged = mapped
-          .repartition(n, col("_1"))
-          .sortWithinPartitions(sortCols: _*)
-        arranged.mapPartitions { it =>
-          rInit().iterator ++
-            AdjacentGroups(it).flatMap { case (k, vs) => r(k, vs) } ++
-            rFinal()
-        }
+    val n = s.numReducers.getOrElse(
+      ds.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val sortCols = if (s.sortValues) Seq(col("_1"), col("_2"))
+                   else Seq(col("_1"))
+    val arranged = preCombined
+      .repartition(n, col("_1"))
+      .sortWithinPartitions(sortCols: _*)
+    val reduced: Dataset[(K3, V3)] = arranged.mapPartitions { it =>
+      rInit().iterator ++
+        AdjacentGroups(it).flatMap { case (k, vs) => r(k, vs) } ++
+        rFinal()
     }
     new MrPipeline(reduced)
   }
@@ -159,41 +153,56 @@ object MrPipeline {
     new MrPipeline(ds)
 }
 
-/** Combiner buffer: the group key (once seen) + pending values.
-  * Flushed through the user combiner whenever it exceeds
-  * [[CombinerAggregator.FlushAt]] — bounds memory exactly like the
-  * reference's periodic combiner runs over accumulated lists
-  * (mrjob/spark/harness.py:466-495). */
-final case class CombineBuf[K, V](key: Option[K], values: List[V])
+/** Map-side combine: drain the input through a bounded hash buffer,
+  * applying the user combiner to per-key runs, then emit combined
+  * pairs. Per-key buffers flush at [[MapSideCombine.FlushAt]] values
+  * (the reference's periodic combiner runs over accumulated lists,
+  * mrjob/spark/harness.py:466-495); the whole buffer is emitted and
+  * cleared at [[MapSideCombine.MaxKeys]] distinct keys, so
+  * high-cardinality keys degrade to a pass-through instead of OOM. */
+private[api] final class MapSideCombine[K, V](
+    input: Iterator[(K, V)], c: (K, Iterator[V]) => IterableOnce[V])
+  extends Iterator[(K, V)] {
+  import MapSideCombine._
+  import scala.collection.mutable
 
-final class CombinerAggregator[K, V](c: (K, Iterator[V]) => IterableOnce[V])
-  extends Aggregator[(K, V), CombineBuf[K, V], List[V]] {
-  import CombinerAggregator.FlushAt
+  private val buf = mutable.LinkedHashMap.empty[K, mutable.ArrayBuffer[V]]
+  private var out: Iterator[(K, V)] = Iterator.empty
 
-  private def flush(b: CombineBuf[K, V]): CombineBuf[K, V] =
-    if (b.values.lengthCompare(FlushAt) < 0 || b.key.isEmpty) b
-    else CombineBuf(b.key, c(b.key.get, b.values.iterator).iterator.toList)
+  private def combineRun(k: K, vs: mutable.ArrayBuffer[V]): Iterator[V] =
+    c(k, vs.iterator).iterator
 
-  def zero: CombineBuf[K, V] = CombineBuf(None, Nil)
-  def reduce(b: CombineBuf[K, V], in: (K, V)): CombineBuf[K, V] =
-    flush(CombineBuf(Some(in._1), in._2 :: b.values))
-  def merge(a: CombineBuf[K, V], b: CombineBuf[K, V]): CombineBuf[K, V] =
-    flush(CombineBuf(a.key.orElse(b.key), a.values ::: b.values))
-  def finish(b: CombineBuf[K, V]): List[V] = b.key match {
-    case Some(k) => c(k, b.values.iterator).iterator.toList
-    case None => Nil
+  private def drainBuf(): Iterator[(K, V)] = {
+    val entries = buf.toVector
+    buf.clear()
+    entries.iterator.flatMap { case (k, vs) =>
+      combineRun(k, vs).map(k -> _)
+    }
   }
-  def bufferEncoder: Encoder[CombineBuf[K, V]] =
-    Encoders.kryo(ClassTag(classOf[CombineBuf[_, _]])
-      .asInstanceOf[ClassTag[CombineBuf[K, V]]])
-  def outputEncoder: Encoder[List[V]] =
-    Encoders.kryo(ClassTag(classOf[List[_]])
-      .asInstanceOf[ClassTag[List[V]]])
+
+  private def fill(): Unit = {
+    while (!out.hasNext && input.hasNext) {
+      val (k, v) = input.next()
+      val vs = buf.getOrElseUpdate(k, mutable.ArrayBuffer.empty[V])
+      vs += v
+      if (vs.length >= FlushAt) {
+        val combined = combineRun(k, vs).to(mutable.ArrayBuffer)
+        buf.update(k, combined)
+      }
+      if (buf.size >= MaxKeys) out = drainBuf()
+    }
+    if (!out.hasNext && buf.nonEmpty) out = drainBuf()
+  }
+
+  def hasNext: Boolean = { fill(); out.hasNext }
+  def next(): (K, V) = { fill(); out.next() }
 }
 
-object CombinerAggregator {
+private[api] object MapSideCombine {
   /** Values buffered per key before the combiner is forced. */
   val FlushAt = 1000
+  /** Distinct keys buffered before the map spills downstream. */
+  val MaxKeys = 1 << 16
 }
 
 /** Lazily group a key-sorted iterator into (key, value-iterator) runs.
