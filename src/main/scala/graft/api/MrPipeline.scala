@@ -160,7 +160,7 @@ object MrPipeline {
   * mrjob/spark/harness.py:466-495); the whole buffer is emitted and
   * cleared at [[MapSideCombine.MaxKeys]] distinct keys, so
   * high-cardinality keys degrade to a pass-through instead of OOM. */
-private[api] final class MapSideCombine[K, V](
+private[graft] final class MapSideCombine[K, V](
     input: Iterator[(K, V)], c: (K, Iterator[V]) => IterableOnce[V])
   extends Iterator[(K, V)] {
   import MapSideCombine._
@@ -198,7 +198,7 @@ private[api] final class MapSideCombine[K, V](
   def next(): (K, V) = { fill(); out.next() }
 }
 
-private[api] object MapSideCombine {
+private[graft] object MapSideCombine {
   /** Values buffered per key before the combiner is forced. */
   val FlushAt = 1000
   /** Distinct keys buffered before the map spills downstream. */
