@@ -48,6 +48,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s: SparkSession, d: String) =>
       SimilarityOps.dedupEmbedding(s, d)),
     "dedup_exact" -> (DedupOps.dedupExact _),
+    "dedup_keep" -> (DedupOps.dedupKeep _),
+    "text_scrub" -> (TextAnalysis.textScrub _),
     "dedup_fingerprint" -> (DedupOps.dedupFingerprint _),
     "dedup_jaccard" -> (DedupOps.dedupJaccard _),
     "dedup_minhash" -> (DedupOps.dedupMinhash _),
@@ -95,6 +97,8 @@ object SparkEntry {
     "ann_topk" -> SimilarityOps.annTopKSql,
     "dedup_embedding" -> SimilarityOps.dedupEmbeddingSql,
     "dedup_exact" -> DedupOps.dedupExactSql,
+    "dedup_keep" -> DedupOps.dedupKeepSql,
+    "text_scrub" -> TextAnalysis.textScrubSql,
     "dedup_fingerprint" -> DedupOps.dedupFingerprintSql,
     "dedup_jaccard" -> DedupOps.dedupJaccardSql,
     "lang_id" -> TextAnalysis.langIdSql,

@@ -29,6 +29,22 @@ object DedupOps {
       countDistinct(col("text")).as("n_distinct_texts"),
       (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))
 
+  /** Exact-dedup keep list: one survivor (min doc_id) per distinct
+    * text — the actual "drop the duplicates" output a pipeline
+    * materializes, not just the count. */
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val dedupKeepSql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY keep_id""".stripMargin
+
   val dedupExactSql: String =
     """SELECT COUNT(*) AS n_docs,
       |  COUNT(DISTINCT text) AS n_distinct_texts,

@@ -149,6 +149,35 @@ object TextAnalysis {
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  /** Text scrubbing (PII-shaped normalization pass): redact digit runs
+    * and '@'-containing tokens, collapse repeated words — the cleanup
+    * stage of a training-data pipeline as pure codegen'd regex ops
+    * (patterns are RE2-compatible so the oracle matches byte-for-byte). */
+  def textScrub(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), "[0-9]+", "<num>"),
+      "[^ ]*@[^ ]*", "<email>")
+    docs(spark, dir).select(
+      col("doc_id"),
+      scrubbed.as("scrubbed"),
+      (size(split(col("text"), " ")) -
+        size(split(scrubbed, " "))).cast("long").as("token_delta"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_num_runs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textScrubSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+      |    '[^ ]*@[^ ]*', '<email>', 'g') AS scrubbed,
+      |  CAST(len(string_split(text, ' ')) -
+      |    len(string_split(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+      |      '[^ ]*@[^ ]*', '<email>', 'g'), ' ')) AS BIGINT) AS token_delta,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_runs
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Document fingerprint: rolling polynomial hash over the token
     * stream (mod 1000003 to stay in exact integer range in both
     * engines) — order-sensitive, unlike the token-set fingerprint. */
