@@ -58,6 +58,7 @@ object SparkEntry {
     "quality_score" -> (TextAnalysis.qualityScore _),
     "token_count" -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "word_pmi" -> ((s: SparkSession, d: String) => TextAnalysis.wordPmi(s, d)),
     "events_hourly" -> (EventQueries.eventsHourly _),
     "events_json" -> (EventQueries.eventsJson _),
     "events_sessionize" -> (EventQueries.eventsSessionize _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "word_pmi" -> TextAnalysis.wordPmiSql,
     "events_hourly" -> EventQueries.eventsHourlySql,
     "events_json" -> EventQueries.eventsJsonSql,
     "events_sessionize" -> EventQueries.eventsSessionizeSql,

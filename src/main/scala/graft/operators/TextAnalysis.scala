@@ -178,6 +178,58 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Word co-occurrence with PMI: pairs of words appearing in the same
+    * document, scored by pointwise mutual information
+    * ln(p(a,b) / (p(a)·p(b))). Doc-frequency relations are vocab-sized
+    * → broadcast; the pair space comes from a per-doc distinct-token
+    * self-join (bounded by doc length, never corpus N²). PMI quantized
+    * to micro-nats once per surviving pair (quantized-ln rule). */
+  def wordPmi(spark: SparkSession, dir: String,
+      minPairDocs: Long = 50): DataFrame = {
+    val d = docs(spark, dir)
+    val n = d.select(count(lit(1)).as("n"))
+    val docTokens = d.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val df = docTokens.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val pairs = docTokens.as("x")
+      .join(docTokens.as("y"), col("x.doc_id") === col("y.doc_id") &&
+        col("x.w") < col("y.w"))
+      .groupBy(col("x.w").as("w1"), col("y.w").as("w2"))
+      .agg(count(lit(1)).as("co_docs"))
+      .filter(col("co_docs") >= minPairDocs)
+    pairs
+      .join(broadcast(df.select(col("w").as("w1"), col("df").as("df1"))),
+        Seq("w1"))
+      .join(broadcast(df.select(col("w").as("w2"), col("df").as("df2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("co_docs"), col("df1"), col("df2"),
+        round(log((col("co_docs") * col("n")).cast("double") /
+          (col("df1") * col("df2")).cast("double")) * 1000000d)
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  val wordPmiSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |df AS (SELECT w, COUNT(*) AS df FROM d GROUP BY w),
+      |pairs AS (
+      |  SELECT x.w AS w1, y.w AS w2, COUNT(*) AS co_docs
+      |  FROM d x JOIN d y ON x.doc_id = y.doc_id AND x.w < y.w
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 50)
+      |SELECT w1, w2, co_docs, f1.df AS df1, f2.df AS df2,
+      |  CAST(round(ln(CAST(co_docs * n.n AS DOUBLE) /
+      |    CAST(f1.df * f2.df AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_micro
+      |FROM pairs
+      |JOIN df f1 ON f1.w = pairs.w1
+      |JOIN df f2 ON f2.w = pairs.w2
+      |CROSS JOIN n
+      |ORDER BY w1, w2""".stripMargin
+
   /** Document fingerprint: rolling polynomial hash over the token
     * stream (mod 1000003 to stay in exact integer range in both
     * engines) — order-sensitive, unlike the token-set fingerprint. */
