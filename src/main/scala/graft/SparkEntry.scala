@@ -47,6 +47,7 @@ object SparkEntry {
     "ann_lsh_topk" -> (SimilarityOps.annLshTopK _),
     "dedup_embedding" -> ((s: SparkSession, d: String) =>
       SimilarityOps.dedupEmbedding(s, d)),
+    "dedup_embedding_lsh" -> (SimilarityOps.dedupEmbeddingLshQuery _),
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_keep" -> (DedupOps.dedupKeep _),
     "text_scrub" -> (TextAnalysis.textScrub _),

@@ -70,15 +70,62 @@ object DedupOps {
       |GROUP BY group_size
       |ORDER BY group_size""".stripMargin
 
-  /** Blocked exact Jaccard near-dup pairs: token-set Jaccard ≥ 0.8
-    * within (lang, source) blocks. Deterministic ratio of ints.
+  /** Near-dup pairs with token-set Jaccard ≥ 0.8 within (lang, source)
+    * blocks — MinHash-LSH candidate generation + EXACT verification, so
+    * the answer is identical to the all-pairs form while the plan never
+    * enumerates a block × block product.
     *
-    * The pair loop intersects token-HASH arrays (xxhash64 per distinct
-    * token, computed once per doc) — long equality beats string
-    * equality across ~100k pairs, and set sizes are identical to the
-    * string form barring 64-bit collisions (none at corpus vocab
-    * sizes), so the oracle's string-set SQL matches exactly. */
+    * Scale shape: candidates come from a band-bucket equi-join whose
+    * cost is Σ bucket² — driven by how many docs are ACTUALLY similar,
+    * not by block size. Banding is 16 bands × 2 rows over a k=32
+    * signature computed on the token SET itself (1-shingles), so the
+    * LSH similarity measure is exactly the verified measure:
+    * P(miss | J ≥ 0.8) = (1 − J²)¹⁶ ≤ 0.36¹⁶ ≈ 8·10⁻⁸ per true pair
+    * (≈ 0.003 expected misses across the 38k true pairs at sf0.1;
+    * recall empirically exact at sf0.01/sf0.1, DedupSpec).
+    *
+    * Verification intersects token-HASH arrays (raw xxhash64 per
+    * distinct token — 64-bit, collision-free at corpus vocab sizes, so
+    * the oracle's string-set SQL matches exactly); the 30-bit
+    * [[tokenHashes]] space is used only inside the signature where ANSI
+    * long arithmetic must not overflow.
+    *
+    * NOTE on this corpus: the synthetic blocks are near-dup-dense
+    * (median within-block J ≈ 0.63, measured), so candidates ≈
+    * within-block pairs here — output-bound, which is what ANY correct
+    * generator must emit. On a realistically sparse corpus the bucket
+    * join prunes to near-linear. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("source"),
+      array_distinct(transform(split(col("text"), " "), t => xxhash64(t)))
+        .as("toks"))
+    val sigs = minhashSignaturesFromSets(docs(spark, dir),
+      array_distinct(tokenHashes(col("text"))), k = 32)
+    val banded = lshBands(sigs, k = 32, bands = 16)
+      .join(d.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.lang") === col("y.lang") &&
+          col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    val inter = size(array_intersect(col("ti"), col("tj")))
+    val uni = size(col("ti")) + size(col("tj")) - inter
+    cands
+      .join(d.select(col("doc_id").as("i"), col("toks").as("ti")), Seq("i"))
+      .join(d.select(col("doc_id").as("j"), col("toks").as("tj")), Seq("j"))
+      .select(col("i"), col("j"),
+        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** The all-pairs-within-block form of [[dedupJaccard]] — kept ONLY as
+    * the spec-side ground truth (DedupSpec asserts the LSH path returns
+    * the identical pair set); block × block products do not survive a
+    * 100× scale-up, so this is never a registered driver query. */
+  def dedupJaccardAllPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("source"),
       array_distinct(transform(split(col("text"), " "), t => xxhash64(t)))
         .as("toks"))
@@ -146,16 +193,24 @@ object DedupOps {
   }
 
   /** Per-seed multiply-add constants for the universal-hash family
-    * h_i(x) = A_i * x + B_i over the single base hash — the standard
+    * h_i(x) = (A_i * x + B_i) mod P over the single base hash — the
     * one-hash MinHash construction: one xxhash64 per shingle, k cheap
-    * long ops instead of k full string hashes. Constants are 31-bit
-    * and the base is folded to 31 bits so A*x + B < 2^62 — ANSI mode
-    * (Spark 4 default) raises on long overflow, so the arithmetic must
-    * genuinely fit. Seeded, deterministic. */
+    * long ops instead of k full string hashes.
+    *
+    * The `mod P` (P prime, A ∈ [1, P-1]) is LOAD-BEARING: it makes
+    * each h_i a distinct permutation of Z_P. Without it A·x + B is
+    * monotonic in x, every h_i takes its min at the SAME base element,
+    * the k signature slots are perfectly correlated (rank-1), and band
+    * collision probability collapses from J^rows to J — a silent
+    * recall bug (caught by the dedupJaccard ground-truth spec: ~8% of
+    * true J≥0.8 pairs missed). Inputs are < P < 2^30 and A < 2^30, so
+    * A*x + B < 2^60 — ANSI mode (Spark 4 default) raises on long
+    * overflow, so the arithmetic must genuinely fit. Seeded,
+    * deterministic. */
   private def hashFamily(k: Int): Array[(Long, Long)] = {
     val rng = new scala.util.Random(42)
-    Array.fill(k)((rng.nextInt(Int.MaxValue - 1).toLong + 1,
-      rng.nextInt(Int.MaxValue).toLong))
+    Array.fill(k)((rng.nextInt(Int.MaxValue - 1).toLong % (ShingleM - 1) + 1,
+      rng.nextInt(Int.MaxValue).toLong % ShingleM))
   }
 
   /** MinHash signatures: min over the doc's distinct shingles of k
@@ -167,19 +222,47 @@ object DedupOps {
     * nested higher-order lambdas evaluate outside codegen and
     * re-derive the shingle array per seed — measured 36× slower at
     * sf0.1 than this explode+agg form. */
-  def minhashSignatures(d: DataFrame, k: Int = 32): DataFrame = {
+  def minhashSignatures(d: DataFrame, k: Int = 32): DataFrame =
+    minhashSignaturesFromSets(
+      d.select(col("doc_id"), tokenHashes(col("text")).as("th")),
+      array_distinct(shingleHashesFrom(col("th"))), k)
+
+  /** MinHash signatures: explode the per-doc distinct hash set `hs`
+    * (array<long> of 30-bit values, so A·x + B stays under 2⁶² in ANSI
+    * mode) over `df`, then k min-aggregates. The generic core of
+    * [[minhashSignatures]]; also drives token-set (1-shingle)
+    * signatures for [[dedupJaccard]].
+    *
+    * `hs` MUST be passed as an expression, not first materialized into
+    * a column that is then exploded as a bare attribute: for
+    * `explode(attr)`, Spark's InferFiltersFromGenerate adds
+    * `size(attr) > 0 AND isnotnull(attr)` and predicate pushdown then
+    * INLINES the whole shingle pipeline into that filter below the
+    * projection — re-evaluating the interpreted HOF chain twice more
+    * per document (measured 5.8 s vs 0.7 s for the signature stage at
+    * sf0.1). With a complex generator expression the rule doesn't
+    * fire. */
+  def minhashSignaturesFromSets(df: DataFrame, hs: Column,
+      k: Int = 32): DataFrame = {
     val fam = hashFamily(k)
-    val exploded = d
-      .select(col("doc_id"), tokenHashes(col("text")).as("th"))
-      .select(col("doc_id"),
-        explode(array_distinct(shingleHashesFrom(col("th")))).as("h0"))
+    val exploded = df.select(col("doc_id"), explode(hs).as("h0"))
     val mins: Seq[Column] = (0 until k).map { i =>
       val (a, b) = fam(i)
-      min(col("h0") * lit(a) + lit(b)).as(s"h$i")
+      min(pmod(col("h0") * lit(a) + lit(b), lit(ShingleM))).as(s"h$i")
     }
     exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Explode a signature column into (doc_id, band, bh) band-hash rows
+    * — the LSH bucket key rows both near-dup paths equi-join on. */
+  def lshBands(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
   }
 
   /** LSH band-bucket candidate pairs: split the signature into
@@ -187,12 +270,8 @@ object DedupOps {
     * Then exact shingle-Jaccard verification ≥ `threshold`. */
   def minhashPairs(d: DataFrame, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val rows = k / bands
     val sigs = minhashSignatures(d, k)
-    val banded = sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val banded = lshBands(sigs, k, bands)
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -79,8 +79,23 @@ object SimilarityOps {
        |ORDER BY q_vec_id, rank""".stripMargin
 
   /** Embedding near-duplicate pairs: all (i < j) with cosine above
-    * `threshold`. Brute force for oracle parity at test scale; the LSH
-    * path below is the production shape. */
+    * `threshold` — EXACT range search.
+    *
+    * Why this is a pair scan and not LSH: the query's τ = 0.4 is a
+    * low-similarity radius. Measured on the test corpus, every true
+    * pair lies at cosine 0.40–0.60 (median 0.43), where a random
+    * hyperplane agrees with probability only 1 − θ/π ≈ 0.63 per bit —
+    * sign-LSH needs ~24 tables of 2 bits for recall ≈ 1, which emits
+    * MORE candidate work than the N²/2 scan it replaces. Exact range
+    * search at that radius is inherently ~quadratic in any sketch
+    * family; the scale-correct form is to distribute the quadratic
+    * evenly: no broadcast hint, so Spark tiles the pair space across
+    * partition pairs (CartesianProduct: each task compares one
+    * left-tile × right-tile with bounded memory; AQE still picks BNLJ
+    * when one side measures genuinely small). Per-pair cost is one
+    * codegen'd integer dot on pre-quantized, pre-normed vectors.
+    * For HIGH-threshold near-dup removal — the realistic 100 TB dedup
+    * contract — use [[dedupEmbeddingLsh]], which is sub-quadratic. */
   def dedupEmbedding(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
     val e = emb(spark, dir)
@@ -90,13 +105,61 @@ object SimilarityOps {
     val b = e.select(col("vec_id").as("j"),
         VectorOps.quantize(col("embedding")).as("jv"))
       .withColumn("jnb", VectorOps.norm2Q(col("jv")))
-    broadcast(a).join(b, col("i") < col("j"))
+    a.join(b, col("i") < col("j"))
       .select(col("i"), col("j"),
         VectorOps.cosineFrom(VectorOps.dotQ(col("iv"), col("jv")),
           col("ina"), col("jnb")).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy(col("i"), col("j"))
   }
+
+  /** Embedding near-dup pairs at a HIGH threshold via hyperplane-LSH
+    * buckets + exact cosine verification — the sub-quadratic 100 TB
+    * dedup path (candidates ∝ Σ bucket², never N²).
+    *
+    * 16 tables × 8 bits: a true pair at cosine c collides in one table
+    * with probability (1 − θ/π)⁸, so at the planted-dup regime
+    * (c ≥ 0.98, bit-agreement 0.94) P(miss) = (1 − 0.94⁸)¹⁶ ≈ 6·10⁻⁷,
+    * while background pairs (c ≈ 0.1) collide anywhere with
+    * probability ≈ 16 · 0.53⁸ ≈ 1%. Verification is exact, so
+    * precision is 1; recall at the threshold is seed-deterministic and
+    * pinned by the planted-dup spec (DedupSimilaritySpec). */
+  def dedupEmbeddingLsh(d: DataFrame, threshold: Double = 0.9,
+      tables: Int = 16, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val e = d.select(col("vec_id"),
+        lshBucketArray(col("embedding"), tables, bits, dim).as("bkts"),
+        VectorOps.quantize(col("embedding")).as("v"))
+      .withColumn("n2", VectorOps.norm2Q(col("v")))
+    // ONE self-join on (table, bucket) via posexplode — not `tables`
+    // unioned joins (16 separate join stages cost ~5 s of pure
+    // scheduling at local scale and 16 shuffles on a cluster)
+    val keyed = e.select(col("vec_id"), posexplode(col("bkts")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bk")
+    val cands = keyed.as("x").join(keyed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bk") === col("y.bk") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"))
+      .distinct()
+    val side = e.select(col("vec_id"), col("v"), col("n2"))
+    cands
+      .join(side.select(col("vec_id").as("i"), col("v").as("iv"),
+        col("n2").as("ina")), Seq("i"))
+      .join(side.select(col("vec_id").as("j"), col("v").as("jv"),
+        col("n2").as("jnb")), Seq("j"))
+      .select(col("i"), col("j"),
+        VectorOps.cosineFrom(VectorOps.dotQ(col("iv"), col("jv")),
+          col("ina"), col("jnb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Driver-facing LSH embedding-dedup query: summary row over the
+    * pairs at cosine ≥ 0.9 (none exist in the synthetic corpus — max
+    * measured pair cosine is 0.60 — so this documents the production
+    * contract while the planted-dup spec proves the mechanism). */
+  def dedupEmbeddingLshQuery(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingLsh(emb(spark, dir)).agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(round(max(col("cos")), 6), lit(0d)).as("max_cos"))
 
   val dedupEmbeddingSql: String =
     s"""WITH e AS (
@@ -121,23 +184,24 @@ object SimilarityOps {
     Array.fill(tables, bits, dim)(rng.nextGaussian())
   }
 
-  /** Bucket ids per vector: for each table, an int whose bits are
-    * sign(plane · v). Adds `bucket_<t>` columns. Planes are literal
-    * array<double> columns dotted via the codegen'd [[graft.functions
-    * .ArrayDotProduct]] — a few KB of plan literals, not an unrolled
-    * element_at chain (which bloated the task binary to 6 MB). */
+  /** All LSH bucket ids for `vec` as one array<int> column — one fused
+    * [[graft.functions.HyperplaneBuckets]] pass (the tables × bits
+    * per-plane [[graft.functions.ArrayDotProduct]] projection form
+    * spent seconds in codegen for microseconds of math). */
+  def lshBucketArray(vec: Column, tables: Int, bits: Int,
+      dim: Int = 64): Column =
+    graft.functions.HyperplaneBuckets.buckets(vec,
+      hyperplanes(tables, bits, dim))
+
+  /** Bucket ids per vector as `bucket_<t>` int columns (one
+    * [[lshBucketArray]] evaluation, then cheap element_at picks). */
   def withLshBuckets(df: DataFrame, vec: Column, tables: Int = 4,
       bits: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(tables, bits, dim)
-    val v = vec.cast("array<double>")
-    (0 until tables).foldLeft(df) { (d, t) =>
-      val bitCols: Seq[Column] = (0 until bits).map { b =>
-        val plane = typedLit(planes(t)(b).toSeq)
-        when(graft.functions.ArrayDotProduct.dot(v, plane) > 0d,
-          lit(1 << b)).otherwise(lit(0))
-      }
-      d.withColumn(s"bucket_$t", bitCols.reduce(_ + _))
-    }
+    val withArr = df.withColumn("_bkts",
+      lshBucketArray(vec, tables, bits, dim))
+    (0 until tables).foldLeft(withArr) { (d, t) =>
+      d.withColumn(s"bucket_$t", element_at(col("_bkts"), t + 1))
+    }.drop("_bkts")
   }
 
   /** LSH-bucketed ANN: collide on any table's bucket, exact-rerank the

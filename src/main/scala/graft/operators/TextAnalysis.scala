@@ -180,10 +180,16 @@ object TextAnalysis {
 
   /** Word co-occurrence with PMI: pairs of words appearing in the same
     * document, scored by pointwise mutual information
-    * ln(p(a,b) / (p(a)·p(b))). Doc-frequency relations are vocab-sized
-    * → broadcast; the pair space comes from a per-doc distinct-token
-    * self-join (bounded by doc length, never corpus N²). PMI quantized
-    * to micro-nats once per surviving pair (quantized-ln rule). */
+    * ln(p(a,b) / (p(a)·p(b))).
+    *
+    * Scale design: a pair can only reach `co_docs >= minPairDocs` if
+    * BOTH words individually have `df >= minPairDocs`, so docTokens is
+    * semi-joined against the frequent vocab BEFORE pairing — the
+    * long-tail tokens that generate almost all of the O(len²)-per-doc
+    * pair space never enter the self-join. The df relations are
+    * vocab-sized (unbounded at 100 TB) → no broadcast hints; the
+    * frequent-vocab semi-join and the df equi-joins are ordinary
+    * shuffle joins AQE may downgrade to broadcasts when small. */
   def wordPmi(spark: SparkSession, dir: String,
       minPairDocs: Long = 50): DataFrame = {
     val d = docs(spark, dir)
@@ -191,17 +197,19 @@ object TextAnalysis {
     val docTokens = d.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
     val df = docTokens.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val pairs = docTokens.as("x")
-      .join(docTokens.as("y"), col("x.doc_id") === col("y.doc_id") &&
+    // frequency pushdown: only words that could form a surviving pair
+    val hotTokens = docTokens.join(
+      df.filter(col("df") >= minPairDocs).select(col("w")),
+      Seq("w"), "left_semi")
+    val pairs = hotTokens.as("x")
+      .join(hotTokens.as("y"), col("x.doc_id") === col("y.doc_id") &&
         col("x.w") < col("y.w"))
       .groupBy(col("x.w").as("w1"), col("y.w").as("w2"))
       .agg(count(lit(1)).as("co_docs"))
       .filter(col("co_docs") >= minPairDocs)
     pairs
-      .join(broadcast(df.select(col("w").as("w1"), col("df").as("df1"))),
-        Seq("w1"))
-      .join(broadcast(df.select(col("w").as("w2"), col("df").as("df2"))),
-        Seq("w2"))
+      .join(df.select(col("w").as("w1"), col("df").as("df1")), Seq("w1"))
+      .join(df.select(col("w").as("w2"), col("df").as("df2")), Seq("w2"))
       .crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("co_docs"), col("df1"), col("df2"),
         round(log((col("co_docs") * col("n")).cast("double") /

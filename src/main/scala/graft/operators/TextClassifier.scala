@@ -22,9 +22,13 @@ import graft.sources.Tables
   * scores are INTEGER sums — order-independent and bit-identical in
   * DuckDB.
   *
-  * Scale: term/lang count tables are vocab-sized → broadcast; the only
-  * big shuffles are the two term-level aggregations and the final
-  * per-doc sum, all partial-agg hash aggregates.
+  * Scale: lang-sized relations (totals, priors, unseen, labels) are a
+  * handful of rows → broadcast. The (term, lang) probability table is
+  * VOCAB-sized — unbounded at corpus scale — so it joins WITHOUT a
+  * broadcast hint (shuffle join on (term, label); AQE may still
+  * broadcast when it measures small). The big shuffles are the two
+  * term-level aggregations and the final per-doc sum, all partial-agg
+  * hash aggregates.
   */
 object TextClassifier {
 
@@ -68,7 +72,7 @@ object TextClassifier {
     val scored = terms.select(col("doc_id"),
         col("lang").as("labeled_lang"), col("term"))
       .crossJoin(broadcast(labels))
-      .join(broadcast(probs.withColumnRenamed("lang", "label")),
+      .join(probs.withColumnRenamed("lang", "label"),
         Seq("term", "label"), "left")
       .join(broadcast(unseen.withColumnRenamed("lang", "label")),
         Seq("label"))

@@ -135,16 +135,22 @@ object TextQueries {
 
   /** sort_and_group (tests/mr_sort_and_group.py:18-26): values
     * collected per key in sorted order — collect_set + sort_array
-    * replaces the SORT_VALUES shuffle contract. */
+    * replaces the SORT_VALUES shuffle contract. Output contract is the
+    * comma-joined string (not a list column): the reference emits a
+    * serialized line per key anyway, and a scalar column keeps the
+    * row hashable for any downstream consumer. */
   def sortAndGroup(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .groupBy(col("lang"))
-      .agg(sort_array(collect_set(col("source"))).as("sources"),
+      .agg(array_join(sort_array(collect_set(col("source"))), ",")
+          .as("sources"),
         count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
   val sortAndGroupSql: String =
-    """SELECT lang, list_sort(list(DISTINCT source)) AS sources, COUNT(*) AS n_docs
+    """SELECT lang,
+      |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+      |  COUNT(*) AS n_docs
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
@@ -240,8 +246,11 @@ object TextQueries {
 
   /** tf-idf (mr_text_classifier.py's ngram scoring distilled, SURVEY
     * §2.3): tf per (doc, term) joined with document frequency — the
-    * tag-union reduce-side join done as a real join. df is tiny
-    * (vocab-sized) → broadcast. */
+    * tag-union reduce-side join done as a real join. df is VOCAB-sized:
+    * unbounded at corpus scale (10⁸⁺ distinct terms at 100 TB), so no
+    * broadcast hint — tf and df already share `term` partitioning from
+    * their aggregations, and AQE may still broadcast when df is
+    * actually small. Only the single-row corpus count is hinted. */
   def tfIdf(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     // corpus size as a broadcast scalar relation — no driver-side
@@ -253,7 +262,7 @@ object TextQueries {
       .agg(count(lit(1)).as("tf"))
     val df = terms.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    tf.join(broadcast(df), Seq("term"))
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       // idf quantized once per term to micro-nats (integer), so the
       // per-row product is exact integer math — round(double, 6) per

@@ -78,6 +78,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lshPairs.forall { case (q, c) => q != c })
   }
 
+  test("dedupJaccard LSH path returns exactly the all-pairs ground truth") {
+    val dir = SparkFixture.Sf0001
+    val lsh = DedupOps.dedupJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = DedupOps.dedupJaccardAllPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+    assert(lsh == brute,
+      s"LSH path diverged: missing=${brute -- lsh}, extra=${lsh -- brute}")
+  }
+
+  test("dedupEmbeddingLsh finds planted high-cosine dups exactly") {
+    import spark.implicits._
+    val e = graft.sources.Tables.load(spark, SparkFixture.Sf0001, "embeddings")
+    // plant dups: copies of each vector with a tiny deterministic
+    // perturbation on one component → cosine ≈ 0.9999
+    val planted = e.select(col("vec_id"), col("embedding")).union(
+      e.select((col("vec_id") + 100000L).as("vec_id"),
+        concat(slice(col("embedding"), 1, 63),
+          array(element_at(col("embedding"), 64) + lit(0.001f)))
+          .as("embedding")))
+    val found = SimilarityOps.dedupEmbeddingLsh(planted, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = e.select(col("vec_id")).collect().map(_.getLong(0))
+    val expected = ids.map(i => (i, i + 100000L)).toSet
+    assert(expected.subsetOf(found),
+      s"missed planted dups: ${expected -- found}")
+    // precision: every found pair really is ≥ threshold (exact verify),
+    // and at this threshold only planted pairs exist
+    assert(found == expected, s"unexpected pairs: ${found -- expected}")
+  }
+
   test("resolveDupClusters labels every member with the component min") {
     import spark.implicits._
     // components: {1,2,3,4} as a chain, {10,11} as a pair, 20 isolated

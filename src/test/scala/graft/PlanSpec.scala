@@ -64,6 +64,45 @@ class PlanSpec extends AnyFunSuite {
       s"no partial window limit:\n$p")
   }
 
+  /** Broadcast HINTS force a collect-to-driver regardless of size — on
+    * a vocabulary-sized relation (one row per distinct term: 10⁸⁺ at
+    * 100 TB) that is a scale-killer. These gates pin the contract that
+    * only fixed-cardinality relations (single-row counts, lang-sized
+    * dims) may carry a hint; anything vocab-sized must join unhinted so
+    * AQE's SIZE-BASED broadcast decides at runtime. */
+  private def hintCount(df: DataFrame): Int =
+    df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.size
+
+  test("tf_idf: only the single-row corpus count is broadcast-hinted") {
+    assert(hintCount(operators.TextQueries.tfIdf(spark, dir)) == 1)
+  }
+
+  test("word_pmi: only the single-row corpus count is broadcast-hinted") {
+    assert(hintCount(operators.TextAnalysis.wordPmi(spark, dir)) == 1)
+  }
+
+  test("text_classifier: hints only on lang-sized relations, not probs") {
+    // labels, langTotals×2 (probs+unseen), vocab×2, nDocs, unseen,
+    // priors — all ≤ #langs rows; the vocab-sized probs join is
+    // unhinted. If this count grows, a vocab-sized hint likely
+    // reappeared.
+    assert(hintCount(operators.TextClassifier.classify(spark, dir)) <= 7)
+  }
+
+  test("dedup_embedding: exact pair scan carries no forced broadcast") {
+    assert(hintCount(operators.SimilarityOps.dedupEmbedding(spark, dir)) == 0)
+  }
+
+  test("dedup_jaccard: LSH candidates, no block×block product join") {
+    // the candidate join must be an equi-join on band buckets — a
+    // plain (lang, source) equi-join self-join would be the quadratic
+    // all-pairs shape this query exists to avoid
+    val p = plan(operators.DedupOps.dedupJaccard(spark, dir))
+    assert(p.contains("bh"), s"no band-hash join key in plan:\n$p")
+  }
+
   test("whole-stage codegen covers the word_freq pipeline") {
     val cg = operators.TextQueries.wordFreq(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
