@@ -25,6 +25,7 @@ object SparkEntry {
     "q4_topk" -> (RelationalQueries.q4TopK _),
     "q5_window" -> (RelationalQueries.q5Window _),
     "q6_distinct" -> (RelationalQueries.q6Distinct _),
+    "hll_distinct" -> (RelationalQueries.hllDistinct _),
     "q7_setops" -> (RelationalQueries.q7SetOps _),
     "q8_semi_anti" -> (RelationalQueries.q8SemiAnti _),
     "q9_rollup" -> (RelationalQueries.q9Rollup _),
@@ -39,6 +40,9 @@ object SparkEntry {
     "count_by_source" -> (TextQueries.countBySource _),
     "input_file_counts" -> (TextQueries.inputFileCounts _),
     "sample" -> (TextQueries.sample _),
+    "seeded_sample" -> ((s: SparkSession, d: String) =>
+      TextQueries.seededSample(s, d)),
+    "words_containing_u" -> (TextQueries.wordsContainingU _),
     "stratified_sample" -> (TextQueries.stratifiedSample _),
     "tf_idf" -> (TextQueries.tfIdf _),
     "word_freq_mr" -> (MrApiQueries.wordFreqMr _),
@@ -68,6 +72,7 @@ object SparkEntry {
     "events_median" -> (EventQueries.eventsMedian _),
     "multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "text_classifier" -> (TextClassifier.classify _),
+    "phone_to_url" -> (PhoneToUrl.phoneToUrl _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,6 +97,7 @@ object SparkEntry {
     "sort_and_group" -> TextQueries.sortAndGroupSql,
     "count_by_source" -> TextQueries.countBySourceSql,
     "sample" -> TextQueries.sampleSql,
+    "words_containing_u" -> TextQueries.wordsContainingUSql,
     "stratified_sample" -> TextQueries.stratifiedSampleSql,
     "tf_idf" -> TextQueries.tfIdfSql,
     "word_freq_mr" -> TextQueries.wordFreqSql,
@@ -115,5 +121,6 @@ object SparkEntry {
     "events_pivot" -> EventQueries.eventsPivotSql,
     "events_median" -> EventQueries.eventsMedianSql,
     "text_classifier" -> TextClassifier.classifySql,
+    "phone_to_url" -> PhoneToUrl.phoneToUrlSql,
   )
 }

@@ -71,10 +71,18 @@ final class MrPipeline[K, V](val ds: Dataset[(K, V)]) extends Serializable {
     // gracefully to "no combine" for high-cardinality keys, exactly
     // like Hadoop's combiner. (An earlier Aggregator-based version
     // paid Kryo buffer encoding per shuffle row — slower.)
+    // combiner_init / combiner_final (mrjob/job.py:414-449) bracket the
+    // task's combine phase: init pairs are EMITTED (straight to the
+    // shuffle, like the reference sim writing each init yield), final
+    // runs after the partition's combine runs drain. Without a
+    // combiner the brackets don't run — mrjob only invokes the
+    // combiner substep when a combiner exists.
+    val cInit = s.combinerInit
+    val cFinal = s.combinerFinal
     val preCombined: Dataset[(K2, V2)] = s.combiner match {
       case Some(c) =>
         mapped.mapPartitions { it =>
-          new MapSideCombine(it, c)
+          cInit().iterator ++ new MapSideCombine(it, c) ++ cFinal()
         }
       case None => mapped
     }

@@ -26,6 +26,8 @@ final case class MrStep[K1, V1, K2, V2, K3, V3](
     mapperInit: () => IterableOnce[(K2, V2)] = MrStep.emptyInit[K2, V2] _,
     mapperFinal: () => IterableOnce[(K2, V2)] = MrStep.emptyInit[K2, V2] _,
     combiner: Option[(K2, Iterator[V2]) => IterableOnce[V2]] = None,
+    combinerInit: () => IterableOnce[(K2, V2)] = MrStep.emptyInit[K2, V2] _,
+    combinerFinal: () => IterableOnce[(K2, V2)] = MrStep.emptyInit[K2, V2] _,
     reducerInit: () => IterableOnce[(K3, V3)] = MrStep.emptyInit[K3, V3] _,
     reducerFinal: () => IterableOnce[(K3, V3)] = MrStep.emptyInit[K3, V3] _,
     sortValues: Boolean = false,

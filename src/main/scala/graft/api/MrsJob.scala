@@ -32,6 +32,11 @@ abstract class MrsJob[K1, V1, K2, V2, K3, V3] extends Serializable {
 
   def mapperInit(): IterableOnce[(K2, V2)] = Iterator.empty
   def mapperFinal(): IterableOnce[(K2, V2)] = Iterator.empty
+  /** Per-task brackets around the combine phase (combiner_init /
+    * combiner_final, mrjob/job.py:414-449); only run when a combiner
+    * is defined. */
+  def combinerInit(): IterableOnce[(K2, V2)] = Iterator.empty
+  def combinerFinal(): IterableOnce[(K2, V2)] = Iterator.empty
   def reducerInit(): IterableOnce[(K3, V3)] = Iterator.empty
   def reducerFinal(): IterableOnce[(K3, V3)] = Iterator.empty
 
@@ -45,6 +50,8 @@ abstract class MrsJob[K1, V1, K2, V2, K3, V3] extends Serializable {
     mapperInit = mapperInit _,
     mapperFinal = mapperFinal _,
     combiner = combiner,
+    combinerInit = combinerInit _,
+    combinerFinal = combinerFinal _,
     reducerInit = reducerInit _,
     reducerFinal = reducerFinal _,
     sortValues = sortValues,

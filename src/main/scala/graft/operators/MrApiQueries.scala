@@ -1,8 +1,44 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.api.{MrPipeline, MrStep}
+import graft.api.{JobArgs, MrPipeline, MrStep, MrsJob}
 import graft.sources.Tables
+
+/** Parameterized word count — the job-parameterization surface in use
+  * (configure_args / add_passthru_arg / add_file_arg,
+  * mrjob/job.py:1080-1213; the FILES-shipped stop-word list pattern of
+  * mr_most_used_word.py:33-59):
+  *
+  *  - `stop_words` file arg: a stop-word list whose CONTENTS reach
+  *    every task via SparkFiles (call `args.ship(spark)` driver-side);
+  *    loaded lazily once per task, like the reference reading its
+  *    shipped file in mapper_init.
+  *  - `min_count` passthru arg: reducer-side threshold.
+  *
+  * Top-level class: the job instance itself is the task closure. */
+final class StopWordCountJob(args: JobArgs)
+    extends MrsJob[String, String, String, Long, String, Long] {
+
+  @transient private lazy val stop: Set[String] = args.file("stop_words") match {
+    case Some(p) =>
+      val src = scala.io.Source.fromFile(p)
+      try src.getLines().map(_.trim).filter(_.nonEmpty).toSet
+      finally src.close()
+    case None => Set.empty
+  }
+
+  def mapper(k: String, line: String): IterableOnce[(String, Long)] =
+    line.split(" ").iterator.filter(w => w.nonEmpty && !stop(w)).map((_, 1L))
+
+  override def combiner = Some((w: String, cs: Iterator[Long]) =>
+    Iterator.single(cs.sum))
+
+  def reducer(w: String, cs: Iterator[Long]): IterableOnce[(String, Long)] = {
+    val n = cs.sum
+    if (n >= args.passthruLong("min_count", 1L)) Iterator.single((w, n))
+    else Iterator.empty
+  }
+}
 
 /** Queries routed through the mrjob-style step API (graft.api) instead
   * of DataFrame ops — proving the general mapper/combiner/reducer

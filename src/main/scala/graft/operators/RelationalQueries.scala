@@ -169,6 +169,22 @@ object RelationalQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** HLL approximate distinct (SURVEY §2.4): the sketch-based form of
+    * [[q6Distinct]] — at 100 TB the exact expand-based multi-distinct
+    * shuffles every (group, value) pair, while HLL merges fixed-size
+    * sketches map-side. Sketch estimates are engine-defined → no SQL
+    * oracle (rows-only gate); the error bound vs the exact count is
+    * spec-pinned (ParityGoldenSpec: within 5%). */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q7: set ops — union/intersect/except; mrjob only had multi-input
     * union (SURVEY §2.4 set ops). Nations appearing among customers vs
     * suppliers. */

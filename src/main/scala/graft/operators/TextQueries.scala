@@ -194,6 +194,44 @@ object TextQueries {
       |WHERE doc_id % 17 = 3
       |ORDER BY doc_id""".stripMargin
 
+  /** Seeded random sample — the log_sampler parity the systematic
+    * [[sample]] doesn't give (mr_log_sampler.py:32-120 reservoir-samples
+    * n items with a seeded RNG). Distributed equivalent: order by a
+    * seeded per-row hash and keep the n smallest — a uniform seeded
+    * sample that never funnels through one reducer (TakeOrdered does
+    * per-partition top-n before the merge). Same seed → same sample
+    * (determinism spec); different seed → different sample. Not
+    * SQL-oracle-able (hash choice is engine-defined) → rows-only gate.
+    */
+  def seededSample(spark: SparkSession, dir: String, n: Int = 25,
+      seed: Long = 42L): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        xxhash64(col("doc_id"), lit(seed)).as("__h"))
+      .orderBy(col("__h"))
+      .limit(n)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** words_containing_u (mr_words_containing_u_freq_count.py:24-34):
+    * word freq restricted to words containing 'u'. The reference does
+    * this with a `grep u` mapper_pre_filter shell substep; the engine
+    * expresses the pre-filter declaratively so it rides the scan
+    * (the generic shell path exists as MrPipeline.pipeCmd). */
+  def wordsContainingU(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").contains("u"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("word"))
+
+  val wordsContainingUSql: String =
+    """SELECT word, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |WHERE word LIKE '%u%'
+      |GROUP BY word
+      |ORDER BY word""".stripMargin
+
   /** Stratified systematic sample: every 5th doc per language in
     * doc_id order — per-stratum sampling with exact per-stratum
     * control (the deterministic analog of sampleBy fractions; at

@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Filesystem service layer — the `runner.fs` facade mrjob users
+  * script with around jobs (mrjob/fs/base.py:50-148: ls/cat/du/exists/
+  * mkdir/put/rm/touchz/md5sum; composite dispatch across local/HDFS/
+  * object stores, mrjob/fs/composite.py).
+  *
+  * One thin wrapper over Hadoop `FileSystem.get(URI)` — the same
+  * abstraction Spark itself reads through, so every scheme the cluster
+  * can scan (file://, hdfs://, s3a://, ...) works here with zero
+  * engine code, which is exactly how the reference's composite
+  * filesystem resolves a scheme to an implementation.
+  *
+  * Glob semantics: Hadoop globStatus (`hadoop fs` globbing) — the
+  * reference's ls/cat/du/rm/exists all accept globs too.
+  */
+final class GraftFs(conf: Configuration) extends Serializable {
+
+  private def fsFor(path: String): FileSystem =
+    new Path(path).getFileSystem(conf)
+
+  /** Recursively list matching FILES (no directories — the reference
+    * omits them for S3 compatibility, fs/base.py:75-83). */
+  def ls(pathGlob: String): Seq[String] = {
+    val fs = fsFor(pathGlob)
+    val matches = Option(fs.globStatus(new Path(pathGlob)))
+      .getOrElse(Array.empty).toSeq
+    matches.flatMap { st =>
+      if (st.isDirectory) {
+        val it = fs.listFiles(st.getPath, true)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) out += it.next().getPath.toString
+        out
+      } else Seq(st.getPath.toString)
+    }
+  }
+
+  /** Cat all files matching the glob, concatenated in ls order
+    * (fs/base.py:54-66; the reference yields b'' separators between
+    * files — callers here get one byte stream per the common use). */
+  def cat(pathGlob: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    ls(pathGlob).foreach { p =>
+      val in = fsFor(p).open(new Path(p))
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      finally in.close()
+    }
+    out.toByteArray
+  }
+
+  /** Cat decoded as UTF-8 lines — the typical scripting form. */
+  def catLines(pathGlob: String): Seq[String] =
+    new String(cat(pathGlob), java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.toSeq
+
+  /** Total size of matching files (`hadoop fs -du`, fs/base.py:68-73). */
+  def du(pathGlob: String): Long = {
+    val fs = fsFor(pathGlob)
+    ls(pathGlob).map(p => fs.getFileStatus(new Path(p)).getLen).sum
+  }
+
+  /** Does anything match? (`hadoop fs -test -e`, fs/base.py:90-95). */
+  def exists(pathGlob: String): Boolean = {
+    val fs = fsFor(pathGlob)
+    val matches = Option(fs.globStatus(new Path(pathGlob)))
+    matches.exists(_.nonEmpty) || fs.exists(new Path(pathGlob))
+  }
+
+  /** mkdir -p (fs/base.py:111-120). */
+  def mkdir(path: String): Unit = { fsFor(path).mkdirs(new Path(path)); () }
+
+  /** Upload a local file to `path` (`hadoop fs -put`,
+    * fs/base.py:122-131). */
+  def put(src: String, path: String): Unit = {
+    val fs = fsFor(path)
+    fs.copyFromLocalFile(false, true, new Path(src), new Path(path))
+  }
+
+  /** Recursive delete, no-op when missing (`hadoop fs -rm -R`,
+    * fs/base.py:133-138). */
+  def rm(pathGlob: String): Unit = {
+    val fs = fsFor(pathGlob)
+    Option(fs.globStatus(new Path(pathGlob))).getOrElse(Array.empty)
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Create an empty file; error if a non-empty one exists
+    * (`hadoop fs -touchz`, fs/base.py:140-146). */
+  def touchz(path: String): Unit = {
+    val fs = fsFor(path)
+    val p = new Path(path)
+    if (fs.exists(p) && fs.getFileStatus(p).getLen > 0)
+      throw new java.io.IOException(s"non-empty file exists at $path")
+    fs.create(p, true).close()
+  }
+
+  /** md5 of a file's bytes (fs/base.py:148). */
+  def md5sum(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(cat(path)).map(b => f"$b%02x").mkString
+  }
+
+  /** URI-aware path join (fs/base.py:97-109). */
+  def join(path: String, paths: String*): String =
+    paths.foldLeft(path) { (acc, p) =>
+      if (acc.endsWith("/")) acc + p else acc + "/" + p
+    }
+}
+
+object GraftFs {
+  /** The facade against the active Hadoop config (inherits Spark's
+    * fs.* settings when called with the session's config). */
+  def apply(spark: org.apache.spark.sql.SparkSession): GraftFs =
+    new GraftFs(spark.sparkContext.hadoopConfiguration)
+
+  def local(): GraftFs = new GraftFs(new Configuration())
+}

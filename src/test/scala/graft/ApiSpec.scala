@@ -148,6 +148,7 @@ class ApiSpec extends AnyFunSuite {
     val (k, v) = JsonPairProtocol.read(line)
     assert(k == JArray(List(JString("prev"), JString("word"))))
     assert(v == JInt(42))
-    assert(JsonPairProtocol.write(k, v) == """["prev","word"]	42""")
+    // write is byte-compatible with Python's json.dumps (", " sep)
+    assert(JsonPairProtocol.write(k, v) == "[\"prev\", \"word\"]\t42")
   }
 }

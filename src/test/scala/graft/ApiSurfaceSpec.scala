@@ -1,0 +1,154 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import graft.api._
+import graft.operators.StopWordCountJob
+import graft.sources.GraftFs
+
+/** Round-2 API surface: byte-compatible JSON output, Bytes/Repr/
+  * serialized protocols, job parameterization (passthru + file args),
+  * combiner brackets, and the filesystem facade. */
+class ApiSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  // ---- golden bytes: JsonPairProtocol vs Python stdlib json.dumps ----
+  // expected strings generated with CPython 3.11 json.dumps defaults
+  // (the reference's StandardJSONProtocol, mrjob/protocol.py:116-138)
+
+  test("JsonPairProtocol output is byte-identical to Python json.dumps") {
+    assert(JsonPairProtocol.write(
+      JArray(List(JString("prev"), JString("word"))), JLong(42)) ==
+      "[\"prev\", \"word\"]\t42")
+    assert(JsonPairProtocol.write(
+      JString("fish"),
+      JObject(List("n" -> JLong(6), "pct" -> JDouble(0.25),
+        "tags" -> JArray(List(JString("a"), JString("b")))))) ==
+      "\"fish\"\t{\"n\": 6, \"pct\": 0.25, \"tags\": [\"a\", \"b\"]}")
+    assert(JsonPairProtocol.write(
+      JNull, JArray(List(JDouble(1.5), JDouble(1e20), JDouble(1e-7),
+        JBool(true), JNull))) ==
+      "null\t[1.5, 1e+20, 1e-07, true, null]")
+    // ensure_ascii escaping of non-ASCII, exactly like Python
+    assert(JsonPairProtocol.write(JString("café"), JString("naïve\tline")) ==
+      "\"caf\\u00e9\"\t\"na\\u00efve\\tline\"")
+  }
+
+  test("TextSink + JsonPairProtocol part files carry reference bytes") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_golden").toString + "/out"
+    val data = spark.createDataset(Seq(
+      (JString("a"): JValue, JArray(List(JLong(1), JLong(2))): JValue)))(
+      org.apache.spark.sql.Encoders.kryo[(JValue, JValue)])
+    graft.sources.TextSink.write(data, JsonPairProtocol, out,
+      maxOutputFiles = Some(1))
+    val bytes = GraftFs(spark).cat(s"$out/part-*")
+    assert(new String(bytes, "UTF-8") == "\"a\"\t[1, 2]\n")
+  }
+
+  // ---- Bytes / Repr / serialized protocols ----
+
+  test("BytesPairProtocol splits on first tab; tabless line has null value") {
+    val (k, v) = BytesPairProtocol.read("a\tb\tc".getBytes("UTF-8"))
+    assert(new String(k, "UTF-8") == "a" && new String(v, "UTF-8") == "b\tc")
+    val (k2, v2) = BytesPairProtocol.read("solo".getBytes("UTF-8"))
+    assert(new String(k2, "UTF-8") == "solo" && v2 == null)
+    assert(new String(BytesPairProtocol.write(
+      "k".getBytes("UTF-8"), "v".getBytes("UTF-8")), "UTF-8") == "k\tv")
+    assert(new String(BytesPairProtocol.write(
+      null, "v".getBytes("UTF-8")), "UTF-8") == "v")
+  }
+
+  test("ReprPairProtocol renders Python literals and round-trips") {
+    val v = JObject(List("k" -> JLong(1),
+      "xs" -> JArray(List(JString("it's"), JDouble(2.5), JNull))))
+    val line = ReprPairProtocol.write(JString("key"), v)
+    assert(line == "'key'\t{'k': 1, 'xs': [\"it's\", 2.5, None]}")
+    val (k2, v2) = ReprPairProtocol.read(line)
+    assert(k2 == JString("key") && v2 == v)
+    // tuple literals read as lists; True/False/None parse
+    assert(PyLiteral.parse("(1, 2, True, None)") ==
+      JArray(List(JLong(1), JLong(2), JBool(true), JNull)))
+  }
+
+  test("JavaSerProtocol round-trips arbitrary serializable pairs") {
+    val k = Map("a" -> 1, "b" -> 2)
+    val v = List("x", "y", "z")
+    val line = JavaSerProtocol.write(k, v)
+    assert(!line.contains('\n') && line.count(_ == '\t') == 1)
+    val (k2, v2) = JavaSerProtocol.read(line)
+    assert(k2 == k && v2 == v)
+  }
+
+  // ---- job parameterization (configure_args analog) ----
+
+  test("same job, two configs → correspondingly different output") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_args")
+    val stopA = dir.resolve("stopA.txt")
+    val stopB = dir.resolve("stopB.txt")
+    java.nio.file.Files.writeString(stopA, "the\n")
+    java.nio.file.Files.writeString(stopB, "the\nfish\n")
+    val input = spark.createDataset(Seq(
+      (null: String, "the fish the fish cat"),
+      (null: String, "the fish dog")))
+
+    val a = JobArgs(
+      passthru = Map("min_count" -> "1"),
+      fileArgs = Map("stop_words" -> stopA.toString)).ship(spark)
+    val b = JobArgs(
+      passthru = Map("min_count" -> "2"),
+      fileArgs = Map("stop_words" -> stopB.toString)).ship(spark)
+
+    val gotA = new StopWordCountJob(a).run(input).collect().toMap
+    val gotB = new StopWordCountJob(b).run(input).collect().toMap
+    assert(gotA == Map("fish" -> 3L, "cat" -> 1L, "dog" -> 1L))
+    // config B: 'fish' stopped by the file arg, min_count 2 drops
+    // cat/dog — the SAME job code produced different output per config
+    assert(gotB == Map.empty[String, Long])
+  }
+
+  // ---- filesystem facade (mrjob/fs/base.py:50-148) ----
+
+  test("fs facade: put/ls/cat/du/exists/md5sum/touchz/rm round-trip") {
+    val fs = GraftFs(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    val local = java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "src.txt"), "hello\nworld\n")
+    fs.mkdir(s"$dir/sub")
+    fs.put(local.toString, s"$dir/sub/a.txt")
+    assert(fs.exists(s"$dir/sub/a.txt"))
+    assert(fs.ls(s"$dir/sub/*.txt").exists(_.endsWith("a.txt")))
+    assert(fs.catLines(s"$dir/sub/a.txt") == Seq("hello", "world"))
+    assert(fs.du(s"$dir/sub/*.txt") == 12L)
+    assert(fs.md5sum(s"$dir/sub/a.txt") ==
+      "0f723ae7f9bf07744445e93ac5595156")
+    fs.touchz(s"$dir/sub/empty")
+    assert(fs.exists(s"$dir/sub/empty"))
+    intercept[java.io.IOException](fs.touchz(s"$dir/sub/a.txt"))
+    fs.rm(s"$dir/sub")
+    assert(!fs.exists(s"$dir/sub/a.txt"))
+  }
+
+  // ---- combiner brackets (mrjob/job.py:414-449) ----
+
+  test("combiner_init/final run once per task around combine runs") {
+    import spark.implicits._
+    val input = spark.createDataset(
+      (1 to 100).map(i => (s"k${i % 5}", 1L))).repartition(4)
+    val step = MrStep[String, Long, String, Long, String, Long](
+      mapper = (k, v) => Iterator.single((k, v)),
+      combiner = Some((k: String, vs: Iterator[Long]) =>
+        Iterator.single(vs.sum)),
+      combinerInit = () => Iterator.single(("__cinit__", 1L)),
+      combinerFinal = () => Iterator.single(("__cfinal__", 1L)),
+      reducer = (k, vs) => Iterator.single((k, vs.sum)))
+    val got = MrPipeline.fromDataset(input).step(step).ds.collect().toMap
+    // brackets ran exactly once per map task (4 partitions)
+    assert(got("__cinit__") == 4L)
+    assert(got("__cfinal__") == 4L)
+    // and the combined data is untouched by the brackets
+    assert((0 until 5).map(i => got(s"k$i")).sum == 100L)
+  }
+}

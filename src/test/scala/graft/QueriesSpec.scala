@@ -59,6 +59,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(!operators.TextQueries.StopWords.contains(w))
   }
 
+  test("seeded_sample: deterministic per seed, different across seeds") {
+    val run1 = operators.TextQueries.seededSample(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    val run2 = operators.TextQueries.seededSample(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(run1 == run2, "same seed must reproduce the same sample")
+    assert(run1.length == 25)
+    val other = operators.TextQueries.seededSample(spark, dir, seed = 7L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(other != run1, "different seed should draw a different sample")
+  }
+
+  test("hll_distinct tracks exact distinct within 5% per group") {
+    val approx = operators.RelationalQueries.hllDistinct(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = operators.RelationalQueries.q6Distinct(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.05,
+        s"group $k: approx ${approx(k)} vs exact $e")
+    }
+  }
+
   test("q10 argmin picks the minimum price per part") {
     val df = operators.RelationalQueries.q10Argmin(spark, dir)
     val li = graft.sources.Tables.load(spark, dir, "lineitem")
