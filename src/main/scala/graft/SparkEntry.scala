@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_fingerprint" -> (DedupOps.dedupFingerprint _),
     "dedup_jaccard" -> (DedupOps.dedupJaccard _),
     "dedup_minhash" -> (DedupOps.dedupMinhash _),
+    "dedup_clusters" -> (DedupOps.dedupClusters _),
     "dedup_simhash" -> (DedupOps.dedupSimhash _),
     "lang_id" -> (TextAnalysis.langId _),
     "quality_score" -> (TextAnalysis.qualityScore _),
@@ -109,6 +110,7 @@ object SparkEntry {
     "text_scrub" -> TextAnalysis.textScrubSql,
     "dedup_fingerprint" -> DedupOps.dedupFingerprintSql,
     "dedup_jaccard" -> DedupOps.dedupJaccardSql,
+    "dedup_clusters" -> DedupOps.dedupClustersSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "token_count" -> TextAnalysis.tokenCountSql,

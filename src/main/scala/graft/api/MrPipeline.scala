@@ -134,15 +134,36 @@ final class MrPipeline[K, V](val ds: Dataset[(K, V)]) extends Serializable {
     new MrPipeline(spark.createDataset(pairs.partitionBy(p)))
   }
 
-  /** `*_cmd` / `*_pre_filter` parity: pipe records through a shell
-    * command (mrjob/job.py:340-363). The reference's own Spark harness
-    * REFUSES cmd substeps (harness.py:634-637); `RDD.pipe` lets this
-    * engine exceed it. */
+  /** `mapper_cmd` / `*_pre_filter` parity: pipe records through a
+    * shell command at the map position (mrjob/job.py:340-363). The
+    * reference's own Spark harness REFUSES cmd substeps
+    * (harness.py:634-637); `RDD.pipe` lets this engine exceed it. */
   def pipeCmd(cmd: String, encode: ((K, V)) => String,
       decode: String => (K, V))(
       implicit e: Encoder[(K, V)]): MrPipeline[K, V] = {
     val spark = ds.sparkSession
-    val piped = ds.rdd.map(encode).pipe(cmd).map(decode)
+    // run through a shell, like the reference does with cmd strings
+    // (RDD.pipe's bare-string form tokenizes on whitespace, no quoting)
+    val piped = ds.rdd.map(encode)
+      .pipe(Seq("/bin/sh", "-c", cmd)).map(decode)
+    new MrPipeline(spark.createDataset(piped))
+  }
+
+  /** `reducer_cmd` parity (mrjob/step.py reducer_cmd; Hadoop-streaming
+    * semantics): shuffle + sort by key, then each reduce partition's
+    * encoded lines stream through `cmd`, whose output lines decode
+    * back into pairs. The command sees its whole partition key-grouped
+    * and sorted — exactly what a streaming reducer binary expects. */
+  def reduceCmd(cmd: String, encode: ((K, V)) => String,
+      decode: String => (K, V), numPartitions: Option[Int] = None)(
+      implicit e: Encoder[(K, V)]): MrPipeline[K, V] = {
+    val n = numPartitions.getOrElse(
+      ds.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val arranged = ds.repartition(n, col("_1"))
+      .sortWithinPartitions(col("_1"))
+    val spark = ds.sparkSession
+    val piped = arranged.rdd.map(encode)
+      .pipe(Seq("/bin/sh", "-c", cmd)).map(decode)
     new MrPipeline(spark.createDataset(piped))
   }
 

@@ -361,25 +361,97 @@ object DedupOps {
     * extra round changing nothing.
     *
     * Returns (doc_id, keep_id): keep_id = min doc_id of the
-    * component; rows with doc_id == keep_id survive dedup. */
-  def resolveDupClusters(pairs: DataFrame, iters: Int = 4): DataFrame = {
-    // symmetric edge list
-    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
-      .union(pairs.select(col("j").as("a"), col("i").as("b")))
-    val nodes = edges.select(col("a").as("doc_id")).distinct()
-    var labels = nodes.withColumn("keep_id", col("doc_id"))
-    for (_ <- 1 to iters) {
-      // each node adopts the min label among itself and its neighbors
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("doc_id", "b")
-          .withColumnRenamed("keep_id", "nb_label"), Seq("b"))
-        .groupBy(col("a").as("doc_id"))
-        .agg(min(col("nb_label")).as("min_nb"))
-      labels = labels.join(viaNeighbor, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("keep_id"), coalesce(col("min_nb"), col("keep_id")))
-            .as("keep_id"))
+    * component; rows with doc_id == keep_id survive dedup.
+    *
+    * Pregel-style loop done the way iterative graph algorithms must be
+    * on Spark (GraphX's own shape):
+    *  - edges keyed by dst under a FIXED HashPartitioner, persisted
+    *    once — every round's edges⋈labels join is then NARROW (no
+    *    re-shuffle of the big side);
+    *  - each round pays exactly ONE shuffle (the neighbor-min
+    *    reduceByKey, which lands back on the same partitioner);
+    *  - labels persist per round, previous round unpersisted; the
+    *    shuffle files truncate recomputation (an earlier DataFrame
+    *    version cloned the whole upstream pair-generation subtree
+    *    2^rounds times and froze the planner).
+    *
+    * Runs until CONVERGED (or `maxIters` as a safety cap): labels
+    * only ever decrease, so an unchanged Σ keep_id is a fixpoint —
+    * no cluster-diameter guessing. */
+  def resolveDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val part = new org.apache.spark.HashPartitioner(np)
+    // (dst → src): the join side that must NOT move each round
+    val edgesByDst = pairs.select(col("i"), col("j")).as[(Long, Long)].rdd
+      .flatMap { case (i, j) => Iterator((i, j), (j, i)) }
+      .partitionBy(part)
+      .persist()
+    // labels(n) starts at min(n, min neighbor) — that IS round one
+    var labels = edgesByDst
+      .aggregateByKey(Long.MaxValue, part)(math.min(_, _), math.min(_, _))
+      .mapPartitions(_.map { case (n, mn) => (n, math.min(n, mn)) },
+        preservesPartitioning = true)
+      .persist()
+    var prevSum = labels.values.sum()
+    var round = 1
+    var converged = false
+    while (round < maxIters && !converged) {
+      // msg to each dst's neighbors: my current label; nodes adopt the
+      // min of their own label and incoming labels. edgesByDst⋈labels
+      // is narrow (same partitioner); reduceByKey is the round's one
+      // shuffle and lands on `part` again.
+      val next = edgesByDst.join(labels)
+        .map { case (_, (src, lab)) => (src, lab) }
+        .reduceByKey(part, math.min(_, _))
+        .join(labels)
+        .mapPartitions(_.map { case (n, (viaNb, own)) =>
+          (n, math.min(viaNb, own)) }, preservesPartitioning = true)
+        .persist()
+      val s = next.values.sum()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      round += 1
     }
-    labels
+    edgesByDst.unpersist(blocking = false)
+    labels.toDF("doc_id", "keep_id")
   }
+
+  /** Driver-facing cluster resolution: near-dup pairs from the
+    * (oracled) [[dedupJaccard]] contract resolved into per-doc
+    * KEEP/DROP labels — the output a dedup pipeline actually applies.
+    * Oracled against a DuckDB recursive-CTE reachability closure over
+    * the same pair set, so the iterated-join component labels are
+    * checked exactly (the closure is the spec; the iterated join is
+    * the shape that scales — a recursive CTE materializes all
+    * reachable pairs, quadratic per clique). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    resolveDupClusters(dedupJaccard(spark, dir))
+      .orderBy(col("doc_id"))
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j
+      |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+      |    AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    >= 0.8),
+      |edges AS (
+      |  SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+      |reach(a, b) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      |SELECT a AS doc_id, MIN(b) AS keep_id
+      |FROM reach
+      |GROUP BY a
+      |ORDER BY doc_id""".stripMargin
 }

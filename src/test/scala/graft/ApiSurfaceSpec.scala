@@ -131,6 +131,22 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(!fs.exists(s"$dir/sub/a.txt"))
   }
 
+  test("reduceCmd: shell reducer over sorted key-grouped lines") {
+    import spark.implicits._
+    val input = spark.createDataset(Seq(
+      ("b", 2L), ("a", 1L), ("b", 3L), ("a", 4L), ("c", 5L)))
+    // streaming-style shell reducer: sum values per key with awk
+    val got = MrPipeline.fromDataset(input)
+      .reduceCmd(
+        cmd = "awk -F'\\t' '{s[$1]+=$2} END {for (k in s) print k\"\\t\"s[k]}'",
+        encode = { case (k, v) => s"$k\t$v" },
+        decode = { line =>
+          val Array(k, v) = line.split("\t"); (k, v.toLong) },
+        numPartitions = Some(2))
+      .ds.collect().toMap
+    assert(got == Map("a" -> 5L, "b" -> 5L, "c" -> 5L))
+  }
+
   // ---- combiner brackets (mrjob/job.py:414-449) ----
 
   test("combiner_init/final run once per task around combine runs") {

@@ -115,7 +115,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // components: {1,2,3,4} as a chain, {10,11} as a pair, 20 isolated
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("i", "j")
-    val labels = DedupOps.resolveDupClusters(pairs, iters = 4)
+    val labels = DedupOps.resolveDupClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
