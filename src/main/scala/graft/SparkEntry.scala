@@ -49,6 +49,8 @@ object SparkEntry {
     "wc_mr" -> (MrApiQueries.wcMr _),
     "ann_topk" -> (SimilarityOps.annTopK _),
     "ann_lsh_topk" -> (SimilarityOps.annLshTopK _),
+    "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
+      SimilarityOps.annIvfTopK(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) =>
       SimilarityOps.dedupEmbedding(s, d)),
     "dedup_embedding_lsh" -> (SimilarityOps.dedupEmbeddingLshQuery _),
@@ -124,5 +126,6 @@ object SparkEntry {
     "events_median" -> EventQueries.eventsMedianSql,
     "text_classifier" -> TextClassifier.classifySql,
     "phone_to_url" -> PhoneToUrl.phoneToUrlSql,
+    "multimodal_features" -> MultimodalOps.multimodalFeaturesSql,
   )
 }

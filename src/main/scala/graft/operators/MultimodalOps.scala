@@ -63,13 +63,49 @@ object MultimodalOps {
     }
   }
 
-  /** Driver-facing query: media features summary (non-oracled —
-    * binary payloads aren't SQL-comparable; semantics pinned by
-    * MultimodalSpec against direct computation). */
+  case class MediaFrame(id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling — the video-analog operator: treat the payload as
+    * fixed-width frames and keep every `every`-th one BEFORE any
+    * decode. Real pipelines sample exactly like this so the expensive
+    * codec only sees 1/every of the bytes; the slicing itself is pure
+    * per-row iterator work in the partition stream. */
+  def frameSample(media: Dataset[MediaRecord], frameBytes: Int = 16,
+      every: Int = 4): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex
+        .collect { case (f, i) if i % every == 0 => MediaFrame(r.id, i, f) }
+    }
+  }
+
+  /** Resize a decoded feature vector to `dim`: truncate or zero-pad —
+    * column-level (codegen'd array ops) so it fuses with downstream
+    * similarity operators instead of round-tripping through a UDF. */
+  def resizeEmbedding(emb: org.apache.spark.sql.Column,
+      dim: Int): org.apache.spark.sql.Column =
+    slice(concat(emb, array_repeat(lit(0.0f), dim)), 1, dim)
+
+  /** Driver-facing query: media features per payload. ORACLED: the
+    * corpus text is pure ASCII (verified: max code point 121), so the
+    * byte-level fake checksum is reproducible in SQL from code points
+    * — the binary round-trip (encode → batch decode → features) must
+    * agree with a pure relational derivation. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(asMediaTable(spark, dir))
       .select(col("id"), col("byte_len"), col("checksum"))
       .orderBy(col("id"))
   }
+
+  val multimodalFeaturesSql: String =
+    """SELECT doc_id AS id,
+      |  CAST(length(text) AS BIGINT) AS byte_len,
+      |  list_reduce(
+      |    list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(range(length(text)),
+      |        i -> CAST(unicode(text[i+1]) AS BIGINT))),
+      |    (h, b) -> (h * 131 + b) % 1000000007) AS checksum
+      |FROM documents
+      |ORDER BY id""".stripMargin
 }

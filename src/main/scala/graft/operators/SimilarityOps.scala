@@ -204,6 +204,83 @@ object SimilarityOps {
     }.drop("_bkts")
   }
 
+  // ---------------- IVF path (cluster-pruned search) ----------------
+
+  /** IVF (inverted-file) cell assignment: `cells` seed vectors act as
+    * coarse centroids (chosen deterministically — the `cells` vectors
+    * with the smallest seeded id hash, i.e. a seeded uniform sample of
+    * the corpus); every vector joins against the broadcast centroid
+    * set (fixed small cardinality — THIS broadcast is bounded by
+    * construction, unlike a vocab) and keeps its best-cosine cell.
+    * Returns (vec_id, cell, v, n2). */
+  private def ivfVecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), VectorOps.quantize(col("embedding")).as("v"))
+      .withColumn("n2", VectorOps.norm2Q(col("v")))
+
+  /** The coarse centroid set: a seeded uniform sample of `cells`
+    * corpus vectors, as (cell, cv, cn). */
+  def ivfCentroids(e: DataFrame, cells: Int = 16,
+      seed: Long = 42L): DataFrame =
+    ivfVecs(e)
+      .withColumn("hk", xxhash64(col("vec_id"), lit(seed)))
+      .orderBy(col("hk")).limit(cells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"),
+        col("n2").as("cn"))
+
+  def ivfAssign(e: DataFrame, cells: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val vecs = ivfVecs(e)
+    val cents = ivfCentroids(e, cells, seed)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("n2"), col("cell"),
+        VectorOps.cosineFrom(VectorOps.dotQ(col("v"), col("cv")),
+          col("n2"), col("cn")).as("cell_cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"), col("v"), col("n2"))
+  }
+
+  /** IVF top-k: each query probes its `probes` best cells and
+    * exact-reranks only the vectors in those cells — search cost
+    * ∝ probes/cells of the corpus instead of all of it, and the
+    * partition key (cell) is the shuffle key, so a 100× corpus just
+    * means more cells. probes == cells degrades gracefully to exact
+    * brute force (the spec pins that equality against [[annTopK]]);
+    * probes < cells is the approximate production setting. */
+  def annIvfTopK(spark: SparkSession, dir: String, cells: Int = 16,
+      probes: Int = 4): DataFrame = {
+    val e = emb(spark, dir)
+    val assigned = ivfAssign(e, cells)
+    val queries = assigned.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
+        col("n2").as("qn"))
+    val cents = ivfCentroids(e, cells)
+    val pw = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("probe_cos").desc, col("cell").asc)
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col("q_vec_id"), col("qv"), col("qn"), col("cell"),
+        VectorOps.cosineFrom(VectorOps.dotQ(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("probe_cos"))
+      .withColumn("rk", row_number().over(pw))
+      .filter(col("rk") <= probes)
+      .select(col("q_vec_id"), col("qv"), col("qn"), col("cell"))
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("cos").desc, col("c_vec_id").asc)
+    probed.join(assigned.select(col("cell"), col("vec_id").as("c_vec_id"),
+        col("v").as("cv"), col("n2").as("cn")), Seq("cell"))
+      .filter(col("q_vec_id") =!= col("c_vec_id"))
+      .select(col("q_vec_id"), col("c_vec_id"),
+        VectorOps.cosineFrom(VectorOps.dotQ(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("cos"))
+      .dropDuplicates("q_vec_id", "c_vec_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_vec_id"), col("c_vec_id"), col("rank"), col("cos"))
+      .orderBy(col("q_vec_id"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: collide on any table's bucket, exact-rerank the
     * candidates. Approximate (recall < 1) — the shape that survives
     * 100 TB: shuffle is per-bucket, never N². Not oracle-checked

@@ -106,6 +106,22 @@ object EventStreaming {
       }
   }
 
+  /** Streaming exact dedup on ingest — the training-pipeline "dedup at
+    * the door" operator: duplicate records (same event_id) arriving
+    * within the watermark horizon are dropped incrementally.
+    * `dropDuplicatesWithinWatermark` keeps only ids newer than the
+    * watermark in state — bounded, unlike a plain streaming
+    * dropDuplicates whose id state grows forever; at 100 TB/day of
+    * ingest that bound is the difference between a working stream and
+    * an OOM. */
+  def dedupStream(spark: SparkSession, eventsDir: String): DataFrame =
+    spark.readStream
+      .schema(EventSchema)
+      .parquet(eventsDir)
+      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful per-user running totals via mapGroupsWithState — the
     * custom-state escape hatch (what a stateful reducer would be if
     * the reference had streaming). */

@@ -110,6 +110,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(found == expected, s"unexpected pairs: ${found -- expected}")
   }
 
+  test("IVF with all cells probed equals exact brute-force top-k") {
+    val dir = SparkFixture.Sf0001
+    val exact = SimilarityOps.annTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // probes == cells → every vector is scanned → must equal brute force
+    val full = SimilarityOps.annIvfTopK(spark, dir, cells = 16, probes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact,
+      s"full-probe IVF diverged: missing=${exact -- full}, extra=${full -- exact}")
+    // the approximate setting is well-formed: K ranked rows per query,
+    // every hit a real pair
+    val approx = SimilarityOps.annIvfTopK(spark, dir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= SimilarityOps.K)
+      assert(r.getLong(0) != r.getLong(1))
+    }
+  }
+
   test("resolveDupClusters labels every member with the component min") {
     import spark.implicits._
     // components: {1,2,3,4} as a chain, {10,11} as a pair, 20 isolated

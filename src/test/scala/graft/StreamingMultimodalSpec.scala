@@ -22,6 +22,57 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     d.toString
   }
 
+  test("frameSample keeps every Nth fixed-width frame before decode") {
+    import spark.implicits._
+    val payload = (0 until 100).map(_.toByte).toArray
+    val media = spark.createDataset(Seq(
+      MultimodalOps.MediaRecord(1L, payload, "video/fake", 0, 0)))
+    val frames = MultimodalOps.frameSample(media, frameBytes = 16, every = 2)
+      .collect().sortBy(_.frame_idx)
+    // 100 bytes → 7 frames (6×16 + 4); sampled idx 0,2,4,6
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6))
+    assert(frames(0).frame.toSeq == payload.slice(0, 16).toSeq)
+    assert(frames(3).frame.length == 4, "trailing partial frame kept")
+  }
+
+  test("resizeEmbedding truncates and zero-pads to the target dim") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "emb")
+    val shrunk = df.select(
+      MultimodalOps.resizeEmbedding(col("emb"), 2).as("e"))
+      .collect()(0).getSeq[Float](0)
+    val grown = df.select(
+      MultimodalOps.resizeEmbedding(col("emb"), 5).as("e"))
+      .collect()(0).getSeq[Float](0)
+    assert(shrunk == Seq(1.0f, 2.0f))
+    assert(grown == Seq(1.0f, 2.0f, 3.0f, 0.0f, 0.0f))
+  }
+
+  test("streaming dedup drops duplicate event_ids incrementally") {
+    // landing dir with the same file staged twice → every event is a dup
+    val d = java.nio.file.Files.createTempDirectory("graft-dup-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("b.parquet"))
+    val q = EventStreaming.dedupStream(spark, d.toString).writeStream
+      .outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select(countDistinct(col("event_id")), count(lit(1)))
+        .collect()(0)
+      val exact = graft.sources.Tables.load(spark, dir, "events")
+        .select(countDistinct(col("event_id"))).collect()(0).getLong(0)
+      assert(got.getLong(0) == exact, "every distinct id survives")
+      assert(got.getLong(1) == exact, s"duplicates not dropped: ${got.getLong(1)} rows")
+    } finally q.stop()
+  }
+
   test("streaming hourly counts match the batch aggregation") {
     val q = EventStreaming.hourlyCounts(spark, eventsDir).writeStream
       .outputMode("complete")
