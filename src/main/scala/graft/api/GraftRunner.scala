@@ -1,0 +1,83 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.GraftFs
+
+/** Minimal runner orchestration — the slice of mrjob's runner layer
+  * that survives the move to Spark (SURVEY §2.2 scopes the rest out:
+  * spark-submit + YARN/K8s replace process management, log forensics,
+  * and cloud provisioning):
+  *
+  *  - unique job keys (`<label>.<owner>.<yyyyMMdd.HHmmss>.<micros>`,
+  *    mrjob/runner.py:740-756) naming per-run output/tmp dirs;
+  *  - conf loading: a java-properties file feeding [[JobArgs]] — the
+  *    analog of mrjob.conf option stacking (keys prefixed `file.`
+  *    become file args, everything else passthru);
+  *  - cleanup modes over the job's tmp dir via [[GraftFs]]
+  *    (mrjob/runner.py:617-657 CLEANUP_CHOICES, reduced to the two
+  *    that still mean anything: TMP and NONE), with the
+  *    `with make_runner() as runner:` lifetime expressed as a
+  *    loan-pattern [[GraftRunner.withRunner]].
+  */
+final class GraftRunner(val spark: SparkSession, label: String,
+    owner: String, baseTmp: String, cleanupMode: String) {
+
+  val jobKey: String = GraftRunner.makeJobKey(label, owner)
+
+  /** Per-run scratch dir, created on first use (runner.py tmp-dir
+    * contract: everything under one job-key-named dir). */
+  lazy val tmpDir: String = {
+    val d = s"$baseTmp/$jobKey"
+    fs.mkdir(d)
+    d
+  }
+
+  def fs: GraftFs = GraftFs(spark)
+
+  /** Output dir naming (runner chooses output dir from the job key
+    * when none given, runner.py:744-746). */
+  def defaultOutputDir: String = s"$tmpDir/output"
+
+  /** cleanup (runner.py:617-657): "TMP" removes the job's scratch
+    * space; "NONE" keeps everything for debugging. */
+  def cleanup(mode: String = cleanupMode): Unit =
+    if (mode.equalsIgnoreCase("TMP") || mode.equalsIgnoreCase("ALL")) {
+      fs.rm(tmpDir)
+    }
+}
+
+object GraftRunner {
+
+  def makeJobKey(label: String, owner: String): String = {
+    val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+    val stamp = now.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd.HHmmss"))
+    f"$label.$owner.$stamp.${now.getNano / 1000}%06d"
+  }
+
+  /** Load a java-properties conf file into [[JobArgs]]: `file.<name>`
+    * entries become file args, the rest passthru — the mrjob.conf
+    * option-loading analog (mrjob reads YAML conf into runner opts;
+    * a properties file is the JVM-native equivalent). */
+  def loadConf(path: String): JobArgs = {
+    val props = new java.util.Properties()
+    val in = new java.io.FileInputStream(path)
+    try props.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    val (files, passthru) = props.asScala.toMap.partition {
+      case (k, _) => k.startsWith("file.")
+    }
+    JobArgs(passthru = passthru,
+      fileArgs = files.map { case (k, v) => k.stripPrefix("file.") -> v })
+  }
+
+  /** `with mr_job.make_runner() as runner:` (runner.py:621-624) —
+    * cleanup runs on exit, success or failure. */
+  def withRunner[T](spark: SparkSession, label: String,
+      owner: String = sys.props.getOrElse("user.name", "unknown"),
+      baseTmp: String = sys.props("java.io.tmpdir"),
+      cleanupMode: String = "TMP")(body: GraftRunner => T): T = {
+    val r = new GraftRunner(spark, label, owner, baseTmp, cleanupMode)
+    try body(r) finally r.cleanup()
+  }
+}

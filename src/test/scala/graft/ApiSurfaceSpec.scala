@@ -147,6 +147,34 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(got == Map("a" -> 5L, "b" -> 5L, "c" -> 5L))
   }
 
+  // ---- runner orchestration (mrjob/runner.py:617-657, 740-756) ----
+
+  test("runner: job keys are unique, tmp dir lifecycle honors cleanup") {
+    val k1 = GraftRunner.makeJobKey("wordfreq", "tester")
+    val k2 = GraftRunner.makeJobKey("wordfreq", "tester")
+    assert(k1.matches("wordfreq\\.tester\\.\\d{8}\\.\\d{6}\\.\\d{6}"))
+    assert(k1 != k2, "microsecond component keeps keys unique")
+
+    var keptDir: String = null
+    GraftRunner.withRunner(spark, "myjob", "tester") { r =>
+      keptDir = r.tmpDir
+      r.fs.touchz(s"${r.tmpDir}/scratch.txt")
+      assert(r.fs.exists(s"${r.tmpDir}/scratch.txt"))
+      assert(r.defaultOutputDir.startsWith(r.tmpDir))
+    }
+    // cleanup mode TMP: scratch space removed on exit
+    assert(!GraftFs(spark).exists(keptDir))
+  }
+
+  test("runner: properties conf loads into JobArgs (file.* → file args)") {
+    val conf = java.nio.file.Files.createTempFile("graft", ".properties")
+    java.nio.file.Files.writeString(conf,
+      "min_count=3\nfile.stop_words=/tmp/stop.txt\n")
+    val args = GraftRunner.loadConf(conf.toString)
+    assert(args.passthruLong("min_count", 1L) == 3L)
+    assert(args.fileArgs == Map("stop_words" -> "/tmp/stop.txt"))
+  }
+
   // ---- combiner brackets (mrjob/job.py:414-449) ----
 
   test("combiner_init/final run once per task around combine runs") {
