@@ -103,6 +103,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bh"), s"no band-hash join key in plan:\n$p")
   }
 
+  test("phone_to_url: per-phone argmin gets WindowGroupLimit pruning") {
+    val p = plan(operators.PhoneToUrl.phoneToUrl(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rk=1 filter lost its partial window limit:\n$p")
+  }
+
+  test("ann_ivf_topk: centroid set is broadcast, cells drive the join") {
+    // the ONLY broadcast-able relations here are the fixed-cardinality
+    // centroid sets — vectors themselves must never be collected
+    val df = operators.SimilarityOps.annIvfTopK(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$p")
+    assert(hintCount(df) == 3,
+      "exactly the three centroid/probe broadcasts may be hinted")
+  }
+
   test("whole-stage codegen covers the word_freq pipeline") {
     val cg = operators.TextQueries.wordFreq(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
