@@ -117,4 +117,28 @@ object GraftFs {
     new GraftFs(spark.sparkContext.hadoopConfiguration)
 
   def local(): GraftFs = new GraftFs(new Configuration())
+
+  /** Small-file compaction — the maintenance operator every
+    * long-running ingest needs (a 100 TB landing zone accretes
+    * millions of part files; scans then pay one task + one open per
+    * file). Rewrites a parquet directory into
+    * ceil(bytes / targetBytes) files and atomically swaps it in
+    * (write to sibling tmp → rm old → rename). Returns the output
+    * file count. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      dir: String, targetBytes: Long = 128L << 20): Int = {
+    val fs = apply(spark)
+    val n = math.max(1, math.ceil(
+      fs.du(s"$dir/*.parquet").max(fs.du(s"$dir/part-*")).toDouble /
+        targetBytes).toInt)
+    val tmp = dir.stripSuffix("/") + "_compact_tmp"
+    spark.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(dir)
+    val hfs = p.getFileSystem(conf)
+    hfs.delete(p, true)
+    hfs.rename(new Path(tmp), p)
+    fs.ls(s"$dir/part-*").size
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.json4s._
 import graft.api._
 import graft.operators.StopWordCountJob
@@ -145,6 +146,20 @@ class ApiSurfaceSpec extends AnyFunSuite {
         numPartitions = Some(2))
       .ds.collect().toMap
     assert(got == Map("a" -> 5L, "b" -> 5L, "c" -> 5L))
+  }
+
+  test("compactParquet collapses a many-file directory, data intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString + "/t"
+    spark.range(1000).toDF("id").repartition(16)
+      .write.parquet(dir)
+    assert(GraftFs(spark).ls(s"$dir/part-*").size == 16)
+    val after = GraftFs.compactParquet(spark, dir, targetBytes = 1L << 30)
+    assert(after == 1, s"expected 1 compacted file, got $after")
+    val back = spark.read.parquet(dir).agg(count(lit(1)), sum(col("id")))
+      .collect()(0)
+    assert(back.getLong(0) == 1000L && back.getLong(1) == 499500L)
   }
 
   // ---- runner orchestration (mrjob/runner.py:617-657, 740-756) ----

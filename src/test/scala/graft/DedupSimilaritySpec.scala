@@ -143,6 +143,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept == Set(1L, 10L))
   }
 
+  test("resolveDupClusters on an empty pair set returns no labels") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("i", "j")
+    assert(DedupOps.resolveDupClusters(empty).collect().isEmpty)
+  }
+
   test("quantized cosine equals float64 cosine to 1e-5") {
     import spark.implicits._
     val e = graft.sources.Tables.load(spark, SparkFixture.Sf0001, "embeddings")

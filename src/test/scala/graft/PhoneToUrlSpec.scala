@@ -36,6 +36,16 @@ class PhoneToUrlSpec extends AnyFunSuite {
       ("a.example.com", "+14155550123", "http://a.example.com/p/1")))
   }
 
+  test("parseWet tolerates malformed records without crashing") {
+    val junk = ("not a warc at all\nWARC/1.0\nHeaderWithoutColon\n\n" +
+      "(415) 555-0123\nWARC/1.0\nWARC-Type: conversion\n" +
+      "Content-Type: text/plain\n\nno target uri here (415) 555-0123\n")
+      .getBytes("UTF-8")
+    // no conversion record has a complete header set → nothing yielded
+    assert(PhoneToUrl.parseWet("junk.wet", junk).isEmpty)
+    assert(PhoneToUrl.parseWet("empty.wet", Array.emptyByteArray).isEmpty)
+  }
+
   test("phone_to_url end-to-end returns one best url per phone") {
     val out = PhoneToUrl.phoneToUrl(spark, SparkFixture.Sf0001).collect()
     assert(out.nonEmpty)
