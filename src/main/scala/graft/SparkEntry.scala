@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_keep" -> (DedupOps.dedupKeep _),
     "text_scrub" -> (TextAnalysis.textScrub _),
+    "skew_salted_agg" -> (SkewOps.skewSaltedAgg _),
     "dedup_fingerprint" -> (DedupOps.dedupFingerprint _),
     "dedup_jaccard" -> (DedupOps.dedupJaccard _),
     "dedup_minhash" -> (DedupOps.dedupMinhash _),
@@ -100,6 +101,8 @@ object SparkEntry {
     "sort_and_group" -> TextQueries.sortAndGroupSql,
     "count_by_source" -> TextQueries.countBySourceSql,
     "sample" -> TextQueries.sampleSql,
+    "seeded_sample" -> TextQueries.seededSampleSql,
+    "skew_salted_agg" -> SkewOps.skewSaltedAggSql,
     "words_containing_u" -> TextQueries.wordsContainingUSql,
     "stratified_sample" -> TextQueries.stratifiedSampleSql,
     "tf_idf" -> TextQueries.tfIdfSql,

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** Skew-handling aggregation: the explicit two-phase salted groupBy
   * for keys whose cardinality is tiny but row share is huge (the
@@ -30,4 +31,23 @@ object SkewOps {
       .agg(count(lit(1)).as("pc"), sum(valueCol).as("ps"))
       .groupBy(col("key"))
       .agg(sum(col("pc")).as("n"), sum(col("ps")).as("total"))
+
+  /** Driver-facing salted aggregation, oracled: the value rides as
+    * DECIMAL through both phases (exact, order-independent — the
+    * float-sum rule), so the salted result is bit-identical to the
+    * plain one-phase aggregation the oracle computes. */
+  def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    saltedSumCount(Tables.load(spark, dir, "lineitem"),
+      col("l_returnflag"), col("l_quantity").cast("decimal(18,2)"),
+      spreadOn = col("l_orderkey"))
+      .select(col("key").as("l_returnflag"), col("n"),
+        col("total").cast("double").as("total_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val skewSaltedAggSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 }

@@ -197,21 +197,43 @@ object TextQueries {
   /** Seeded random sample — the log_sampler parity the systematic
     * [[sample]] doesn't give (mr_log_sampler.py:32-120 reservoir-samples
     * n items with a seeded RNG). Distributed equivalent: order by a
-    * seeded per-row hash and keep the n smallest — a uniform seeded
-    * sample that never funnels through one reducer (TakeOrdered does
-    * per-partition top-n before the merge). Same seed → same sample
-    * (determinism spec); different seed → different sample. Not
-    * SQL-oracle-able (hash choice is engine-defined) → rows-only gate.
-    */
+    * seeded affine hash of the id and keep the n smallest — a uniform
+    * seeded sample that never funnels through one reducer (TakeOrdered
+    * does per-partition top-n before the merge). The hash is
+    * (id mod P)·A + B mod P with seed-derived A, B over prime
+    * P = 2³¹−1 — a permutation of Z_P that BOTH engines can compute,
+    * so the sample is fully oracled, unlike an engine-defined
+    * xxhash64 key. Every operand stays under 2⁶² for ANSI mode. */
+  val SamplePrime: Long = 2147483647L
+
+  def sampleHashConstants(seed: Long): (Long, Long) = {
+    val rng = new scala.util.Random(seed)
+    (math.abs(rng.nextLong() % (SamplePrime - 1)) + 1,
+      math.abs(rng.nextLong() % SamplePrime))
+  }
+
   def seededSample(spark: SparkSession, dir: String, n: Int = 25,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L): DataFrame = {
+    val (a, b) = sampleHashConstants(seed)
     docs(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        xxhash64(col("doc_id"), lit(seed)).as("__h"))
-      .orderBy(col("__h"))
+        pmod(pmod(col("doc_id"), lit(SamplePrime)) * a + b,
+          lit(SamplePrime)).as("__h"))
+      .orderBy(col("__h"), col("doc_id"))
       .limit(n)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
+  }
+
+  val seededSampleSql: String = {
+    val (a, b) = sampleHashConstants(42L)
+    s"""SELECT doc_id, lang, source FROM (
+       |  SELECT doc_id, lang, source
+       |  FROM documents
+       |  ORDER BY (doc_id % $SamplePrime * $a + $b) % $SamplePrime, doc_id
+       |  LIMIT 25) t
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** words_containing_u (mr_words_containing_u_freq_count.py:24-34):
     * word freq restricted to words containing 'u'. The reference does
