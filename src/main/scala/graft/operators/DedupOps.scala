@@ -99,10 +99,13 @@ object DedupOps {
     val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("source"),
       array_distinct(transform(split(col("text"), " "), t => xxhash64(t)))
         .as("toks"))
+    // blocking keys ride through the signature aggregation (no
+    // metadata re-join) and join as part of the bucket key
     val sigs = minhashSignaturesFromSets(docs(spark, dir),
-      array_distinct(tokenHashes(col("text"))), k = 32)
-    val banded = lshBands(sigs, k = 32, bands = 16)
-      .join(d.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      array_distinct(tokenHashes(col("text"))), k = 32,
+      carry = Seq("lang", "source"))
+    val banded = lshBands(sigs, k = 32, bands = 16,
+      carry = Seq("lang", "source"))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.lang") === col("y.lang") &&
@@ -242,26 +245,33 @@ object DedupOps {
     * per document (measured 5.8 s vs 0.7 s for the signature stage at
     * sf0.1). With a complex generator expression the rule doesn't
     * fire. */
+  /** `carry` columns (functionally dependent on doc_id, e.g. blocking
+    * keys) ride through the groupBy so no later metadata join is
+    * needed. */
   def minhashSignaturesFromSets(df: DataFrame, hs: Column,
-      k: Int = 32): DataFrame = {
+      k: Int = 32, carry: Seq[String] = Nil): DataFrame = {
     val fam = hashFamily(k)
-    val exploded = df.select(col("doc_id"), explode(hs).as("h0"))
+    val exploded = df.select(
+      col("doc_id") +: carry.map(col) :+ explode(hs).as("h0"): _*)
     val mins: Seq[Column] = (0 until k).map { i =>
       val (a, b) = fam(i)
       min(pmod(col("h0") * lit(a) + lit(b), lit(ShingleM))).as(s"h$i")
     }
-    exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    exploded.groupBy(col("doc_id") +: carry.map(col): _*)
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"): _*)
   }
 
-  /** Explode a signature column into (doc_id, band, bh) band-hash rows
-    * — the LSH bucket key rows both near-dup paths equi-join on. */
-  def lshBands(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** Explode a signature column into (doc_id, [carry...], band, bh)
+    * band-hash rows — the LSH bucket key rows both near-dup paths
+    * equi-join on. */
+  def lshBands(sigs: DataFrame, k: Int, bands: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val rows = k / bands
-    sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+    sigs.select(col("doc_id") +: carry.map(col) :+
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
   }
 

@@ -73,7 +73,23 @@ object ProfileMain {
         mhDocs(s, d)
           .select(col("doc_id"), DedupOps.tokenHashes(col("text")).as("th")),
         array_distinct(DedupOps.shingleHashesFrom(col("th"))))
-        .groupBy().count()))
+        .groupBy().count()),
+      "dj_sigs" -> ((s, d) => DedupOps.minhashSignaturesFromSets(mhDocs(s, d),
+        array_distinct(DedupOps.tokenHashes(col("text"))), 32)
+        .groupBy().count()),
+      "dj_cands" -> ((s, d) => {
+        val dd = mhDocs(s, d).select(col("doc_id"), col("lang"), col("source"))
+        val sigs = DedupOps.minhashSignaturesFromSets(mhDocs(s, d),
+          array_distinct(DedupOps.tokenHashes(col("text"))), 32)
+        val banded = DedupOps.lshBands(sigs, 32, 16).join(dd, Seq("doc_id"))
+        banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.lang") === col("y.lang") &&
+            col("x.source") === col("y.source") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+          .distinct()
+      }))
 
     names.foreach { rawName =>
       val explain = rawName.endsWith("!")
