@@ -65,6 +65,8 @@ object SparkEntry {
     "dedup_simhash" -> (DedupOps.dedupSimhash _),
     "lang_id" -> (TextAnalysis.langId _),
     "quality_score" -> (TextAnalysis.qualityScore _),
+    "corpus_clean" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.corpusClean(s, d)),
     "token_count" -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "word_pmi" -> ((s: SparkSession, d: String) => TextAnalysis.wordPmi(s, d)),
@@ -118,6 +120,7 @@ object SparkEntry {
     "dedup_clusters" -> DedupOps.dedupClustersSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
+    "corpus_clean" -> TextAnalysis.corpusCleanSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "word_pmi" -> TextAnalysis.wordPmiSql,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Text-analysis operators for a training-data pipeline (BASELINE.json
@@ -117,6 +118,62 @@ object TextAnalysis {
        |    CAST(len(list_filter(ts, t -> t IN $stopIn)) AS BIGINT) AS s,
        |    CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS c
        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) x) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The end-to-end corpus-cleaning job — the composition a real
+    * training-data pipeline runs as ONE query: quality-score filter
+    * (same ppm math as [[qualityScore]]) → language keep-set →
+    * exact dedup (min-doc_id survivor per text). Fully oracled; one
+    * scan, one window shuffle on the dedup key — the whole clean is
+    * two exchanges at any scale. */
+  def corpusClean(spark: SparkSession, dir: String,
+      minQualityPpm: Long = 600000L,
+      keepLangs: Seq[String] = Seq("en", "de", "fr", "es")): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(toks).cast("long").as("n"),
+        size(array_distinct(toks)).cast("long").as("d"),
+        hits(toks, TextQueries.StopWords).as("s"),
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("c"))
+      .withColumn("quality_ppm", expr(
+        "(50 * d + 30 * (n - s) + least(2 * c, 20 * n)) * 1000000 DIV (100 * n)"))
+      .filter(col("quality_ppm") >= minQualityPpm &&
+        col("lang").isInCollection(keepLangs))
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n").as("n_tokens"),
+        col("quality_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusCleanSql: String = {
+    val stopIn = TextQueries.StopWords.map(w => s"'$w'")
+      .mkString("(", ", ", ")")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, text, n, quality_ppm FROM (
+       |    SELECT doc_id, lang, text, n, d, s, c,
+       |      (50 * d + 30 * (n - s) + least(2 * c, 20 * n)) * 1000000 // (100 * n) AS quality_ppm
+       |    FROM (
+       |      SELECT doc_id, lang, text,
+       |        CAST(len(ts) AS BIGINT) AS n,
+       |        CAST(len(list_distinct(ts)) AS BIGINT) AS d,
+       |        CAST(len(list_filter(ts, t -> t IN $stopIn)) AS BIGINT) AS s,
+       |        CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS c
+       |      FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS ts
+       |            FROM documents) x) y) z
+       |  WHERE quality_ppm >= 600000
+       |    AND lang IN ('en', 'de', 'fr', 'es')),
+       |deduped AS (
+       |  SELECT doc_id, lang, n AS n_tokens, quality_ppm,
+       |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+       |  FROM scored)
+       |SELECT doc_id, lang, n_tokens, quality_ppm
+       |FROM deduped WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
   }
 

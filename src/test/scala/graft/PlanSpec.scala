@@ -103,6 +103,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bh"), s"no band-hash join key in plan:\n$p")
   }
 
+  test("tf_idf: scans prune to (doc_id, text); the count branch reads zero columns") {
+    val p = plan(operators.TextQueries.tfIdf(spark, dir))
+    assert(!p.contains("n_chars") && !p.contains("source"),
+      s"reads columns the query never uses:\n$p")
+    assert(p.contains("ReadSchema: struct<>"),
+      s"corpus-count branch should scan no columns:\n$p")
+  }
+
   test("phone_to_url: per-phone argmin gets WindowGroupLimit pruning") {
     val p = plan(operators.PhoneToUrl.phoneToUrl(spark, dir))
     assert(p.contains("WindowGroupLimit"),
