@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.json4s._
+import graft.api._
+
+/** Property-based checks over the pure-JVM kernels (no SparkSession —
+  * these run per-generated-case, so they exercise the iterator/codec
+  * machinery directly at ScalaCheck volume):
+  *
+  *  - [[MapSideCombine]] must be RESULT-TRANSPARENT for algebraic
+  *    combiners: whatever interleaving/flush pattern the bounded
+  *    buffer takes, merging its output per key equals merging the raw
+  *    input per key (the combiner "runs 0..n times" contract,
+  *    mrjob/job.py:295-309);
+  *  - [[AdjacentGroups]] must partition a key-sorted stream exactly;
+  *  - the Python-literal and JSON codecs must round-trip arbitrary
+  *    JValue trees.
+  */
+object PropertySpec extends Properties("graft.kernels") {
+
+  private val pairsGen: Gen[List[(String, Long)]] =
+    Gen.listOf(Gen.zip(Gen.oneOf("a", "b", "c", "d", "e", "f"),
+      Gen.chooseNum(-1000L, 1000L)))
+
+  property("mapSideCombine result-transparent for sums") =
+    Prop.forAll(pairsGen) { pairs =>
+      val combined = new MapSideCombine[String, Long](pairs.iterator,
+        (_, vs) => Iterator.single(vs.sum)).toList
+      val got = combined.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val expect = pairs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      got == expect
+    }
+
+  property("mapSideCombine one run per key below spill bounds") =
+    Prop.forAll(pairsGen) { pairs =>
+      val combined = new MapSideCombine[String, Long](pairs.iterator,
+        (_, vs) => Iterator.single(vs.sum)).toList
+      combined.map(_._1).distinct.length == combined.length
+    }
+
+  property("adjacentGroups reconstructs the sorted input exactly") =
+    Prop.forAll(pairsGen) { pairs =>
+      val sorted = pairs.sortBy(_._1)
+      val groups = AdjacentGroups(sorted.iterator)
+        .map { case (k, vs) => (k, vs.toList) }.toList
+      groups.map(_._1) == sorted.map(_._1).distinct &&
+        groups.flatMap { case (k, vs) => vs.map(k -> _) } == sorted
+    }
+
+  private val jvalueGen: Gen[JValue] = {
+    val leaf: Gen[JValue] = Gen.oneOf(
+      Gen.const(JNull),
+      Gen.oneOf(true, false).map(JBool(_)),
+      Gen.chooseNum(-1000000L, 1000000L).map(JLong(_)),
+      Gen.alphaNumStr.map(JString(_)),
+      Gen.oneOf("tab\there", "nl\nthere", "quote'mix\"q", "café")
+        .map(JString(_)))
+    def tree(depth: Int): Gen[JValue] =
+      if (depth <= 0) leaf
+      else Gen.frequency(
+        3 -> leaf,
+        1 -> Gen.listOfN(3, tree(depth - 1)).map(JArray(_)),
+        1 -> Gen.listOfN(2, Gen.zip(Gen.alphaNumStr, tree(depth - 1)))
+          .map(fs => JObject(fs)))
+    tree(3)
+  }
+
+  property("reprPairProtocol round-trips JValue trees") =
+    Prop.forAll(jvalueGen, jvalueGen) { (k, v) =>
+      ReprPairProtocol.read(ReprPairProtocol.write(k, v)) == ((k, v))
+    }
+
+  /** json4s parses whole numbers as JInt (BigInt); value-equal to the
+    * JLong the generator produced. Compare under that normalization —
+    * byte-level fidelity is pinned separately by the golden specs. */
+  private def normNum(v: JValue): JValue = v match {
+    case JLong(l) => JInt(BigInt(l))
+    case JArray(xs) => JArray(xs.map(normNum))
+    case JObject(fs) => JObject(fs.map { case (k, fv) => k -> normNum(fv) })
+    case other => other
+  }
+
+  property("jsonPairProtocol round-trips JValue trees") =
+    Prop.forAll(jvalueGen, jvalueGen) { (k, v) =>
+      val (k2, v2) = JsonPairProtocol.read(JsonPairProtocol.write(k, v))
+      (k2, v2) == ((normNum(k), normNum(v)))
+    }
+}
