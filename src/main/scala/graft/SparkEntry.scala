@@ -67,6 +67,7 @@ object SparkEntry {
     "quality_score" -> (TextAnalysis.qualityScore _),
     "corpus_clean" -> ((s: SparkSession, d: String) =>
       TextAnalysis.corpusClean(s, d)),
+    "doc_perplexity" -> (TextAnalysis.docPerplexity _),
     "token_count" -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "word_pmi" -> ((s: SparkSession, d: String) => TextAnalysis.wordPmi(s, d)),
@@ -121,6 +122,7 @@ object SparkEntry {
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "corpus_clean" -> TextAnalysis.corpusCleanSql,
+    "doc_perplexity" -> TextAnalysis.docPerplexitySql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "word_pmi" -> TextAnalysis.wordPmiSql,

@@ -177,6 +177,64 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-document negative log-likelihood under the corpus's own
+    * bigram language model — the LM-quality filter (CCNet-style) a
+    * training pipeline uses to rank documents by fluency: documents
+    * whose bigrams are corpus-typical score low, repetitive or
+    * vocabulary-noise docs score high.
+    *
+    * Model: P(w2|w1) = c(w1,w2) / c(w1·) over the corpus, no smoothing
+    * needed (every doc bigram was counted into the model). Scores are
+    * exact integer sums of once-quantized per-bigram micro-nats (the
+    * quantized-ln rule), then an integer-DIV average.
+    *
+    * Scale: the bigram table is vocab²-bounded — joined UNHINTED (AQE
+    * decides); the per-doc sum is a partial-agg hash aggregate, so the
+    * whole query is two aggregations and one shuffle join. */
+  def docPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val occ = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1).as("w1"),
+        slice(col("ts"), lit(2), size(col("ts")) - 1).as("w2"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = occ.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val lp = big.join(uni, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(log(col("c12").cast("double") / col("c1").cast("double"))
+          * -1000000d).cast("long").as("nll_micro"))
+    occ.join(lp, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll_micro")).as("total_nll_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("total_nll_micro DIV n_bigrams").as("avg_nll_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docPerplexitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |occ AS (
+      |  SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+      |    SELECT doc_id,
+      |      unnest(list_zip(ts[1:length(ts)-1], ts[2:length(ts)])) AS p
+      |    FROM toks WHERE length(ts) >= 2) t),
+      |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY 1, 2),
+      |uni AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY 1),
+      |lp AS (
+      |  SELECT big.w1, big.w2,
+      |    CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * -1000000)
+      |      AS BIGINT) AS nll_micro
+      |  FROM big JOIN uni ON big.w1 = uni.w1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(nll_micro) AS BIGINT) // COUNT(*) AS avg_nll_micro
+      |FROM occ JOIN lp ON occ.w1 = lp.w1 AND occ.w2 = lp.w2
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer
     * (letter runs | digit runs | single non-alnum), plus a chars/token
     * compression proxy. */
