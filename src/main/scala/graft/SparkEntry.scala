@@ -43,6 +43,7 @@ object SparkEntry {
     "seeded_sample" -> ((s: SparkSession, d: String) =>
       TextQueries.seededSample(s, d)),
     "words_containing_u" -> (TextQueries.wordsContainingU _),
+    "nick_nack" -> (TextQueries.nickNack _),
     "stratified_sample" -> (TextQueries.stratifiedSample _),
     "tf_idf" -> (TextQueries.tfIdf _),
     "word_freq_mr" -> (MrApiQueries.wordFreqMr _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "seeded_sample" -> TextQueries.seededSampleSql,
     "skew_salted_agg" -> SkewOps.skewSaltedAggSql,
     "words_containing_u" -> TextQueries.wordsContainingUSql,
+    "nick_nack" -> TextQueries.nickNackSql,
     "stratified_sample" -> TextQueries.stratifiedSampleSql,
     "tf_idf" -> TextQueries.tfIdfSql,
     "word_freq_mr" -> TextQueries.wordFreqSql,

@@ -254,6 +254,46 @@ object TextQueries {
       |GROUP BY word
       |ORDER BY word""".stripMargin
 
+  /** nick_nack (examples/mr_nick_nack.py:28-48): word counts routed to
+    * a SEPARATE output file per first letter — the
+    * MultipleValueOutputFormat workload, whose Spark-native form is
+    * `write.partitionBy`. The query writes the partitioned layout to
+    * scratch (marker-cached per sf dir), reads it BACK through the
+    * partition-discovery scan, and returns per-letter totals — so the
+    * gate covers the actual multi-output file round-trip, while the
+    * result stays SQL-derivable straight from `documents`. */
+  def nickNack(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_nicknack_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      .getAbsolutePath
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      docs(spark, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .select(substring(col("word"), 1, 1).as("first_letter"),
+          concat_ws("\t", col("word"), col("n")).as("value"))
+        .write.mode("overwrite").partitionBy("first_letter").text(out)
+    }
+    spark.read
+      .option("basePath", out).text(s"$out/first_letter=*")
+      .select(col("first_letter").cast("string"),
+        split(col("value"), "\t").getItem(1).cast("long").as("n"))
+      .groupBy(col("first_letter"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("total"))
+      .orderBy(col("first_letter"))
+  }
+
+  val nickNackSql: String =
+    """SELECT substr(word, 1, 1) AS first_letter,
+      |  COUNT(*) AS n_words,
+      |  CAST(SUM(n) AS BIGINT) AS total
+      |FROM (
+      |  SELECT word, COUNT(*) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |  GROUP BY word) c
+      |GROUP BY first_letter
+      |ORDER BY first_letter""".stripMargin
+
   /** Stratified systematic sample: every 5th doc per language in
     * doc_id order — per-stratum sampling with exact per-stratum
     * control (the deterministic analog of sampleBy fractions; at
