@@ -89,8 +89,10 @@ object PhoneToUrl {
     * also emit a metadata record with a decoy phone — the record-type
     * filter must drop it. Written once per sf dir (marker-checked). */
   def ensureWetFixture(spark: SparkSession, dir: String): String = {
+    // version-tag the scratch dir: a format change in a later build
+    // must never reuse a stale cached fixture
     val out = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_wet_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      "graft_wet_v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
       val d = Tables.load(spark, dir, "documents")
       val h = col("doc_id") % 50

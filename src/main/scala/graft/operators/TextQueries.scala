@@ -263,8 +263,9 @@ object TextQueries {
     * gate covers the actual multi-output file round-trip, while the
     * result stays SQL-derivable straight from `documents`. */
   def nickNack(spark: SparkSession, dir: String): DataFrame = {
+    // version-tagged scratch (same rationale as PhoneToUrl's fixture)
     val out = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_nicknack_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      "graft_nicknack_v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
       .getAbsolutePath
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
       docs(spark, dir)
