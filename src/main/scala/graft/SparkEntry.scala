@@ -78,6 +78,7 @@ object SparkEntry {
     "events_asof" -> (EventQueries.eventsAsof _),
     "events_pivot" -> (EventQueries.eventsPivot _),
     "events_median" -> (EventQueries.eventsMedian _),
+    "events_attribution" -> (EventQueries.eventsAttribution _),
     "multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "text_classifier" -> (TextClassifier.classify _),
     "phone_to_url" -> (PhoneToUrl.phoneToUrl _),
@@ -134,6 +135,7 @@ object SparkEntry {
     "events_asof" -> EventQueries.eventsAsofSql,
     "events_pivot" -> EventQueries.eventsPivotSql,
     "events_median" -> EventQueries.eventsMedianSql,
+    "events_attribution" -> EventQueries.eventsAttributionSql,
     "text_classifier" -> TextClassifier.classifySql,
     "phone_to_url" -> PhoneToUrl.phoneToUrlSql,
     "multimodal_features" -> MultimodalOps.multimodalFeaturesSql,

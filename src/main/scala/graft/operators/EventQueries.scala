@@ -29,6 +29,48 @@ object EventQueries {
     * through double and lose precision above 2^53 ns. */
   private def tsMicros = expr("ts DIV 1000")
 
+  /** Attribution range join: for every click, how many purchases the
+    * same user made within the following hour — the (t, t+Δ] range
+    * join that goes quadratic if written naively (Spark plans a
+    * non-equi join as BNLJ: every click × every purchase per user).
+    *
+    * Scale shape: BUCKETIZED range join. Purchases are exploded to
+    * their hour bucket and the preceding one, so a click joins on the
+    * EQUI key (user_id, its own bucket) — any qualifying purchase
+    * (click.ts < p.ts ≤ click.ts + 1 h) lands in one of those two
+    * buckets — then the exact range predicate filters residuals. Cost
+    * is 2× the purchase rows through one hash join instead of a
+    * per-user cross product; Δ tunes the bucket width. The left join
+    * keeps zero-purchase clicks (count(p) counts only matches). */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val e = events(spark, dir).withColumn("us", tsMicros)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us").as("c_us"),
+        expr(s"us DIV $HourUs").as("bkt"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"),
+        explode(array(expr(s"us DIV $HourUs"),
+          expr(s"us DIV $HourUs") - 1)).as("bkt"))
+    clicks.join(purchases, Seq("user_id", "bkt"), "left")
+      .groupBy(col("event_id"))
+      .agg(count(when(col("p_us") > col("c_us") &&
+        col("p_us") <= col("c_us") + HourUs, 1)).as("n_purchases"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsAttributionSql: String =
+    """SELECT c.event_id,
+      |  COUNT(CASE WHEN epoch_us(p.ts) > epoch_us(c.ts)
+      |    AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000 THEN 1 END)
+      |    AS n_purchases
+      |FROM events c
+      |LEFT JOIN events p
+      |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+      |WHERE c.event_type = 'click'
+      |GROUP BY c.event_id
+      |ORDER BY c.event_id""".stripMargin
+
   /** Hourly tumbling-window counts/sums per event type. */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
