@@ -69,6 +69,8 @@ object SparkEntry {
     "corpus_clean" -> ((s: SparkSession, d: String) =>
       TextAnalysis.corpusClean(s, d)),
     "doc_perplexity" -> (TextAnalysis.docPerplexity _),
+    "boilerplate_ratio" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.boilerplateRatio(s, d)),
     "token_count" -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "word_pmi" -> ((s: SparkSession, d: String) => TextAnalysis.wordPmi(s, d)),
@@ -126,6 +128,7 @@ object SparkEntry {
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "corpus_clean" -> TextAnalysis.corpusCleanSql,
     "doc_perplexity" -> TextAnalysis.docPerplexitySql,
+    "boilerplate_ratio" -> TextAnalysis.boilerplateRatioSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "word_pmi" -> TextAnalysis.wordPmiSql,

@@ -177,6 +177,62 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Boilerplate ratio — the C4-style cleaning signal: a word trigram
+    * appearing in ≥ `minDocs` distinct documents is boilerplate
+    * (template/navigation text); each document is scored by the ppm of
+    * its trigram occurrences that are boilerplate. High-ratio docs are
+    * template shells.
+    *
+    * Scale: trigram doc-frequency is one distinct-agg over exploded
+    * trigrams; the boilerplate set joins back UNHINTED (vocab³-bounded
+    * — AQE broadcasts only if measured small); the per-doc ratio is an
+    * integer-ppm DIV. */
+  def boilerplateRatio(spark: SparkSession, dir: String,
+      minDocs: Long = 20L): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val occ = toks.filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 2).as("w1"),
+        slice(col("ts"), lit(2), size(col("ts")) - 2).as("w2"),
+        slice(col("ts"), lit(3), size(col("ts")) - 2).as("w3"))).as("g"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("g.w1"), col("g.w2"), col("g.w3")).as("tri"))
+    val boiler = occ.select(col("doc_id"), col("tri")).distinct()
+      .groupBy(col("tri")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("tri"))
+    occ.join(boiler.withColumn("is_boiler", lit(1L)), Seq("tri"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_boiler"),
+        expr("1000000 * n_boiler DIV n_trigrams").as("boiler_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val boilerplateRatioSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |    g[1] || ' ' || g[2] || ' ' || g[3] AS tri
+      |  FROM (
+      |    SELECT doc_id, unnest(list_zip(ts[1:length(ts)-2],
+      |      ts[2:length(ts)-1], ts[3:length(ts)])) AS g
+      |    FROM toks WHERE length(ts) >= 3) t),
+      |boiler AS (
+      |  SELECT tri FROM (
+      |    SELECT tri, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY tri) b
+      |  WHERE df >= 20)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_trigrams,
+      |  CAST(COUNT(boiler.tri) AS BIGINT) AS n_boiler,
+      |  1000000 * COUNT(boiler.tri) // COUNT(*) AS boiler_ppm
+      |FROM occ LEFT JOIN boiler USING (tri)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-document negative log-likelihood under the corpus's own
     * bigram language model — the LM-quality filter (CCNet-style) a
     * training pipeline uses to rank documents by fluency: documents
