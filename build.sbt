@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this JVM's stdout/stderr with no
+// `[info] ` logger prefix — Bench's one-line JSON metrics contract needs
+// a parseable raw line on stdout (BENCH_r{1,2} had `parsed: null` because
+// the sbt log decoration wrapped it).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -49,11 +49,12 @@ object SparkEntry {
     "word_freq_mr" -> (MrApiQueries.wordFreqMr _),
     "wc_mr" -> (MrApiQueries.wcMr _),
     "ann_topk" -> (SimilarityOps.annTopK _),
-    "ann_lsh_topk" -> (SimilarityOps.annLshTopK _),
+    "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
+      SimilarityOps.annLshTopK(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
       SimilarityOps.annIvfTopK(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) =>
-      SimilarityOps.dedupEmbedding(s, d)),
+      SimilarityOps.dedupEmbeddingBlocked(s, d)),
     "dedup_embedding_lsh" -> (SimilarityOps.dedupEmbeddingLshQuery _),
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_keep" -> (DedupOps.dedupKeep _),

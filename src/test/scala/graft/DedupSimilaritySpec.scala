@@ -110,6 +110,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(found == expected, s"unexpected pairs: ${found -- expected}")
   }
 
+  test("dedupEmbeddingBlocked equals all-pairs ground truth within label blocks") {
+    val dir = SparkFixture.Sf0001
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val labelOf = e.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val brute = SimilarityOps.dedupEmbeddingAllPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+    val expected = brute.filter { case (i, j, _) => labelOf(i) == labelOf(j) }
+    assert(expected.nonEmpty, "fixture should contain same-label near-dups")
+    val blocked = SimilarityOps.dedupEmbeddingBlocked(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked == expected,
+      s"blocked path diverged: missing=${expected -- blocked}, extra=${blocked -- expected}")
+  }
+
   test("IVF with all cells probed equals exact brute-force top-k") {
     val dir = SparkFixture.Sf0001
     val exact = SimilarityOps.annTopK(spark, dir)

@@ -91,8 +91,42 @@ class PlanSpec extends AnyFunSuite {
     assert(hintCount(operators.TextClassifier.classify(spark, dir)) <= 7)
   }
 
-  test("dedup_embedding: exact pair scan carries no forced broadcast") {
-    assert(hintCount(operators.SimilarityOps.dedupEmbedding(spark, dir)) == 0)
+  test("dedup_embedding: blocked equi-join on label, no cartesian, no hint") {
+    val df = operators.SimilarityOps.dedupEmbeddingBlocked(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking key lost — pair scan went quadratic:\n$p")
+    assert(hintCount(df) == 0)
+  }
+
+  test("catalog-wide: no CartesianProduct; BNLJ only on bounded broadcast sides") {
+    // The round-2 verdict's 100 TB gate: no registered query may plan a
+    // CartesianProduct, and BroadcastNestedLoopJoin may appear only
+    // where the broadcast side has FIXED cardinality by construction
+    // (not data-sized). The allowlist documents each such side.
+    val bnljBounded = Map(
+      "ann_topk" -> "broadcast side = QueryCount (8) query vectors",
+      "ann_ivf_topk" -> "broadcast sides = `cells` (16) centroids",
+      "tf_idf" -> "broadcast side = single-row corpus doc count",
+      "word_pmi" -> "broadcast side = single-row corpus totals",
+      "doc_perplexity" -> "broadcast side = single-row LM totals",
+      "text_classifier" -> "broadcast sides = lang-cardinality priors",
+      "boilerplate_ratio" -> "broadcast side = single-row trigram df total",
+      "wc" -> "single-row global aggregate",
+      "most_used_word" -> "single-row argmax",
+      "seeded_sample" -> "single-row threshold",
+      "sample" -> "single-row count",
+      "next_word_stats" -> "single-row total",
+    )
+    for ((name, q) <- SparkEntry.queries) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$p")
+      if (!bnljBounded.contains(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BNLJ over a side not in the bounded allowlist:\n$p")
+    }
   }
 
   test("dedup_jaccard: LSH candidates, no block×block product join") {
@@ -126,6 +160,18 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$p")
     assert(hintCount(df) == 3,
       "exactly the three centroid/probe broadcasts may be hinted")
+  }
+
+  test("ann_lsh_topk: one posexplode bucket join, no per-table union") {
+    // round-2 verdict: the per-table form planned `tables` separate
+    // bucket joins + a union; the fix is the dedupEmbeddingLsh shape —
+    // one (tbl, bk) equi-join, then two vector-fetch joins for rerank.
+    val p = plan(operators.SimilarityOps.annLshTopK(spark, dir))
+    assert(!p.contains("Union"), s"per-table union is back:\n$p")
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size
+    assert(joins <= 3,
+      s"expected 1 candidate join + 2 rerank joins, got $joins:\n$p")
   }
 
   test("whole-stage codegen covers the word_freq pipeline") {
