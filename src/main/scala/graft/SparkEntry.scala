@@ -51,7 +51,12 @@ object SparkEntry {
     "ann_topk" -> (SimilarityOps.annTopK _),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
       SimilarityOps.annLshTopK(s, d)),
+    // probes == cells: provably identical to brute force (spec-pinned),
+    // so this row is fully oracled against the exact top-k SQL; the
+    // probes < cells approximate production setting is ann_ivf_probe.
     "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
+      SimilarityOps.annIvfTopK(s, d, cells = 16, probes = 16)),
+    "ann_ivf_probe" -> ((s: SparkSession, d: String) =>
       SimilarityOps.annIvfTopK(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) =>
       SimilarityOps.dedupEmbeddingBlocked(s, d)),
@@ -118,6 +123,8 @@ object SparkEntry {
     "word_freq_mr" -> TextQueries.wordFreqSql,
     "wc_mr" -> MrApiQueries.wcMrSql,
     "ann_topk" -> SimilarityOps.annTopKSql,
+    "ann_ivf_topk" -> SimilarityOps.annTopKSql,
+    "dedup_minhash" -> DedupOps.dedupMinhashSql,
     "dedup_embedding" -> SimilarityOps.dedupEmbeddingSql,
     "dedup_exact" -> DedupOps.dedupExactSql,
     "dedup_keep" -> DedupOps.dedupKeepSql,

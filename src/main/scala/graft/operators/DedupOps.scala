@@ -275,6 +275,20 @@ object DedupOps {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
   }
 
+  /** Distinct 64-bit shingle-hash sets for exact Jaccard verification:
+    * one xxhash64 per STRING 3-shingle — collision-free at corpus
+    * shingle cardinalities (P ≈ n²/2⁶⁵), so counts over these sets
+    * equal counts over the string-shingle sets themselves and a SQL
+    * oracle computing string-list Jaccard matches exactly. (The 30-bit
+    * [[shingleHashesFrom]] space exists only for the signature path,
+    * where (A·x+B) must fit ANSI long arithmetic; at ~50k corpus
+    * shingles it would collide a couple of times — harmless for
+    * recall, fatal for an exact-hash gate.) */
+  def shingleSets(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      array_distinct(transform(shingles(col("text")), s => xxhash64(s)))
+        .as("shs"))
+
   /** LSH band-bucket candidate pairs: split the signature into
     * `bands`, hash each band, join docs colliding on (band, hash).
     * Then exact shingle-Jaccard verification ≥ `threshold`. */
@@ -287,9 +301,7 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    val sh = d.select(col("doc_id"), tokenHashes(col("text")).as("th"))
-      .select(col("doc_id"),
-        array_distinct(shingleHashesFrom(col("th"))).as("shs"))
+    val sh = shingleSets(d)
     val inter = size(array_intersect(col("si"), col("sj")))
     val uni = size(col("si")) + size(col("sj")) - inter
     cands
@@ -300,15 +312,57 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Driver-facing MinHash query: near-dup pair count + strongest
-    * pairs summary (single row — candidate generation is seed-defined,
-    * so no SQL oracle; semantics are ScalaTest-validated against
-    * brute-force Jaccard). */
+  /** SPEC-ONLY ground truth for [[dedupMinhash]]: the unbounded
+    * all-pairs 3-shingle Jaccard scan (mirrors [[dedupJaccardAllPairs]]
+    * — never registered; a corpus-wide pair scan dies at 100×). */
+  def shingleJaccardAllPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSets(docs(spark, dir))
+    val inter = size(array_intersect(col("si"), col("sj")))
+    val uni = size(col("si")) + size(col("sj")) - inter
+    sh.select(col("doc_id").as("i"), col("shs").as("si"))
+      .join(sh.select(col("doc_id").as("j"), col("shs").as("sj")),
+        col("i") < col("j"))
+      .select(col("i"), col("j"),
+        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Driver-facing MinHash query — the full corpus-wide near-dup pair
+    * list at 3-shingle Jaccard ≥ 0.5, FULLY ORACLED (round-3 upgrade
+    * from the old seed-defined summary row): with rows-per-band = 1
+    * (bands = k = 32) a true pair at J ≥ 0.5 escapes every band with
+    * probability (1 − J)³² ≤ 2⁻³² ≈ 2·10⁻¹⁰ — at the corpus' few
+    * hundred true pairs that is a ~10⁻⁷ chance of ANY miss, and exact
+    * verification makes precision 1, so LSH output == all-pairs ground
+    * truth with overwhelming probability (and deterministically pinned
+    * by the DedupSimilaritySpec equality on the fixture). Single-row
+    * bands trade candidate selectivity for exactness: a background
+    * pair surfaces iff some signature slot agrees (P ≈ 32·J), which on
+    * a 3-shingle measure still vanishes for unrelated docs — the
+    * candidate join stays Σ bucket², never N². */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    minhashPairs(docs(spark, dir)).agg(
-      count(lit(1)).as("n_pairs"),
-      coalesce(round(max(col("jaccard")), 6), lit(0d)).as("max_jaccard"),
-      coalesce(round(min(col("jaccard")), 6), lit(0d)).as("min_jaccard"))
+    minhashPairs(docs(spark, dir), k = 32, bands = 32, threshold = 0.5)
+      .orderBy(col("i"), col("j"))
+
+  val dedupMinhashSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts, text FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ts) < 3 THEN [text]
+      |         ELSE list_transform(range(1, len(ts) - 1),
+      |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS sh
+      |  FROM d),
+      |u AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+      |p AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+      |  FROM u a JOIN u b ON a.doc_id < b.doc_id)
+      |SELECT i, j, jaccard FROM p WHERE jaccard >= 0.5
+      |ORDER BY i, j""".stripMargin
 
   // ---------------- SimHash (non-oracled scale path) ----------------
 

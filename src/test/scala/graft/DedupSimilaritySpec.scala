@@ -89,6 +89,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"LSH path diverged: missing=${brute -- lsh}, extra=${lsh -- brute}")
   }
 
+  test("dedup_minhash (bands=rows⁻¹=32) equals all-pairs shingle-Jaccard truth") {
+    val dir = SparkFixture.Sf0001
+    val lsh = DedupOps.dedupMinhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = DedupOps.shingleJaccardAllPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "fixture should contain J >= 0.5 shingle pairs")
+    assert(lsh == brute,
+      s"LSH path diverged: missing=${brute -- lsh}, extra=${lsh -- brute}")
+  }
+
   test("dedupEmbeddingLsh finds planted high-cosine dups exactly") {
     import spark.implicits._
     val e = graft.sources.Tables.load(spark, SparkFixture.Sf0001, "embeddings")
