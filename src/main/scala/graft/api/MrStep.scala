@@ -31,7 +31,39 @@ final case class MrStep[K1, V1, K2, V2, K3, V3](
     reducerInit: () => IterableOnce[(K3, V3)] = MrStep.emptyInit[K3, V3] _,
     reducerFinal: () => IterableOnce[(K3, V3)] = MrStep.emptyInit[K3, V3] _,
     sortValues: Boolean = false,
-    numReducers: Option[Int] = None)
+    numReducers: Option[Int] = None,
+    // ---- per-substep shell wiring (mrjob/step.py:34-45) ----
+    // `*Cmd`: the substep IS a shell command over protocol-encoded
+    // lines (mrjob/job.py:340-351, 401-412, 451-462) — it REPLACES the
+    // corresponding function, which mrjob forbids setting alongside.
+    // `*PreFilter`: a line-filtering shell command piped over the
+    // substep's input BEFORE the function/cmd runs
+    // (mrjob/job.py:353-363, 414-424, 464-474). Any of these set
+    // requires `cmdProtocols` for the line boundaries.
+    mapperCmd: Option[String] = None,
+    combinerCmd: Option[String] = None,
+    reducerCmd: Option[String] = None,
+    mapperPreFilter: Option[String] = None,
+    combinerPreFilter: Option[String] = None,
+    reducerPreFilter: Option[String] = None,
+    cmdProtocols: Option[CmdProtocols[K1, V1, K2, V2, K3, V3]] = None) {
+  require(combinerCmd.isEmpty || combiner.isEmpty,
+    "combiner and combiner_cmd are mutually exclusive (mrjob/job.py:401-412)")
+  require(Seq(mapperCmd, combinerCmd, reducerCmd, mapperPreFilter,
+      combinerPreFilter, reducerPreFilter).forall(_.isEmpty) ||
+      cmdProtocols.isDefined,
+    "cmd/pre_filter substeps need cmdProtocols for the line boundaries")
+}
+
+/** The protocol triple cmd substeps speak at their line boundaries —
+  * mrjob's INPUT/INTERNAL/OUTPUT protocol resolution per substep
+  * (mrjob/job.py:1052-1076): mapper_cmd reads `input`-encoded lines
+  * and writes `internal`; combiner_cmd reads and writes `internal`;
+  * reducer_cmd reads `internal` and writes `output`. */
+final case class CmdProtocols[K1, V1, K2, V2, K3, V3](
+    input: LineProtocol[K1, V1],
+    internal: LineProtocol[K2, V2],
+    output: LineProtocol[K3, V3])
 
 object MrStep {
   def emptyInit[K, V](): IterableOnce[(K, V)] = Iterator.empty
@@ -41,4 +73,9 @@ object MrStep {
   def mapOnly[K1, V1, K2, V2](
       f: (K1, V1) => IterableOnce[(K2, V2)]): MrStep[K1, V1, K2, V2, K2, V2] =
     MrStep(mapper = f, reducer = (k: K2, vs: Iterator[V2]) => vs.map(k -> _))
+
+  /** Identity mapper (inserted when a step only has reduce-side
+    * substeps — mrjob/step.py:79-80). */
+  def idMapper[K, V]: (K, V) => IterableOnce[(K, V)] =
+    (k, v) => Iterator.single((k, v))
 }

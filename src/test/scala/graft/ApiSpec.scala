@@ -130,6 +130,121 @@ class ApiSpec extends AnyFunSuite {
     assert(got == Map("A" -> "HELLO", "B" -> "WORLD"))
   }
 
+  // ---- per-substep shell wiring (mrjob/step.py:34-45; semantics
+  // exercised by the reference's tests/mr_cmd_job.py at all three
+  // positions plus tests/mr_filter_job.py for pre_filters) ----
+
+  /** Lines "a b a", "b c", "skip me a" as RawValue input. */
+  private def cmdLines = {
+    import spark.implicits._
+    spark.createDataset(Seq("a b a", "b c", "skip me a"))
+      .map(l => (null: String, l))
+  }
+
+  private val wordCountProtocols = CmdProtocols[String, String,
+    String, String, String, String](
+    RawValueProtocol, TextPairProtocol, TextPairProtocol)
+
+  /** awk word-count mapper: each token becomes "tok\t1". */
+  private val AwkTokenize = """awk '{for(i=1;i<=NF;i++) print $i"\t1"}'"""
+
+  /** awk streaming aggregator over key-sorted "k\tv" lines: one
+    * "k\tsum" line per key run — a classic Hadoop-streaming reducer
+    * binary, usable at both the combiner and reducer positions. */
+  private val AwkSumByKey =
+    """awk -F'\t' '$1!=p {if (n++) print p"\t"s; p=$1; s=0} {s+=$2} END {if (n) print p"\t"s}'"""
+
+  private def sumReducer: (String, Iterator[String]) => IterableOnce[(String, String)] =
+    (w, vs) => Iterator.single((w, vs.map(_.toLong).sum.toString))
+
+  test("mapper_cmd: shell tokenizer replaces the mapper function") {
+    import spark.implicits._
+    val step = MrStep[String, String, String, String, String, String](
+      mapper = MrStep.idMapper, // ignored: mapperCmd replaces it
+      reducer = sumReducer,
+      mapperCmd = Some(AwkTokenize),
+      cmdProtocols = Some(wordCountProtocols))
+    val got = MrPipeline.fromDataset(cmdLines).step(step).ds.collect().toMap
+    assert(got == Map("a" -> "3", "b" -> "2", "c" -> "1",
+      "skip" -> "1", "me" -> "1"))
+  }
+
+  test("mapper_pre_filter: shell filter runs before the mapper function") {
+    import spark.implicits._
+    val step = MrStep[String, String, String, String, String, String](
+      mapper = (_, line) =>
+        line.split(" ").iterator.map(w => (w, "1")),
+      reducer = sumReducer,
+      mapperPreFilter = Some("grep -v skip"),
+      cmdProtocols = Some(wordCountProtocols))
+    val got = MrPipeline.fromDataset(cmdLines).step(step).ds.collect().toMap
+    assert(got == Map("a" -> "2", "b" -> "2", "c" -> "1"))
+  }
+
+  test("combiner_cmd: shell aggregator combines sorted map output per task") {
+    import spark.implicits._
+    val step = MrStep[String, String, String, String, String, String](
+      mapper = (_, line) =>
+        line.split(" ").iterator.map(w => (w, "1")),
+      reducer = sumReducer,
+      combinerCmd = Some(AwkSumByKey),
+      cmdProtocols = Some(wordCountProtocols))
+    val got = MrPipeline.fromDataset(cmdLines).step(step).ds.collect().toMap
+    assert(got == Map("a" -> "3", "b" -> "2", "c" -> "1",
+      "skip" -> "1", "me" -> "1"))
+  }
+
+  test("combiner_pre_filter: shell filter ahead of the function combiner") {
+    import spark.implicits._
+    val step = MrStep[String, String, String, String, String, String](
+      mapper = (_, line) =>
+        line.split(" ").iterator.map(w => (w, "1")),
+      reducer = sumReducer,
+      combiner = Some((w: String, vs: Iterator[String]) =>
+        Iterator.single(vs.map(_.toLong).sum.toString)),
+      combinerPreFilter = Some("grep -v '^skip\t'"),
+      cmdProtocols = Some(wordCountProtocols))
+    val got = MrPipeline.fromDataset(cmdLines).step(step).ds.collect().toMap
+    assert(got == Map("a" -> "3", "b" -> "2", "c" -> "1", "me" -> "1"))
+  }
+
+  test("reducer_cmd on MrStep: shell reducer over key-sorted partition lines") {
+    import spark.implicits._
+    val step = MrStep[String, String, String, String, String, String](
+      mapper = (_, line) =>
+        line.split(" ").iterator.map(w => (w, "1")),
+      reducer = sumReducer, // ignored: reducerCmd replaces it
+      reducerCmd = Some(AwkSumByKey),
+      cmdProtocols = Some(wordCountProtocols))
+    val got = MrPipeline.fromDataset(cmdLines).step(step).ds.collect().toMap
+    assert(got == Map("a" -> "3", "b" -> "2", "c" -> "1",
+      "skip" -> "1", "me" -> "1"))
+  }
+
+  test("reducer_pre_filter: shell filter ahead of the function reducer") {
+    import spark.implicits._
+    val step = MrStep[String, String, String, String, String, String](
+      mapper = (_, line) =>
+        line.split(" ").iterator.map(w => (w, "1")),
+      reducer = sumReducer,
+      reducerPreFilter = Some("grep -v '^skip\t'"),
+      cmdProtocols = Some(wordCountProtocols))
+    val got = MrPipeline.fromDataset(cmdLines).step(step).ds.collect().toMap
+    assert(got == Map("a" -> "3", "b" -> "2", "c" -> "1", "me" -> "1"))
+  }
+
+  test("combiner and combiner_cmd are mutually exclusive") {
+    intercept[IllegalArgumentException] {
+      MrStep[String, String, String, String, String, String](
+        mapper = MrStep.idMapper,
+        reducer = sumReducer,
+        combiner = Some((_: String, vs: Iterator[String]) =>
+          Iterator.single(vs.mkString)),
+        combinerCmd = Some("cat"),
+        cmdProtocols = Some(wordCountProtocols))
+    }
+  }
+
   test("TextSink writes part files readable back through the protocol") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
