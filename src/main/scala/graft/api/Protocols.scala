@@ -55,19 +55,33 @@ object PyJson {
         .mkString("{", ", ", "}")
   }
 
-  /** Python `repr(float)` formatting from Java's Double.toString:
-    * 1.0E20 → 1e+20, 1.0E-7 → 1e-07, 12.5 stays 12.5. */
+  /** Python `repr(float)` formatting. Java's Double.toString supplies
+    * the shortest round-trip DIGITS (same as CPython), but the two
+    * switch to scientific notation at different magnitudes: Java
+    * outside [1e-3, 1e7), Python outside [1e-4, 1e16). So the digits
+    * are re-rendered under PYTHON's rule — positional when the leading
+    * digit's decimal exponent is in [-4, 16), scientific otherwise —
+    * or json.dumps(1e8) = '100000000.0' would come out '1e+08'
+    * (round-2 ADVICE: [1e7, 1e16) covers everyday counts and
+    * micro-timestamps, not pathological values). */
   private[api] def pyFloat(d: Double): String = {
     if (d.isNaN) return "NaN"
     if (d.isInfinite) return if (d > 0) "Infinity" else "-Infinity"
-    val s = java.lang.Double.toString(d)
-    val ei = s.indexOf('E')
-    if (ei < 0) s
-    else {
-      val mant = s.substring(0, ei).stripSuffix(".0")
-      val exp = s.substring(ei + 1).toInt
+    if (d == 0.0) return if (1 / d < 0) "-0.0" else "0.0"
+    val bd = new java.math.BigDecimal(java.lang.Double.toString(d))
+      .stripTrailingZeros
+    val exp = bd.precision - bd.scale - 1 // decimal exponent of lead digit
+    if (exp >= 16 || exp < -4) {
+      val unscaled = bd.unscaledValue.toString
+      val neg = unscaled.startsWith("-")
+      val digs = if (neg) unscaled.substring(1) else unscaled
+      val mant =
+        if (digs.length == 1) digs else digs.head + "." + digs.tail
       val sign = if (exp < 0) "-" else "+"
-      f"${mant}e$sign${math.abs(exp)}%02d"
+      (if (neg) "-" else "") + mant + "e" + sign + f"${math.abs(exp)}%02d"
+    } else {
+      val s = bd.toPlainString
+      if (s.contains('.')) s else s + ".0"
     }
   }
 
@@ -352,7 +366,15 @@ object PyLiteral {
   * the JVM-native equivalent is Java serialization + Base64 (same
   * contract — arbitrary values, line-safe, only readable by the same
   * runtime family — with Base64 as the escape form). Like pickle,
-  * only feed it output produced by your own jobs. */
+  * only feed it output produced by your own jobs.
+  *
+  * Deserialization runs under an [[java.io.ObjectInputFilter]]
+  * (JDK-core, scala stdlib, and `graft.*` classes; bounded depth and
+  * stream size) — unpickling attacker-supplied bytes is an RCE vector
+  * via gadget chains, exactly like Python pickle, so unknown classes
+  * are REJECTED rather than instantiated. Widen via
+  * `graft.javaser.filter` system property (ObjectInputFilter pattern
+  * syntax) when jobs ship their own serializable classes. */
 object JavaSerProtocol extends LineProtocol[AnyRef, AnyRef] {
   private def ser(a: AnyRef): String = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -360,9 +382,14 @@ object JavaSerProtocol extends LineProtocol[AnyRef, AnyRef] {
     oos.writeObject(a); oos.close()
     java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
   }
+  private val deserFilter = java.io.ObjectInputFilter.Config.createFilter(
+    sys.props.getOrElse("graft.javaser.filter",
+      "java.lang.*;java.util.**;java.math.*;scala.**;graft.**;" +
+        "maxdepth=32;maxbytes=16777216;!*"))
   private def deser(s: String): AnyRef = {
     val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(
       java.util.Base64.getDecoder.decode(s)))
+    in.setObjectInputFilter(deserFilter)
     try in.readObject() finally in.close()
   }
   def read(line: String): (AnyRef, AnyRef) = {

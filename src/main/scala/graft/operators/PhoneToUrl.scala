@@ -90,10 +90,13 @@ object PhoneToUrl {
     * filter must drop it. Written once per sf dir (marker-checked). */
   def ensureWetFixture(spark: SparkSession, dir: String): String = {
     // version-tag the scratch dir: a format change in a later build
-    // must never reuse a stale cached fixture
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_wet_v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+    // must never reuse a stale cached fixture. GraftFs-resolved so the
+    // fixture lands on a cluster-shared scheme when
+    // spark.graft.scratch.dir is set (local tmp is local-mode-only).
+    val out = graft.sources.GraftFs.scratchDir(spark,
+      "graft_wet_v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val fs = graft.sources.GraftFs(spark)
+    if (!fs.exists(s"$out/_SUCCESS")) {
       val d = Tables.load(spark, dir, "documents")
       val h = col("doc_id") % 50
       val host = when(h === 7, lit("directory.example.com"))

@@ -263,11 +263,13 @@ object TextQueries {
     * gate covers the actual multi-output file round-trip, while the
     * result stays SQL-derivable straight from `documents`. */
   def nickNack(spark: SparkSession, dir: String): DataFrame = {
-    // version-tagged scratch (same rationale as PhoneToUrl's fixture)
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
+    // version-tagged, GraftFs-resolved scratch (same rationale as
+    // PhoneToUrl's fixture): works on any FileSystem scheme the
+    // cluster reads — a bare java.io.tmpdir write breaks off local mode
+    val out = graft.sources.GraftFs.scratchDir(spark,
       "graft_nicknack_v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-      .getAbsolutePath
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+    val fs = graft.sources.GraftFs(spark)
+    if (!fs.exists(s"$out/_SUCCESS")) {
       docs(spark, dir)
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))

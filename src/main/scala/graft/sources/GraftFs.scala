@@ -118,13 +118,33 @@ object GraftFs {
 
   def local(): GraftFs = new GraftFs(new Configuration())
 
+  /** Scheme-agnostic scratch dir for engine-managed intermediate data
+    * (derived fixtures, multi-output round-trips). Resolution:
+    * `spark.graft.scratch.dir` if set — any FileSystem scheme the
+    * cluster reads (hdfs://, s3a://, ...) — else the JVM tmpdir, which
+    * is only correct in local mode. A Spark WRITE to a bare local path
+    * breaks on a real cluster (each executor writes its own machine's
+    * disk), so production deployments must set the conf; queries that
+    * use scratch go through here instead of java.io.tmpdir directly. */
+  def scratchDir(spark: org.apache.spark.sql.SparkSession,
+      name: String): String = {
+    val root = spark.conf.getOption("spark.graft.scratch.dir")
+      .getOrElse("file:///" + sys.props("java.io.tmpdir")
+        .replace('\\', '/').stripPrefix("/"))
+    root.stripSuffix("/") + "/" + name
+  }
+
   /** Small-file compaction — the maintenance operator every
     * long-running ingest needs (a 100 TB landing zone accretes
     * millions of part files; scans then pay one task + one open per
     * file). Rewrites a parquet directory into
-    * ceil(bytes / targetBytes) files and atomically swaps it in
-    * (write to sibling tmp → rm old → rename). Returns the output
-    * file count. */
+    * ceil(bytes / targetBytes) files, then swaps it in with two
+    * renames (dir → dir_old, tmp → dir, delete dir_old), so the
+    * window with no live directory is a single rename — NOT a true
+    * atomic swap (HDFS has no atomic directory exchange): a crash
+    * between the renames leaves dir_old intact for manual recovery,
+    * and concurrent readers can still catch the gap. Returns the
+    * output file count. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession,
       dir: String, targetBytes: Long = 128L << 20): Int = {
     val fs = apply(spark)
@@ -137,8 +157,11 @@ object GraftFs {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(dir)
     val hfs = p.getFileSystem(conf)
-    hfs.delete(p, true)
+    val old = new Path(dir.stripSuffix("/") + "_compact_old")
+    hfs.delete(old, true)
+    hfs.rename(p, old)
     hfs.rename(new Path(tmp), p)
+    hfs.delete(old, true)
     fs.ls(s"$dir/part-*").size
   }
 }

@@ -33,6 +33,17 @@ class ApiSurfaceSpec extends AnyFunSuite {
     // ensure_ascii escaping of non-ASCII, exactly like Python
     assert(JsonPairProtocol.write(JString("café"), JString("naïve\tline")) ==
       "\"caf\\u00e9\"\t\"na\\u00efve\\tline\"")
+    // Python switches to scientific only outside [1e-4, 1e16) — Java
+    // already at 1e7 / 1e-3; the zone in between must stay positional
+    // (round-2 ADVICE; expected strings from CPython 3.11 json.dumps)
+    assert(JsonPairProtocol.write(JNull, JArray(List(
+      JDouble(1e8), JDouble(12345678.9), JDouble(0.0005),
+      JDouble(1e-4), JDouble(9.999e15), JDouble(123456789012345.6)))) ==
+      "null\t[100000000.0, 12345678.9, 0.0005, 0.0001, " +
+        "9999000000000000.0, 123456789012345.6]")
+    assert(JsonPairProtocol.write(JNull, JArray(List(
+      JDouble(1e16), JDouble(1e-5), JDouble(-1.5e20)))) ==
+      "null\t[1e+16, 1e-05, -1.5e+20]")
   }
 
   test("TextSink + JsonPairProtocol part files carry reference bytes") {
