@@ -414,15 +414,10 @@ object DedupOps {
       coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
 
   /** Resolve near-dup PAIRS into KEEP/DROP decisions: connected
-    * components by iterated min-label propagation — `iters` rounds of
-    * hash joins, labels monotonically decrease to the component min.
+    * components by iterated min-label propagation WITH pointer-doubling
+    * shortcuts — labels monotonically decrease to the component min.
     * No driver-side loops over data (the loop is over plan
-    * construction; each round is one join + aggregate). A round moves
-    * labels one hop (with partial path compression, since a neighbor's
-    * label may already point far away), so `iters` must cover the
-    * cluster diameter — near-dup clusters are shallow in practice
-    * (pairs and small cliques), and convergence is checkable by one
-    * extra round changing nothing.
+    * construction).
     *
     * Returns (doc_id, keep_id): keep_id = min doc_id of the
     * component; rows with doc_id == keep_id survive dedup.
@@ -432,17 +427,29 @@ object DedupOps {
     *  - edges keyed by dst under a FIXED HashPartitioner, persisted
     *    once — every round's edges⋈labels join is then NARROW (no
     *    re-shuffle of the big side);
-    *  - each round pays exactly ONE shuffle (the neighbor-min
-    *    reduceByKey, which lands back on the same partitioner);
+    *  - rounds past `shortcutAfter` also SHORTCUT n's label to its
+    *    label's label (the pointer-doubling step of
+    *    Shiloach–Vishkin-style CC; the same role the large-star
+    *    operation plays in Kiveris et al.'s "Connected Components in
+    *    MapReduce" two-phase algorithm), so a chain of depth d
+    *    converges in O(log d) rounds instead of O(d) — without it a
+    *    64-deep chain silently exhausted the round cap. The shortcut
+    *    costs a second shuffle (the label→node swap side), so it's
+    *    ESCALATION, not the default: near-dup graphs are almost always
+    *    shallow cliques that converge in 2-3 one-shuffle rounds, and
+    *    only a still-unconverged deep component pays the two-phase
+    *    price;
+    *  - convergence = an exact Long COUNT of changed labels per round
+    *    (a narrow join — both sides on `part`), where the previous
+    *    Σ-labels Double fixpoint could round a real decrease to
+    *    "unchanged" once ids aggregate past 2⁵³ (round-2 advice);
     *  - labels persist per round, previous round unpersisted; the
     *    shuffle files truncate recomputation (an earlier DataFrame
     *    version cloned the whole upstream pair-generation subtree
     *    2^rounds times and froze the planner).
-    *
-    * Runs until CONVERGED (or `maxIters` as a safety cap): labels
-    * only ever decrease, so an unchanged Σ keep_id is a fixpoint —
-    * no cluster-diameter guessing. */
-  def resolveDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    */
+  def resolveDupClusters(pairs: DataFrame, maxIters: Int = 50,
+      shortcutAfter: Int = 4): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -458,26 +465,32 @@ object DedupOps {
       .mapPartitions(_.map { case (n, mn) => (n, math.min(n, mn)) },
         preservesPartitioning = true)
       .persist()
-    var prevSum = labels.values.sum()
     var round = 1
     var converged = false
     while (round < maxIters && !converged) {
-      // msg to each dst's neighbors: my current label; nodes adopt the
-      // min of their own label and incoming labels. edgesByDst⋈labels
-      // is narrow (same partitioner); reduceByKey is the round's one
-      // shuffle and lands on `part` again.
-      val next = edgesByDst.join(labels)
+      // neighbor propagation: narrow edges⋈labels join, then the
+      // round's reduceByKey shuffle lands back on `part`
+      val viaEdge = edgesByDst.join(labels)
         .map { case (_, (src, lab)) => (src, lab) }
-        .reduceByKey(part, math.min(_, _))
-        .join(labels)
-        .mapPartitions(_.map { case (n, (viaNb, own)) =>
-          (n, math.min(viaNb, own)) }, preservesPartitioning = true)
+      val msgs =
+        if (round <= shortcutAfter) viaEdge
+        else {
+          // shortcut: (label → node) ⋈ labels reads the label's own
+          // label; the swap side shuffles onto `part`, labels narrow
+          viaEdge.union(labels.map(_.swap).join(labels)
+            .map { case (_, (n, l2)) => (n, l2) })
+        }
+      val best = msgs.reduceByKey(part, math.min(_, _))
+      val next = labels.leftOuterJoin(best)
+        .mapPartitions(_.map { case (n, (own, up)) =>
+          (n, math.min(own, up.getOrElse(own))) },
+          preservesPartitioning = true)
         .persist()
-      val s = next.values.sum()
+      val changed = next.join(labels)
+        .filter { case (_, (a, b)) => a != b }.count()
       labels.unpersist(blocking = false)
       labels = next
-      converged = s == prevSum
-      prevSum = s
+      converged = changed == 0L
       round += 1
     }
     edgesByDst.unpersist(blocking = false)

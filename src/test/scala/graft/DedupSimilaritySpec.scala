@@ -170,6 +170,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept == Set(1L, 10L))
   }
 
+  test("resolveDupClusters converges on a deep chain (pointer doubling)") {
+    import spark.implicits._
+    // a 300-deep chain: hop-by-hop propagation needs 299 rounds and
+    // would exhaust the default cap; the shortcut step must collapse
+    // it in O(log d) rounds
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("i", "j")
+    val labels = DedupOps.resolveDupClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 300)
+    assert(labels.values.forall(_ == 0L),
+      s"chain not fully collapsed: ${labels.filter(_._2 != 0L).take(5)}")
+  }
+
   test("resolveDupClusters on an empty pair set returns no labels") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("i", "j")
