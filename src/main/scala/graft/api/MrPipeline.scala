@@ -160,6 +160,36 @@ final class MrPipeline[K, V](val ds: Dataset[(K, V)]) extends Serializable {
     val rFinal = s.reducerFinal
     val n = s.numReducers.getOrElse(
       ds.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    // rawBytes SORT_VALUES (SURVEY §7.3): partition by key, then sort
+    // each reduce partition's ENCODED lines by UTF-8 bytes and group
+    // adjacent encoded keys — the reference's own whole-line in-memory
+    // sort contract (mrjob/sim.py:750-771), reproduced for byte-level
+    // parity. Keys cannot contain '\t' (protocol contract), so
+    // whole-line byte order keeps equal keys adjacent. This mode
+    // sorts per-partition in memory exactly like the sim runner; the
+    // default typed mode below stays on the Tungsten external sort.
+    if (s.sortValuesRaw) {
+      val c = s.cmdProtocols.get
+      val rawReduced = preCombined.repartition(n, col("_1")).rdd
+        .mapPartitions { it =>
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val lines = it.map { case (k, v) => c.internal.write(k, v) }
+            .map(l => (l.getBytes(utf8), l)).toVector
+            .sortWith((a, b) =>
+              java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
+          val keyed = lines.iterator.map { case (_, line) =>
+            val i = line.indexOf('\t')
+            (if (i < 0) line else line.substring(0, i), line)
+          }
+          rInit().iterator ++
+            AdjacentGroups(keyed).flatMap { case (_, ls) =>
+              val pairs = ls.map(c.internal.read).buffered
+              r(pairs.head._1, pairs.map(_._2))
+            } ++ rFinal()
+        }
+      return new MrPipeline(spark.createDataset(rawReduced))
+    }
+
     val sortCols = if (s.sortValues) Seq(col("_1"), col("_2"))
                    else Seq(col("_1"))
     val arranged = preCombined

@@ -31,6 +31,16 @@ final case class MrStep[K1, V1, K2, V2, K3, V3](
     reducerInit: () => IterableOnce[(K3, V3)] = MrStep.emptyInit[K3, V3] _,
     reducerFinal: () => IterableOnce[(K3, V3)] = MrStep.emptyInit[K3, V3] _,
     sortValues: Boolean = false,
+    /** SORT_VALUES in the reference's ENCODED-BYTE order: reducer
+      * input lines (internal-protocol encoded) are sorted by their
+      * UTF-8 bytes and grouped by encoded key — exactly the sim
+      * runner's whole-line sort (mrjob/sim.py:764-767) and the Spark
+      * harness's encoded-key grouping (harness.py:536-537). Needed for
+      * byte-level output parity on heterogeneous values, where typed
+      * ordering differs (JSON '10' sorts before '9' as bytes).
+      * Requires `cmdProtocols` for the internal line codec; the
+      * default typed mode keeps the Tungsten external sort. */
+    sortValuesRaw: Boolean = false,
     numReducers: Option[Int] = None,
     // ---- per-substep shell wiring (mrjob/step.py:34-45) ----
     // `*Cmd`: the substep IS a shell command over protocol-encoded
@@ -53,6 +63,8 @@ final case class MrStep[K1, V1, K2, V2, K3, V3](
       combinerPreFilter, reducerPreFilter).forall(_.isEmpty) ||
       cmdProtocols.isDefined,
     "cmd/pre_filter substeps need cmdProtocols for the line boundaries")
+  require(!sortValuesRaw || cmdProtocols.isDefined,
+    "sortValuesRaw sorts encoded lines and needs cmdProtocols")
 }
 
 /** The protocol triple cmd substeps speak at their line boundaries —

@@ -233,6 +233,31 @@ class ApiSpec extends AnyFunSuite {
     assert(got == Map("a" -> "3", "b" -> "2", "c" -> "1", "me" -> "1"))
   }
 
+  test("sortValuesRaw: values reach the reducer in ENCODED-byte order") {
+    // the reference sorts the whole encoded line (mrjob/sim.py:764-767),
+    // so heterogeneous JSON values order as bytes: '"a"' (0x22) < '10'
+    // ('1') < '9' < 'true' ('t') — typed ordering would put 9 before 10
+    import org.json4s._
+    import graft.api.PyJson
+    implicit val e2: org.apache.spark.sql.Encoder[(String, JValue)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.kryo[JValue])
+    import spark.implicits._
+    val data = spark.createDataset(Seq((null: String, "seed")))
+    val step = MrStep[String, String, String, JValue, String, String](
+      mapper = (_, _) => Iterator(
+        ("k", JInt(10): JValue), ("k", JInt(9): JValue),
+        ("k", JBool(true): JValue), ("k", JString("a"): JValue)),
+      reducer = (k, vs) =>
+        Iterator.single((k, vs.map(PyJson.dumps).mkString(","))),
+      sortValuesRaw = true,
+      cmdProtocols = Some(CmdProtocols(RawValueProtocol, StrJsonProtocol,
+        TextPairProtocol)))
+    val got = MrPipeline.fromDataset(data).step(step).ds.collect().toMap
+    assert(got == Map("k" -> "\"a\",10,9,true"))
+  }
+
   test("combiner and combiner_cmd are mutually exclusive") {
     intercept[IllegalArgumentException] {
       MrStep[String, String, String, String, String, String](
@@ -266,4 +291,18 @@ class ApiSpec extends AnyFunSuite {
     // write is byte-compatible with Python's json.dumps (", " sep)
     assert(JsonPairProtocol.write(k, v) == "[\"prev\", \"word\"]\t42")
   }
+}
+
+/** String-keyed JSON-value line protocol for the sortValuesRaw golden
+  * test (file-scope: an inline object would capture the spec class in
+  * the task closure). */
+object StrJsonProtocol
+  extends graft.api.LineProtocol[String, org.json4s.JValue] {
+  def read(line: String): (String, org.json4s.JValue) = {
+    val i = line.indexOf('\t')
+    (line.substring(0, i),
+      org.json4s.jackson.JsonMethods.parse(line.substring(i + 1)))
+  }
+  def write(k: String, v: org.json4s.JValue): String =
+    k + "\t" + graft.api.PyJson.dumps(v)
 }
