@@ -55,20 +55,38 @@ object GraftRunner {
     f"$label.$owner.$stamp.${now.getNano / 1000}%06d"
   }
 
-  /** Load a java-properties conf file into [[JobArgs]]: `file.<name>`
-    * entries become file args, the rest passthru — the mrjob.conf
-    * option-loading analog (mrjob reads YAML conf into runner opts;
-    * a properties file is the JVM-native equivalent). */
-  def loadConf(path: String): JobArgs = {
-    val props = new java.util.Properties()
-    val in = new java.io.FileInputStream(path)
-    try props.load(in) finally in.close()
+  /** Load and STACK java-properties conf files into [[JobArgs]] with
+    * mrjob.conf's combining semantics (mrjob reads a chain of conf
+    * files — !include / MRJOB_CONF cascade — and combines them per
+    * opt, mrjob/conf.py combine_opts): SCALAR keys take the
+    * latest-file value (combine_values); `list.<name>` keys
+    * CONCATENATE earlier→later (combine_lists — setup commands,
+    * application args), surfaced as the comma-joined passthru
+    * `<name>`; `file.<name>` entries merge as a dict with later-file
+    * override per name (combine_dicts). A properties file is the
+    * JVM-native stand-in for mrjob's YAML. */
+  def loadConf(paths: String*): JobArgs = {
     import scala.jdk.CollectionConverters._
-    val (files, passthru) = props.asScala.toMap.partition {
-      case (k, _) => k.startsWith("file.")
+    var scalars = Map.empty[String, String]
+    var lists = Map.empty[String, Vector[String]]
+    var files = Map.empty[String, String]
+    paths.foreach { path =>
+      val props = new java.util.Properties()
+      val in = new java.io.FileInputStream(path)
+      try props.load(in) finally in.close()
+      props.asScala.toSeq.sortBy(_._1).foreach {
+        case (k, v) if k.startsWith("file.") =>
+          files += k.stripPrefix("file.") -> v
+        case (k, v) if k.startsWith("list.") =>
+          val name = k.stripPrefix("list.")
+          lists += name -> (lists.getOrElse(name, Vector.empty) :+ v)
+        case (k, v) => scalars += k -> v
+      }
     }
-    JobArgs(passthru = passthru,
-      fileArgs = files.map { case (k, v) => k.stripPrefix("file.") -> v })
+    JobArgs(
+      passthru = scalars ++
+        lists.map { case (k, v) => k -> v.mkString(",") },
+      fileArgs = files)
   }
 
   /** `with mr_job.make_runner() as runner:` (runner.py:621-624) —

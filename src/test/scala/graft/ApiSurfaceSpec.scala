@@ -201,6 +201,29 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(args.fileArgs == Map("stop_words" -> "/tmp/stop.txt"))
   }
 
+  test("runner: conf files stack with mrjob precedence (override + list concat)") {
+    // mrjob/conf.py combine_opts: later conf wins for scalars
+    // (combine_values), list opts concatenate earlier→later
+    // (combine_lists), dict opts merge per key (combine_dicts)
+    val base = java.nio.file.Files.createTempFile("graft-base", ".properties")
+    java.nio.file.Files.writeString(base,
+      "min_count=3\nowner=alice\nlist.setup=echo base\n" +
+        "file.stop_words=/tmp/base_stop.txt\nfile.model=/tmp/model.bin\n")
+    val over = java.nio.file.Files.createTempFile("graft-over", ".properties")
+    java.nio.file.Files.writeString(over,
+      "min_count=7\nlist.setup=echo override\n" +
+        "file.stop_words=/tmp/override_stop.txt\n")
+    val args = GraftRunner.loadConf(base.toString, over.toString)
+    // scalar: later file wins; untouched scalar survives
+    assert(args.passthruLong("min_count", 1L) == 7L)
+    assert(args.passthru("owner") == "alice")
+    // list opt: concatenated in stacking order
+    assert(args.passthru("setup") == "echo base,echo override")
+    // file dict: per-name override, unrelated entry survives
+    assert(args.fileArgs == Map("stop_words" -> "/tmp/override_stop.txt",
+      "model" -> "/tmp/model.bin"))
+  }
+
   // ---- combiner brackets (mrjob/job.py:414-449) ----
 
   test("combiner_init/final run once per task around combine runs") {
