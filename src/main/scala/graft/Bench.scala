@@ -72,8 +72,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Superlinearity probe (round-2 verdict #9): the heaviest queries
+    // re-timed on a 10× blow-up of documents/embeddings whose
+    // similarity structure grows LINEARLY with the factor (see
+    // graft.sources.Blowup) — sec growing much past ~10× the base
+    // median names a scaling bug. One rep (the comparison is
+    // order-of-magnitude, and the blow-up corpus is marker-cached).
+    val probeNames = Seq("dedup_clusters", "dedup_jaccard",
+      "dedup_minhash", "boilerplate_ratio", "text_classifier",
+      "dedup_embedding")
+    val blowDir = graft.sources.Blowup.ensure(spark, sfDir, factor = 10)
+    val probe = probeNames.map { nm =>
+      val base = results.toMap.getOrElse(nm, -1.0)
+      val t = run(nm, blowDir)
+      s""""$nm":{"base":$base,"x10":$t}"""
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","blowup10x":$probe}"""
     Files.write(Paths.get("bench_out.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)

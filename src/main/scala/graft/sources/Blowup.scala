@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus replication for scale probes: blow `documents`/`embeddings`
+  * up `factor`× while keeping the SIMILARITY STRUCTURE linear in the
+  * factor — the superlinearity probe the round-2 verdict asked for
+  * (bench the heaviest queries at 10× and check sec grows ~linearly).
+  *
+  * A naive union of N copies is the wrong experiment: identical texts
+  * across copies make every base near-dup pair an N²-family of
+  * cross-copy pairs, so the OUTPUT grows quadratically and any engine
+  * looks superlinear. Instead each copy k:
+  *  - prefixes every token with `c<k>_` — a per-copy bijection of the
+  *    vocabulary, so within-copy shingle/token-set similarity is
+  *    IDENTICAL to the base corpus (both sides of a pair transform the
+  *    same way) while cross-copy similarity is exactly zero;
+  *  - shifts embedding `label` blocks by 1000·k — block sizes stay
+  *    constant, block count grows linearly, cross-copy blocked pairs
+  *    are impossible.
+  * Result: factor× rows, factor× true pairs, factor× blocks — any
+  * super-linear runtime growth is the engine's fault, not the data's.
+  *
+  * Only the two text/vector tables are replicated (the probe queries
+  * read nothing else). Marker-cached per (sf dir, factor) in the
+  * GraftFs scratch root.
+  */
+object Blowup {
+
+  def ensure(spark: SparkSession, sfDir: String, factor: Int = 10): String = {
+    val out = GraftFs.scratchDir(spark, s"graft_blowup${factor}x_v1_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val fs = GraftFs(spark)
+    if (!fs.exists(s"$out/_MARKER")) {
+      val copies = explode(sequence(lit(0), lit(factor - 1))).as("k")
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          copies)
+        .select((col("doc_id") + col("k") * 10000000L).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            x => concat(lit("c"), col("k"), lit("_"), x)), " ").as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"), col("label"), copies)
+        .select((col("vec_id") + col("k") * 10000000L).as("vec_id"),
+          col("embedding"),
+          (col("label") + col("k") * 1000).cast("int").as("label"))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      fs.touchz(s"$out/_MARKER")
+    }
+    out
+  }
+}
