@@ -96,9 +96,11 @@ object DedupOps {
     * generator must emit. On a realistically sparse corpus the bucket
     * join prunes to near-linear. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // sorted once per doc → candidate verify is a codegen'd
+    // two-pointer merge (SortedIntersectCount), not a per-pair hash set
     val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("source"),
-      array_distinct(transform(split(col("text"), " "), t => xxhash64(t)))
-        .as("toks"))
+      sort_array(array_distinct(
+        transform(split(col("text"), " "), t => xxhash64(t)))).as("toks"))
     // blocking keys ride through the signature aggregation (no
     // metadata re-join) and join as part of the bucket key
     val sigs = minhashSignaturesFromSets(docs(spark, dir),
@@ -113,7 +115,8 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    val inter = size(array_intersect(col("ti"), col("tj")))
+    val inter = graft.functions.SortedIntersectCount.count(
+      col("ti"), col("tj"))
     val uni = size(col("ti")) + size(col("tj")) - inter
     cands
       .join(d.select(col("doc_id").as("i"), col("toks").as("ti")), Seq("i"))
@@ -275,19 +278,24 @@ object DedupOps {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
   }
 
-  /** Distinct 64-bit shingle-hash sets for exact Jaccard verification:
-    * one xxhash64 per STRING 3-shingle — collision-free at corpus
-    * shingle cardinalities (P ≈ n²/2⁶⁵), so counts over these sets
-    * equal counts over the string-shingle sets themselves and a SQL
-    * oracle computing string-list Jaccard matches exactly. (The 30-bit
-    * [[shingleHashesFrom]] space exists only for the signature path,
-    * where (A·x+B) must fit ANSI long arithmetic; at ~50k corpus
-    * shingles it would collide a couple of times — harmless for
-    * recall, fatal for an exact-hash gate.) */
+  /** SORTED distinct 64-bit shingle-hash sets for exact Jaccard
+    * verification: one xxhash64 per STRING 3-shingle — collision-free
+    * at corpus shingle cardinalities (P ≈ n²/2⁶⁵), so counts over
+    * these sets equal counts over the string-shingle sets themselves
+    * and a SQL oracle computing string-list Jaccard matches exactly.
+    * (The 30-bit [[shingleHashesFrom]] space exists only for the
+    * signature path, where (A·x+B) must fit ANSI long arithmetic; at
+    * ~50k corpus shingles it would collide a couple of times —
+    * harmless for recall, fatal for an exact-hash gate.)
+    *
+    * Sorted ONCE per doc so every candidate-pair check is a codegen'd
+    * two-pointer merge ([[graft.functions.SortedIntersectCount]])
+    * instead of a per-pair hash-set `array_intersect` — the verify
+    * step runs once per candidate, the sort once per doc. */
   def shingleSets(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
-      array_distinct(transform(shingles(col("text")), s => xxhash64(s)))
-        .as("shs"))
+      sort_array(array_distinct(
+        transform(shingles(col("text")), s => xxhash64(s)))).as("shs"))
 
   /** LSH band-bucket candidate pairs: split the signature into
     * `bands`, hash each band, join docs colliding on (band, hash).
@@ -302,7 +310,8 @@ object DedupOps {
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
     val sh = shingleSets(d)
-    val inter = size(array_intersect(col("si"), col("sj")))
+    val inter = graft.functions.SortedIntersectCount.count(
+      col("si"), col("sj"))
     val uni = size(col("si")) + size(col("sj")) - inter
     cands
       .join(sh.select(col("doc_id").as("i"), col("shs").as("si")), Seq("i"))
@@ -318,7 +327,8 @@ object DedupOps {
   def shingleJaccardAllPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val sh = shingleSets(docs(spark, dir))
-    val inter = size(array_intersect(col("si"), col("sj")))
+    val inter = graft.functions.SortedIntersectCount.count(
+      col("si"), col("sj"))
     val uni = size(col("si")) + size(col("sj")) - inter
     sh.select(col("doc_id").as("i"), col("shs").as("si"))
       .join(sh.select(col("doc_id").as("j"), col("shs").as("sj")),

@@ -108,6 +108,7 @@ class PlanSpec extends AnyFunSuite {
     val bnljBounded = Map(
       "ann_topk" -> "broadcast side = QueryCount (8) query vectors",
       "ann_ivf_topk" -> "broadcast sides = `cells` (16) centroids",
+      "ann_ivf_probe" -> "broadcast sides = `cells` (16) centroids",
       "tf_idf" -> "broadcast side = single-row corpus doc count",
       "word_pmi" -> "broadcast side = single-row corpus totals",
       "doc_perplexity" -> "broadcast side = single-row LM totals",

@@ -57,6 +57,23 @@ object ProfileMain {
           .distinct()
       }),
       "mh_pairs" -> ((s, d) => DedupOps.minhashPairs(mhDocs(s, d))),
+      "mh_cands1r" -> ((s, d) => {
+        val sigs = DedupOps.minhashSignatures(mhDocs(s, d))
+        val banded = DedupOps.lshBands(sigs, 32, 32)
+        banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+          .distinct()
+      }),
+      "mh_prepairs1r" -> ((s, d) => {
+        val sigs = DedupOps.minhashSignatures(mhDocs(s, d))
+        val banded = DedupOps.lshBands(sigs, 32, 32)
+        banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      }),
       "mh_explode" -> ((s, d) => mhDocs(s, d)
         .select(col("doc_id"), DedupOps.tokenHashes(col("text")).as("th"))
         .select(col("doc_id"),
