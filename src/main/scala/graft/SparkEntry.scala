@@ -78,6 +78,8 @@ object SparkEntry {
     "boilerplate_ratio" -> ((s: SparkSession, d: String) =>
       TextAnalysis.boilerplateRatio(s, d)),
     "token_count" -> (TextAnalysis.tokenCount _),
+    "decontaminate" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.decontaminate(s, d)),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "word_pmi" -> ((s: SparkSession, d: String) => TextAnalysis.wordPmi(s, d)),
     "events_hourly" -> (EventQueries.eventsHourly _),
@@ -138,6 +140,7 @@ object SparkEntry {
     "doc_perplexity" -> TextAnalysis.docPerplexitySql,
     "boilerplate_ratio" -> TextAnalysis.boilerplateRatioSql,
     "token_count" -> TextAnalysis.tokenCountSql,
+    "decontaminate" -> TextAnalysis.decontaminateSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "word_pmi" -> TextAnalysis.wordPmiSql,
     "events_hourly" -> EventQueries.eventsHourlySql,

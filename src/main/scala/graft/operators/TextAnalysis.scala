@@ -430,4 +430,56 @@ object TextAnalysis {
       |    (h, t) -> (h * 8191 + t) % 1000003) AS fingerprint
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** Eval-set DECONTAMINATION — the n-gram overlap removal every
+    * serious training pipeline runs before training (the GPT-3/C4
+    * procedure: drop a training doc when it shares n-grams with the
+    * benchmark/eval set): flag corpus docs sharing ≥ `minOverlap`
+    * distinct 3-shingles with the union of benchmark shingles. The
+    * benchmark set here is the deterministic doc_id % 97 == 0 slice —
+    * a seeded stand-in for an external eval corpus, which keeps the
+    * whole query a pure function of `documents` and hence fully
+    * oracled.
+    *
+    * Scale shape: explode to distinct shingle hashes per doc (64-bit —
+    * collision-free, so the DuckDB string-shingle oracle matches
+    * exactly), ONE equi-join on the shingle hash against the distinct
+    * benchmark-shingle set (AQE broadcasts it when it measures small —
+    * eval sets usually are — with a shuffle join as the general path),
+    * then one per-doc count aggregate. Linear in corpus size; no pair
+    * scan anywhere. */
+  def decontaminate(spark: SparkSession, dir: String,
+      minOverlap: Int = 3): DataFrame = {
+    val sh = docs(spark, dir).select(col("doc_id"),
+      explode(array_distinct(transform(DedupOps.shingles(col("text")),
+        s => xxhash64(s)))).as("g"))
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(bench, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minOverlap)
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts, text FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ts) < 3 THEN [text]
+      |         ELSE list_transform(range(1, len(ts) - 1),
+      |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS sh
+      |  FROM d),
+      |bench AS (
+      |  SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
+      |corpus AS (
+      |  SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s
+      |  WHERE doc_id % 97 <> 0),
+      |hit AS (
+      |  SELECT c.doc_id, COUNT(*) AS n_hits
+      |  FROM corpus c JOIN bench b USING (g)
+      |  GROUP BY c.doc_id)
+      |SELECT doc_id, n_hits FROM hit WHERE n_hits >= 3
+      |ORDER BY doc_id""".stripMargin
 }
