@@ -80,6 +80,7 @@ object SparkEntry {
     "token_count" -> (TextAnalysis.tokenCount _),
     "decontaminate" -> ((s: SparkSession, d: String) =>
       TextAnalysis.decontaminate(s, d)),
+    "repetition_filter" -> (TextAnalysis.repetitionFilter _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "word_pmi" -> ((s: SparkSession, d: String) => TextAnalysis.wordPmi(s, d)),
     "events_hourly" -> (EventQueries.eventsHourly _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "boilerplate_ratio" -> TextAnalysis.boilerplateRatioSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "decontaminate" -> TextAnalysis.decontaminateSql,
+    "repetition_filter" -> TextAnalysis.repetitionFilterSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "word_pmi" -> TextAnalysis.wordPmiSql,
     "events_hourly" -> EventQueries.eventsHourlySql,

@@ -431,6 +431,70 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style REPETITION filter (Rae et al. 2021 "Scaling
+    * Language Models" quality rules, the repetition subset): per doc,
+    * the most-frequent-bigram coverage and the duplicate-token
+    * fraction, as integer ppm (integral DIV — engine-exact on both
+    * oracle sides), plus the repetitive flag at the
+    * top-bigram > 6% OR dup-token > 60% thresholds. Repetitive docs
+    * (boilerplate loops, keyword stuffing, degenerate generations)
+    * are dropped before LM training.
+    *
+    * Scale shape: one explode + two hash aggregates (bigram counts
+    * partial-agg map-side, then per-doc max/sum) + an equi-join back
+    * to the per-doc token stats — linear, one shuffle per agg. The
+    * bigram array is built from a MATERIALIZED token-array column
+    * across a projection boundary (the nested-HOF re-evaluation trap)
+    * and passed to explode as an expression (the
+    * InferFiltersFromGenerate trap). */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val tok = d.select(col("doc_id"),
+      size(col("ts")).cast("long").as("n_tok"),
+      size(array_distinct(col("ts"))).cast("long").as("n_dis"))
+    val bg = d.select(col("doc_id"),
+      explode(when(size(col("ts")) < 2,
+          array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => concat_ws(" ", element_at(col("ts"), i),
+            element_at(col("ts"), i + 1))))).as("b"))
+    val agg = bg.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top"), sum(col("c")).as("tot"))
+    agg.join(tok, Seq("doc_id"))
+      .select(col("doc_id"),
+        expr("1000000 * top DIV tot").as("top_bigram_ppm"),
+        expr("1000000 * (n_tok - n_dis) DIV n_tok").as("dup_token_ppm"))
+      .withColumn("repetitive",
+        col("top_bigram_ppm") > 60000 || col("dup_token_ppm") > 600000)
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionFilterSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ts)),
+      |      i -> ts[i] || ' ' || ts[i+1])) AS b
+      |  FROM d),
+      |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, MAX(c) AS top, CAST(SUM(c) AS BIGINT) AS tot
+      |  FROM bc GROUP BY 1),
+      |tok AS (
+      |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_dis
+      |  FROM d)
+      |SELECT a.doc_id,
+      |  1000000 * top // tot AS top_bigram_ppm,
+      |  1000000 * (n_tok - n_dis) // n_tok AS dup_token_ppm,
+      |  (1000000 * top // tot > 60000 OR
+      |   1000000 * (n_tok - n_dis) // n_tok > 600000) AS repetitive
+      |FROM agg a JOIN tok t ON a.doc_id = t.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
   /** Eval-set DECONTAMINATION — the n-gram overlap removal every
     * serious training pipeline runs before training (the GPT-3/C4
     * procedure: drop a training doc when it shares n-grams with the
