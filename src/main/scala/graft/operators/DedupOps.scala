@@ -165,16 +165,6 @@ object DedupOps {
 
   // ---------------- MinHash + LSH (non-oracled scale path) ----------
 
-  /** 3-token shingles of a text column (codegen'd array ops). */
-  def shingles(text: Column): Column = {
-    val ts = split(text, " ")
-    val n = size(ts)
-    when(n < 3, array(text)).otherwise(
-      transform(sequence(lit(1), n - 2), i =>
-        concat_ws(" ", element_at(ts, i), element_at(ts, i + 1),
-          element_at(ts, i + 2))))
-  }
-
   /** Numeric shingling: hash each token once, then combine three
     * consecutive token hashes arithmetically (30-bit modular space so
     * ANSI long math can't overflow). Equivalent to hashing string
@@ -278,24 +268,38 @@ object DedupOps {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
   }
 
+  /** 64-bit hash per 3-shingle of a MATERIALIZED token-array column —
+    * `xxhash64(t1, t2, t3)` chains per-field with the running hash as
+    * seed, so token boundaries are preserved without building the
+    * concatenated shingle STRING (the string form paid a concat +
+    * re-hash per shingle; this is three array lookups and one chained
+    * hash). Collision-free at corpus shingle cardinalities
+    * (P ≈ n²/2⁶⁵), so set COUNTS over these hashes equal counts over
+    * the string-shingle sets and a SQL oracle computing string-list
+    * overlap matches exactly. (The 30-bit [[shingleHashesFrom]] space
+    * exists only for the signature path, where (A·x+B) must fit ANSI
+    * long arithmetic.) `ts` must be a materialized attribute, not a
+    * `split(...)` expression — the lambda references it three times
+    * per element (the nested-HOF re-evaluation trap). */
+  def shingleHashes64(ts: Column): Column = {
+    val n = size(ts)
+    when(n < 3, array(xxhash64(array_join(ts, " "))))
+      .otherwise(transform(sequence(lit(1), n - 2),
+        i => xxhash64(element_at(ts, i), element_at(ts, i + 1),
+          element_at(ts, i + 2))))
+  }
+
   /** SORTED distinct 64-bit shingle-hash sets for exact Jaccard
-    * verification: one xxhash64 per STRING 3-shingle — collision-free
-    * at corpus shingle cardinalities (P ≈ n²/2⁶⁵), so counts over
-    * these sets equal counts over the string-shingle sets themselves
-    * and a SQL oracle computing string-list Jaccard matches exactly.
-    * (The 30-bit [[shingleHashesFrom]] space exists only for the
-    * signature path, where (A·x+B) must fit ANSI long arithmetic; at
-    * ~50k corpus shingles it would collide a couple of times —
-    * harmless for recall, fatal for an exact-hash gate.)
+    * verification ([[shingleHashes64]] hashes).
     *
     * Sorted ONCE per doc so every candidate-pair check is a codegen'd
     * two-pointer merge ([[graft.functions.SortedIntersectCount]])
     * instead of a per-pair hash-set `array_intersect` — the verify
     * step runs once per candidate, the sort once per doc. */
   def shingleSets(d: DataFrame): DataFrame =
-    d.select(col("doc_id"),
-      sort_array(array_distinct(
-        transform(shingles(col("text")), s => xxhash64(s)))).as("shs"))
+    d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(shingleHashes64(col("ts")))).as("shs"))
 
   /** LSH band-bucket candidate pairs: split the signature into
     * `bands`, hash each band, join docs colliding on (band, hash).

@@ -514,9 +514,14 @@ object TextAnalysis {
     * scan anywhere. */
   def decontaminate(spark: SparkSession, dir: String,
       minOverlap: Int = 3): DataFrame = {
-    val sh = docs(spark, dir).select(col("doc_id"),
-      explode(array_distinct(transform(DedupOps.shingles(col("text")),
-        s => xxhash64(s)))).as("g"))
+    // token array materialized first; the shingle-hash array expression
+    // goes to explode directly (both measured HOF traps avoided), and
+    // hashing chains token triples — no shingle strings are built
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"),
+        explode(array_distinct(DedupOps.shingleHashes64(col("ts"))))
+          .as("g"))
     val bench = sh.filter(col("doc_id") % 97 === 0)
       .select(col("g")).distinct()
     sh.filter(col("doc_id") % 97 =!= 0)

@@ -138,6 +138,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bh"), s"no band-hash join key in plan:\n$p")
   }
 
+  test("dedup_minhash: band-bucket equi-join candidates, no pair scan") {
+    // the corpus-wide exact contract must get its candidates from the
+    // (band, bh) bucket join — any plan where the candidate join keys
+    // degrade to a non-equi or cross shape is the N² scan this query
+    // exists to avoid
+    val p = plan(operators.DedupOps.dedupMinhash(spark, dir))
+    assert(p.contains("bh"), s"no band-hash join key in plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation went quadratic:\n$p")
+  }
+
   test("tf_idf: scans prune to (doc_id, text); the count branch reads zero columns") {
     val p = plan(operators.TextQueries.tfIdf(spark, dir))
     assert(!p.contains("n_chars") && !p.contains("source"),
