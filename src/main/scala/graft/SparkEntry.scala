@@ -81,6 +81,7 @@ object SparkEntry {
     "decontaminate" -> ((s: SparkSession, d: String) =>
       TextAnalysis.decontaminate(s, d)),
     "repetition_filter" -> (TextAnalysis.repetitionFilter _),
+    "domain_mix" -> (TextAnalysis.domainMix _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "word_pmi" -> ((s: SparkSession, d: String) => TextAnalysis.wordPmi(s, d)),
     "events_hourly" -> (EventQueries.eventsHourly _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "token_count" -> TextAnalysis.tokenCountSql,
     "decontaminate" -> TextAnalysis.decontaminateSql,
     "repetition_filter" -> TextAnalysis.repetitionFilterSql,
+    "domain_mix" -> TextAnalysis.domainMixSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "word_pmi" -> TextAnalysis.wordPmiSql,
     "events_hourly" -> EventQueries.eventsHourlySql,

@@ -431,6 +431,48 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** DOMAIN-MIXING weights — the data-mixing step after cleaning:
+    * per-source document/token totals, each source's share of corpus
+    * tokens (integer ppm via integral DIV), and the α-weighted
+    * sampling weight in LOG space, `0.7·ln(n_tokens)` in integer
+    * micro-nats (α = 0.7 tempers big sources, the standard
+    * LLaMA-style mixture reweighting; samplers exponentiate and
+    * normalize). Log space because ln-quantized-once-per-small-domain
+    * is the established cross-engine-exact pattern (ORACLE-DETERMINISM
+    * rule; word_pmi/doc_perplexity use it), whereas pow(n, 0.7) would
+    * stack two libm roundings.
+    *
+    * Scale shape: one partial+final agg over the corpus, a
+    * fixed-cardinality per-source relation, and a single-row total
+    * broadcast — linear, canonical. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = docs(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("1000000 * n_tokens DIV tot").as("token_share_ppm"),
+        expr("CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 0.7 * 1000000)" +
+          " AS BIGINT)").as("log_weight_micro"))
+      .orderBy(col("source"))
+  }
+
+  val domainMixSql: String =
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM s)
+      |SELECT source, n_docs, n_tokens,
+      |  1000000 * n_tokens // tot AS token_share_ppm,
+      |  CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 0.7 * 1000000) AS BIGINT)
+      |    AS log_weight_micro
+      |FROM s CROSS JOIN t
+      |ORDER BY source""".stripMargin
+
   /** Gopher-style REPETITION filter (Rae et al. 2021 "Scaling
     * Language Models" quality rules, the repetition subset): per doc,
     * the most-frequent-bigram coverage and the duplicate-token

@@ -117,6 +117,7 @@ class PlanSpec extends AnyFunSuite {
       "wc" -> "single-row global aggregate",
       "most_used_word" -> "single-row argmax",
       "seeded_sample" -> "single-row threshold",
+      "domain_mix" -> "broadcast side = single-row corpus token total",
       "sample" -> "single-row count",
       "next_word_stats" -> "single-row total",
     )
