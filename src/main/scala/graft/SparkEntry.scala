@@ -69,6 +69,9 @@ object SparkEntry {
     "dedup_jaccard" -> (DedupOps.dedupJaccard _),
     "dedup_minhash" -> (DedupOps.dedupMinhash _),
     "dedup_clusters" -> (DedupOps.dedupClusters _),
+    "dedup_passage" -> ((s: SparkSession, d: String) =>
+      DedupOps.passageDedup(s, d)),
+    "near_dup_clean" -> (DedupOps.nearDupClean _),
     "dedup_simhash" -> (DedupOps.dedupSimhash _),
     "lang_id" -> (TextAnalysis.langId _),
     "quality_score" -> (TextAnalysis.qualityScore _),
@@ -82,6 +85,8 @@ object SparkEntry {
       TextAnalysis.decontaminate(s, d)),
     "repetition_filter" -> (TextAnalysis.repetitionFilter _),
     "domain_mix" -> (TextAnalysis.domainMix _),
+    "mix_sample" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.mixSample(s, d)),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "word_pmi" -> ((s: SparkSession, d: String) => TextAnalysis.wordPmi(s, d)),
     "events_hourly" -> (EventQueries.eventsHourly _),
@@ -136,6 +141,8 @@ object SparkEntry {
     "dedup_fingerprint" -> DedupOps.dedupFingerprintSql,
     "dedup_jaccard" -> DedupOps.dedupJaccardSql,
     "dedup_clusters" -> DedupOps.dedupClustersSql,
+    "dedup_passage" -> DedupOps.passageDedupSql,
+    "near_dup_clean" -> DedupOps.nearDupCleanSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "corpus_clean" -> TextAnalysis.corpusCleanSql,
@@ -145,6 +152,7 @@ object SparkEntry {
     "decontaminate" -> TextAnalysis.decontaminateSql,
     "repetition_filter" -> TextAnalysis.repetitionFilterSql,
     "domain_mix" -> TextAnalysis.domainMixSql,
+    "mix_sample" -> TextAnalysis.mixSampleSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "word_pmi" -> TextAnalysis.wordPmiSql,
     "events_hourly" -> EventQueries.eventsHourlySql,

@@ -545,4 +545,132 @@ object DedupOps {
       |FROM reach
       |GROUP BY a
       |ORDER BY doc_id""".stripMargin
+
+  // ------------- Exact-substring (passage) dedup -------------
+
+  /** 64-bit hash per length-`w` token window (stride 1) of a
+    * MATERIALIZED token-array column — the window generalization of
+    * [[shingleHashes64]]: `xxhash64(t_i, …, t_{i+w-1})` chains
+    * per-field with the running hash as seed, so token boundaries are
+    * preserved without building any window STRING. Docs shorter than
+    * `w` tokens contribute their whole text as one window (mirrors
+    * the shingle short-doc convention, so the SQL oracle's `[text]`
+    * branch lines up). Collision-free at corpus window cardinalities
+    * (P ≈ n²/2⁶⁵), so counts over these hashes equal counts over the
+    * string windows. */
+  def windowHashes64(ts: Column, w: Int): Column = {
+    val n = size(ts)
+    when(n < w, array(xxhash64(array_join(ts, " "))))
+      .otherwise(transform(sequence(lit(1), n - (w - 1)),
+        i => xxhash64(Seq.tabulate(w)(k => element_at(ts, i + k)): _*)))
+  }
+
+  /** Exact-substring (PASSAGE) dedup — the window-hash formulation of
+    * suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): a length-`w` token
+    * window occurring in MORE THAN ONE document marks a duplicated
+    * passage even when the docs as a whole are distinct — licenses,
+    * boilerplate headers, quoted chunks that survive doc-level dedup.
+    * Per doc: distinct windows, windows shared with any other doc,
+    * duplicated fraction as integer ppm, and a flag at `minDupPpm`.
+    *
+    * Scale shape: explode per-doc DISTINCT window hashes (linear in
+    * corpus tokens), partial-agg groupBy on the hash to find windows
+    * in ≥2 docs (the shared set is tiny next to the corpus — only
+    * actually-duplicated passages), one equi-join back, one per-doc
+    * count. NO pair scan anywhere: a passage shared by k docs costs k
+    * rows, not k². The suffix-array original needs a global sorted
+    * structure; the window-hash form is embarrassingly parallel and
+    * loses only substring positions, which the flag/ppm outputs don't
+    * need. Reference analog: none in mrjob — training-pipeline
+    * extension surface (BASELINE.json). */
+  def passageDedup(spark: SparkSession, dir: String, w: Int = 8,
+      minDupPpm: Int = 200000): DataFrame =
+    passageDedupOn(docs(spark, dir), w, minDupPpm)
+
+  /** [[passageDedup]] over any (doc_id, text) frame — spec entry. */
+  def passageDedupOn(d: DataFrame, w: Int = 8,
+      minDupPpm: Int = 200000): DataFrame = {
+    val u = d
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"),
+        explode(array_distinct(windowHashes64(col("ts"), w))).as("g"))
+    val shared = u.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("g"), lit(1).as("dup"))
+    u.join(shared, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"), count(col("dup")).as("n_dup"))
+      .select(col("doc_id"), col("n_win"), col("n_dup"),
+        expr("1000000 * n_dup DIV n_win").as("dup_ppm"))
+      .withColumn("has_dup_passage", col("dup_ppm") >= lit(minDupPpm))
+      .orderBy(col("doc_id"))
+  }
+
+  val passageDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts, text FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ts) < 8 THEN [text]
+      |         ELSE list_transform(range(1, len(ts) - 6),
+      |                i -> array_to_string(list_slice(ts, i, i + 7), ' ')) END AS ws
+      |  FROM d),
+      |u AS (SELECT doc_id, unnest(list_distinct(ws)) AS g FROM w),
+      |shared AS (SELECT g FROM u GROUP BY g HAVING COUNT(*) > 1),
+      |per AS (
+      |  SELECT u.doc_id, COUNT(*) AS n_win, COUNT(s.g) AS n_dup
+      |  FROM u LEFT JOIN shared s USING (g)
+      |  GROUP BY u.doc_id)
+      |SELECT doc_id, n_win, n_dup,
+      |  1000000 * n_dup // n_win AS dup_ppm,
+      |  (1000000 * n_dup // n_win >= 200000) AS has_dup_passage
+      |FROM per ORDER BY doc_id""".stripMargin
+
+  // ------------- End-to-end near-dup clean -------------
+
+  /** End-to-end NEAR-dup clean: the corpus that remains after
+    * clustering Jaccard near-dups and keeping one survivor (min
+    * doc_id) per cluster — the near-dup analog of the exact-dedup
+    * stage in [[TextAnalysis.corpusClean]], and the output a training
+    * pipeline actually writes. Composition of two already-oracled
+    * contracts: [[dedupJaccard]] (LSH candidates + exact verify,
+    * Σ bucket²) → [[resolveDupClusters]] (converging min-label
+    * propagation) → drop every doc whose cluster label is not itself,
+    * via ONE left-anti equi-join on doc_id (docs in no pair never
+    * enter the cluster step and survive by construction). */
+  def nearDupClean(spark: SparkSession, dir: String): DataFrame = {
+    val drop = resolveDupClusters(dedupJaccard(spark, dir))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+    docs(spark, dir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val nearDupCleanSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j
+      |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+      |    AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    >= 0.8),
+      |edges AS (
+      |  SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+      |reach(a, b) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |drop AS (
+      |  SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) <> a)
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM drop)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -473,6 +473,69 @@ object TextAnalysis {
       |FROM s CROSS JOIN t
       |ORDER BY source""".stripMargin
 
+  /** MIXTURE SAMPLING — domainMix's weights APPLIED: the seeded
+    * per-source downsampling that materializes an α-tempered training
+    * mixture (p_s ∝ n_s^α, α = 0.7). Achieving a tempered share by
+    * SUBSAMPLING only (no upsampling) means keep-rate ∝ n_s^(α−1),
+    * normalized so the largest rate is 1: r_s = (n_min/n_s)^(1−α) —
+    * the smallest source passes through whole, larger sources are
+    * thinned toward the tempered share (the LLaMA/UniMax resampling
+    * rule).
+    * Keep decision: the seeded affine permutation of doc_id over
+    * Z_P ([[TextQueries.seededSample]]'s cross-engine-exact hash)
+    * taken mod 10⁶ against the source's integer rate_ppm — both
+    * engines compute the identical keep set, so the sampled corpus is
+    * fully oracled. The per-source rate quantizes exp∘ln ONCE per
+    * source (the transcendental-once-per-small-domain determinism
+    * rule domainMix already relies on).
+    *
+    * Scale shape: one partial+final agg for per-source token totals
+    * (fixed-cardinality), a single-row max broadcast, one broadcast
+    * join of the rate table against the corpus scan, and a codegen'd
+    * filter — linear, one shuffle, no skew (the filter is
+    * hash-uniform within every source). */
+  def mixSample(spark: SparkSession, dir: String,
+      seed: Long = 7L): DataFrame = {
+    val (a, b) = TextQueries.sampleHashConstants(seed)
+    val per = docs(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+    val mn = per.agg(min(col("n_tokens")).as("mn"))
+    val rates = per.crossJoin(broadcast(mn))
+      .select(col("source"),
+        least(lit(1000000L),
+          expr("CAST(round(exp(0.3 * (ln(CAST(mn AS DOUBLE)) - " +
+            "ln(CAST(n_tokens AS DOUBLE)))) * 1000000) AS BIGINT)"))
+          .as("rate_ppm"))
+    docs(spark, dir)
+      .join(broadcast(rates), Seq("source"))
+      .filter(pmod(pmod(col("doc_id"), lit(TextQueries.SamplePrime)) * a + b,
+        lit(TextQueries.SamplePrime)) % 1000000L < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("lang"), col("rate_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mixSampleSql: String = {
+    val (a, b) = TextQueries.sampleHashConstants(7L)
+    val p = TextQueries.SamplePrime
+    s"""WITH s AS (
+       |  SELECT source,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |m AS (SELECT MIN(n_tokens) AS mn FROM s),
+       |r AS (
+       |  SELECT source, LEAST(1000000,
+       |    CAST(round(exp(0.3 * (ln(CAST(mn AS DOUBLE)) -
+       |      ln(CAST(n_tokens AS DOUBLE)))) * 1000000) AS BIGINT)) AS rate_ppm
+       |  FROM s CROSS JOIN m)
+       |SELECT d.doc_id, d.source, d.lang, r.rate_ppm
+       |FROM documents d JOIN r USING (source)
+       |WHERE (d.doc_id % $p * $a + $b) % $p % 1000000 < rate_ppm
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Gopher-style REPETITION filter (Rae et al. 2021 "Scaling
     * Language Models" quality rules, the repetition subset): per doc,
     * the most-frequent-bigram coverage and the duplicate-token

@@ -189,6 +189,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(DedupOps.resolveDupClusters(empty).collect().isEmpty)
   }
 
+  test("passageDedup flags shared windows across distinct docs only") {
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val d = Seq(
+      (0L, s"$shared india juliet kilo lima mike november oscar papa"),
+      (1L, s"quebec romeo sierra tango uniform victor whiskey xray $shared"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (3L, "short doc under window length"))
+      .toDF("doc_id", "text")
+    val rows = DedupOps.passageDedupOn(d, w = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    // docs 0 and 1 embed the same 8-token passage at different offsets;
+    // each contributes exactly one shared window (the passage itself)
+    assert(rows(0L)._2 == 1L, s"doc 0 dup windows: ${rows(0L)}")
+    assert(rows(1L)._2 == 1L, s"doc 1 dup windows: ${rows(1L)}")
+    assert(rows(2L)._2 == 0L, "distinct doc must have no shared windows")
+    // 16-token docs have 9 windows; 1/9 ≈ 111111 ppm < 200000 default
+    assert(!rows(0L)._3 && !rows(2L)._3)
+    // short doc: whole text is its single window, unshared
+    assert(rows(3L)._1 == 1L && rows(3L)._2 == 0L)
+  }
+
+  test("passageDedup: identical docs are fully duplicated passages") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq((0L, t), (1L, t)).toDF("doc_id", "text")
+    val rows = DedupOps.passageDedupOn(d, w = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    assert(rows(0L) == (1000000L, true) && rows(1L) == (1000000L, true),
+      s"identical docs must be 100% duplicated: $rows")
+  }
+
   test("quantized cosine equals float64 cosine to 1e-5") {
     import spark.implicits._
     val e = graft.sources.Tables.load(spark, SparkFixture.Sf0001, "embeddings")

@@ -82,6 +82,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("mix_sample keeps the max-token source whole and thins larger shares") {
+    val df = operators.TextAnalysis.mixSample(spark, dir)
+    val rates = df.select(col("source"), col("rate_ppm")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates.values.forall(r => r > 0L && r <= 1000000L))
+    assert(rates.values.max == 1000000L,
+      "the min-token source must pass through unsampled")
+    // within a source the kept fraction tracks rate_ppm loosely
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val per = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = df.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (s, r) =>
+      if (r == 1000000L)
+        assert(kept(s) == per(s), s"rate-1.0 source $s lost docs")
+    }
+    // determinism: same seed, same sample
+    val again = operators.TextAnalysis.mixSample(spark, dir)
+    assert(df.collect().toSeq == again.collect().toSeq)
+  }
+
   test("q10 argmin picks the minimum price per part") {
     val df = operators.RelationalQueries.q10Argmin(spark, dir)
     val li = graft.sources.Tables.load(spark, dir, "lineitem")
