@@ -29,10 +29,17 @@ import org.apache.spark.sql.functions._
 object Blowup {
 
   def ensure(spark: SparkSession, sfDir: String, factor: Int = 10): String = {
-    val out = GraftFs.scratchDir(spark, s"graft_blowup${factor}x_v1_" +
+    val out = GraftFs.scratchDir(spark, s"graft_blowup${factor}x_v2_" +
       sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
     val fs = GraftFs(spark)
     if (!fs.exists(s"$out/_MARKER")) {
+      // File-count parity with real growth: the sf tables are single
+      // small parquet files, so a same-layout blow-up would be ONE
+      // file → ONE scan task, and every probe query would single-
+      // thread its scan+explode stage — measuring the file layout,
+      // not the engine (the v1 cache did exactly that: 10× data in
+      // 1 task looked 4× superlinear). A corpus that grew 10× grows
+      // its file count too; write `factor` files per table.
       val copies = explode(sequence(lit(0), lit(factor - 1))).as("k")
       spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -42,12 +49,14 @@ object Blowup {
             x => concat(lit("c"), col("k"), lit("_"), x)), " ").as("text"),
           col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(factor, col("doc_id"))
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"), col("label"), copies)
         .select((col("vec_id") + col("k") * 10000000L).as("vec_id"),
           col("embedding"),
           (col("label") + col("k") * 1000).cast("int").as("label"))
+        .repartition(factor, col("vec_id"))
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       fs.touchz(s"$out/_MARKER")
     }

@@ -118,6 +118,7 @@ class PlanSpec extends AnyFunSuite {
       "most_used_word" -> "single-row argmax",
       "seeded_sample" -> "single-row threshold",
       "domain_mix" -> "broadcast side = single-row corpus token total",
+      "mix_sample" -> "broadcast side = single-row min-token total",
       "sample" -> "single-row count",
       "next_word_stats" -> "single-row total",
     )
