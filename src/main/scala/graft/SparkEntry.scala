@@ -95,6 +95,8 @@ object SparkEntry {
     "events_asof" -> (EventQueries.eventsAsof _),
     "events_pivot" -> (EventQueries.eventsPivot _),
     "events_median" -> (EventQueries.eventsMedian _),
+    "events_quantiles" -> ((s: SparkSession, d: String) =>
+      EventQueries.eventsQuantiles(s, d)),
     "events_attribution" -> (EventQueries.eventsAttribution _),
     "multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "text_classifier" -> (TextClassifier.classify _),

@@ -229,6 +229,31 @@ object EventQueries {
       |WHERE rn = (n + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  /** Approximate per-group QUANTILES — the sketch companion to the
+    * exact [[eventsMedian]]: p50/p95/p99 of `value` per event_type via
+    * Spark's `percentile_approx` (the Greenwald-Khanna sketch).
+    * Exact percentiles need the full per-group sort eventsMedian pays;
+    * the GK sketch is fixed-size and MERGEABLE — partial sketches
+    * combine map-side like any partial agg, so at 100 TB this is one
+    * ordinary partial+final aggregation with no global sort anywhere
+    * (the same scale argument as hll_distinct vs q6_distinct).
+    * Sketch-defined output → registered rows-only; the spec pins the
+    * GK rank-error contract (≤ n/accuracy) against the exact sorted
+    * quantiles, mirroring the HLL 5%-error gate. */
+  def eventsQuantiles(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val qs = array(lit(0.5), lit(0.95), lit(0.99))
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        percentile_approx(col("value"), qs, lit(accuracy)).as("q"))
+      .select(col("event_type"), col("n_events"),
+        element_at(col("q"), 1).as("p50"),
+        element_at(col("q"), 2).as("p95"),
+        element_at(col("q"), 3).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   val eventsSessionizeSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -82,6 +82,31 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("events_quantiles honors the GK rank-error bound per group") {
+    val acc = 10000
+    val approx = operators.EventQueries.eventsQuantiles(spark, dir, acc)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val byType = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    approx.foreach { case (tpe, (n, ps)) =>
+      val sorted = byType(tpe)
+      assert(n == sorted.length)
+      Seq(0.5, 0.95, 0.99).zip(ps).foreach { case (q, v) =>
+        // GK contract: returned value's rank within n/accuracy of q·n
+        val eps = sorted.length.toDouble / acc + 1
+        val lo = math.max(0, math.floor(q * sorted.length - eps).toInt)
+        val hi = math.min(sorted.length - 1,
+          math.ceil(q * sorted.length + eps).toInt)
+        assert(v >= sorted(lo) && v <= sorted(hi),
+          s"$tpe p$q=$v outside [${sorted(lo)}, ${sorted(hi)}]")
+      }
+    }
+  }
+
   test("mix_sample keeps the max-token source whole and thins larger shares") {
     val df = operators.TextAnalysis.mixSample(spark, dir)
     val rates = df.select(col("source"), col("rate_ppm")).distinct()
