@@ -80,7 +80,8 @@ object Bench {
     // order-of-magnitude, and the blow-up corpus is marker-cached).
     val probeNames = Seq("dedup_clusters", "dedup_jaccard",
       "dedup_minhash", "boilerplate_ratio", "text_classifier",
-      "dedup_embedding")
+      "dedup_embedding", "near_dup_clean", "dedup_passage",
+      "decontaminate")
     val blowDir = graft.sources.Blowup.ensure(spark, sfDir, factor = 10)
     val probe = probeNames.map { nm =>
       val base = results.toMap.getOrElse(nm, -1.0)

@@ -88,6 +88,8 @@ object SparkEntry {
     "mix_sample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.mixSample(s, d)),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "bpe_vocab" -> ((s: SparkSession, d: String) =>
+      BpeOps.bpeVocab(s, d)),
     "word_pmi" -> ((s: SparkSession, d: String) => TextAnalysis.wordPmi(s, d)),
     "events_hourly" -> (EventQueries.eventsHourly _),
     "events_json" -> (EventQueries.eventsJson _),

@@ -16,7 +16,11 @@ object Verify {
       // read as nanos-since-epoch longs (EventQueries converts).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: first-build glob reads of the nick_nack/WET
+    // fixtures make FileStreamSink's metadata probe log a benign
+    // FileNotFoundException stack trace at WARN (same rationale as
+    // Bench); every query output is still written and compared.
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (the driver sets no env): comma-separated
     // query names to dump, for fast oracle iteration via tools/check.py.

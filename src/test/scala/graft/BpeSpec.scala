@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.BpeOps
+
+/** BPE merge induction pinned against a direct pure-Scala
+  * transcription of the published algorithm (Sennrich et al. 2016,
+  * learn_bpe): same init (chars + </w>), same weighted pair stats,
+  * same deterministic tie-break (count desc, "a b" string asc), same
+  * left-to-right non-overlapping merge application. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  /** Reference learner (driver-side, exponential-free, small data). */
+  private def refBpe(corpus: Seq[String], merges: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = corpus
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity)
+      .map { case (w, ws) =>
+        (w.map(_.toString).toVector :+ "</w>") -> ws.size.toLong
+      }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < merges && !done) {
+      val stats = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        stats((syms(i), syms(i + 1))) += f
+      if (stats.isEmpty) done = true
+      else {
+        val ((a, b), c) = stats.toSeq
+          .minBy { case ((x, y), n) => (-n, x + " " + y) }
+        out += ((a, b, c))
+        vocab = vocab.map { case (syms, f) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              nb += (a + b); i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          nb.result() -> f
+        }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  private def check(corpus: Seq[String], merges: Int): Unit = {
+    import spark.implicits._
+    val got = BpeOps.learnMerges(corpus.toDF("text"), merges)
+      .map { case (_, a, b, c) => (a, b, c) }
+    val want = refBpe(corpus, merges)
+    assert(got == want,
+      s"merge tables diverge:\n got=$got\nwant=$want")
+  }
+
+  test("bpe merges match the reference algorithm on a planted corpus") {
+    check(Seq(
+      "low low low low low",
+      "lower lower newest newest newest newest newest newest",
+      "widest widest widest"), 10)
+  }
+
+  test("bpe handles repeats, ties, and single-char words identically") {
+    check(Seq(
+      "aaa aaa aa a b",
+      "abab ab ba",
+      "x y z zz"), 12)
+  }
+
+  test("bpe stops when fully merged instead of looping") {
+    // 2 distinct tiny words exhaust their pairs before 50 merges
+    check(Seq("ab ab cd"), 50)
+  }
+}
