@@ -90,6 +90,11 @@ object SparkEntry {
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "bpe_vocab" -> ((s: SparkSession, d: String) =>
       BpeOps.bpeVocab(s, d)),
+    "train_val_split" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.trainValSplit(s, d)),
+    "ppl_filter" -> (TextAnalysis.pplFilter _),
+    "heavy_hitters" -> ((s: SparkSession, d: String) =>
+      SketchOps.heavyHitters(s, d)),
     "word_pmi" -> ((s: SparkSession, d: String) => TextAnalysis.wordPmi(s, d)),
     "events_hourly" -> (EventQueries.eventsHourly _),
     "events_json" -> (EventQueries.eventsJson _),
@@ -158,6 +163,9 @@ object SparkEntry {
     "domain_mix" -> TextAnalysis.domainMixSql,
     "mix_sample" -> TextAnalysis.mixSampleSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "train_val_split" -> TextAnalysis.trainValSplitSql,
+    "ppl_filter" -> TextAnalysis.pplFilterSql,
+    "heavy_hitters" -> SketchOps.heavyHittersSql,
     "word_pmi" -> TextAnalysis.wordPmiSql,
     "events_hourly" -> EventQueries.eventsHourlySql,
     "events_json" -> EventQueries.eventsJsonSql,

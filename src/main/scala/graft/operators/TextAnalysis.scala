@@ -656,4 +656,118 @@ object TextAnalysis {
       |  GROUP BY c.doc_id)
       |SELECT doc_id, n_hits FROM hit WHERE n_hits >= 3
       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic seeded train/val/test split (90/5/5) with per-
+    * (source, split) doc and token totals — the assignment step every
+    * training pipeline runs before writing shards.
+    *
+    * The split decision reuses the affine-permutation hash
+    * (TextQueries.sampleHashConstants): h = ((id mod P)·a+b) mod P is
+    * a PERMUTATION of Z_P both engines compute exactly, so assignment
+    * is reproducible cross-engine (no engine-defined rand/xxhash) and
+    * per-doc independent — a doc's split never changes when the
+    * corpus grows, the property that keeps eval sets stable across
+    * crawl snapshots.
+    *
+    * Scale shape: one scan, one partial+final agg to a
+    * sources×3-cardinality result. The assignment itself is a
+    * codegen'd expression — at 100 TB the same expression tags shards
+    * on write (partitionBy("split")) with zero extra shuffles. */
+  def trainValSplit(spark: SparkSession, dir: String,
+      seed: Long = 11L): DataFrame = {
+    val (a, b) = TextQueries.sampleHashConstants(seed)
+    val p = TextQueries.SamplePrime
+    docs(spark, dir)
+      .select(col("source"),
+        (pmod(pmod(col("doc_id"), lit(p)) * a + b, lit(p)) % 1000000L)
+          .as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .select(col("source"),
+        when(col("h") < 900000L, lit("train"))
+          .when(col("h") < 950000L, lit("val"))
+          .otherwise(lit("test")).as("split"),
+        col("n_tok"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val trainValSplitSql: String = {
+    val (a, b) = TextQueries.sampleHashConstants(11L)
+    val p = TextQueries.SamplePrime
+    s"""SELECT source,
+       |  CASE WHEN h < 900000 THEN 'train'
+       |       WHEN h < 950000 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |FROM (
+       |  SELECT source, (doc_id % $p * $a + $b) % $p % 1000000 AS h,
+       |    len(string_split(text, ' ')) AS n_tok
+       |  FROM documents) t
+       |GROUP BY source, split
+       |ORDER BY source, split""".stripMargin
+  }
+
+  /** CCNet-style perplexity filtering: keep the 75% most-fluent docs
+    * under the corpus bigram LM (docPerplexity scores), i.e. docs with
+    * avg_nll_micro ≤ the exact p75 threshold in quantile_disc
+    * semantics (ties at the threshold all kept — deterministic, no
+    * per-tie ordering).
+    *
+    * The threshold is computed the SCALABLE exact way: a value
+    * HISTOGRAM (groupBy avg_nll_micro — distinct scores ≪ docs), a
+    * running sum over the sorted distinct values (the only global
+    * window, over histogram rows, not docs), min value whose
+    * cumulative count covers 3n/4, then one broadcast threshold
+    * filter over the scores. No global sort of the corpus ever
+    * happens — the 100 TB alternative for looser tolerance is
+    * percentile_approx (see eventsQuantiles), but p75-on-integers is
+    * exactly computable at scale with this histogram shape. */
+  def pplFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ppl = docPerplexity(spark, dir)
+      .select(col("doc_id"), col("avg_nll_micro"))
+    val hist = ppl.groupBy(col("avg_nll_micro"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.select(col("avg_nll_micro"),
+      sum(col("c")).over(Window.orderBy(col("avg_nll_micro"))).as("cum"))
+    val n = ppl.agg(count(lit(1)).as("n"))
+    val thr = cum.crossJoin(broadcast(n))
+      .filter(col("cum") * 4 >= col("n") * 3)
+      .agg(min(col("avg_nll_micro")).as("thr"))
+    ppl.crossJoin(broadcast(thr))
+      .filter(col("avg_nll_micro") <= col("thr"))
+      .select(col("doc_id"), col("avg_nll_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pplFilterSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |occ AS (
+      |  SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+      |    SELECT doc_id,
+      |      unnest(list_zip(ts[1:length(ts)-1], ts[2:length(ts)])) AS p
+      |    FROM toks WHERE length(ts) >= 2) t),
+      |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY 1, 2),
+      |uni AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY 1),
+      |lp AS (
+      |  SELECT big.w1, big.w2,
+      |    CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * -1000000)
+      |      AS BIGINT) AS nll_micro
+      |  FROM big JOIN uni ON big.w1 = uni.w1),
+      |ppl AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(nll_micro) AS BIGINT) // COUNT(*) AS avg_nll_micro
+      |  FROM occ JOIN lp ON occ.w1 = lp.w1 AND occ.w2 = lp.w2
+      |  GROUP BY doc_id),
+      |cum AS (
+      |  SELECT avg_nll_micro, SUM(c) OVER (ORDER BY avg_nll_micro) AS cum
+      |  FROM (SELECT avg_nll_micro, COUNT(*) AS c FROM ppl
+      |        GROUP BY avg_nll_micro) h),
+      |t AS (
+      |  SELECT MIN(avg_nll_micro) AS thr FROM cum
+      |  WHERE cum * 4 >= (SELECT COUNT(*) FROM ppl) * 3)
+      |SELECT doc_id, avg_nll_micro FROM ppl, t
+      |WHERE avg_nll_micro <= thr
+      |ORDER BY doc_id""".stripMargin
 }

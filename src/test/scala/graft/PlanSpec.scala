@@ -121,6 +121,8 @@ class PlanSpec extends AnyFunSuite {
       "mix_sample" -> "broadcast side = single-row min-token total",
       "sample" -> "single-row count",
       "next_word_stats" -> "single-row total",
+      "ppl_filter" -> "broadcast sides = single-row corpus count + single-row p75 threshold",
+      "heavy_hitters" -> "broadcast side = single-row occurrence total",
     )
     for ((name, q) <- SparkEntry.queries) {
       val p = plan(q(spark, dir))
