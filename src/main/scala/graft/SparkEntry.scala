@@ -105,6 +105,8 @@ object SparkEntry {
     "events_quantiles" -> ((s: SparkSession, d: String) =>
       EventQueries.eventsQuantiles(s, d)),
     "events_attribution" -> (EventQueries.eventsAttribution _),
+    "events_funnel" -> (EventQueries.eventsFunnel _),
+    "events_retention" -> (EventQueries.eventsRetention _),
     "multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "text_classifier" -> (TextClassifier.classify _),
     "phone_to_url" -> (PhoneToUrl.phoneToUrl _),
@@ -174,6 +176,8 @@ object SparkEntry {
     "events_pivot" -> EventQueries.eventsPivotSql,
     "events_median" -> EventQueries.eventsMedianSql,
     "events_attribution" -> EventQueries.eventsAttributionSql,
+    "events_funnel" -> EventQueries.eventsFunnelSql,
+    "events_retention" -> EventQueries.eventsRetentionSql,
     "text_classifier" -> TextClassifier.classifySql,
     "phone_to_url" -> PhoneToUrl.phoneToUrlSql,
     "multimodal_features" -> MultimodalOps.multimodalFeaturesSql,

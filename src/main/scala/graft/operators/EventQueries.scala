@@ -274,4 +274,93 @@ object EventQueries {
       |FROM s
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  /** Ordered conversion funnel signup → view → click → purchase:
+    * users counted at each stage they complete IN ORDER (each stage's
+    * completion time = earliest event of that type strictly after the
+    * previous stage's completion).
+    *
+    * Scale shape: ONE shuffle. A single groupBy(user_id) collects the
+    * per-type sorted timestamp lists (per-user event counts are
+    * human-bounded, so the lists fit task memory — the sessionize
+    * argument), then the stage walk is pure codegen'd array algebra:
+    * `get(filter(xs, _ > prev), 0)` per stage, no second shuffle, no
+    * join chain. The alternative 4-round min-agg/join ladder costs 4
+    * shuffles of the event table for identical semantics. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).withColumn("us", tsMicros)
+    val listOf = (t: String) => sort_array(collect_list(
+      when(col("event_type") === t, col("us"))))
+    val per = e.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "signup", col("us"))).as("s"),
+      listOf("view").as("vs"), listOf("click").as("cs"),
+      listOf("purchase").as("ps"))
+      // get(), not element_at(): empty-list lookup must yield null
+      // (stage not reached), not an ANSI out-of-bounds error
+      .withColumn("v", get(filter(col("vs"), _ > col("s")), lit(0)))
+      .withColumn("c", get(filter(col("cs"), _ > col("v")), lit(0)))
+      .withColumn("p", get(filter(col("ps"), _ > col("c")), lit(0)))
+    per.agg(count(col("s")).as("n1"), count(col("v")).as("n2"),
+        count(col("c")).as("n3"), count(col("p")).as("n4"))
+      .selectExpr("stack(4, 1, 'signup', n1, 2, 'view', n2, " +
+        "3, 'click', n3, 4, 'purchase', n4) AS (stage_idx, stage, n_users)")
+      .orderBy(col("stage_idx"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |per AS (
+      |  SELECT user_id,
+      |    MIN(us) FILTER (WHERE event_type = 'signup') AS s,
+      |    list_sort(list(us) FILTER (WHERE event_type = 'view')) AS vs,
+      |    list_sort(list(us) FILTER (WHERE event_type = 'click')) AS cs,
+      |    list_sort(list(us) FILTER (WHERE event_type = 'purchase')) AS ps
+      |  FROM e GROUP BY user_id),
+      |w1 AS (SELECT *, list_filter(vs, x -> x > s)[1] AS v FROM per),
+      |w2 AS (SELECT *, list_filter(cs, x -> x > v)[1] AS c FROM w1),
+      |w3 AS (SELECT *, list_filter(ps, x -> x > c)[1] AS p FROM w2)
+      |SELECT 1 AS stage_idx, 'signup' AS stage, COUNT(s) AS n_users FROM w3
+      |UNION ALL
+      |SELECT 2, 'view', COUNT(v) FROM w3
+      |UNION ALL
+      |SELECT 3, 'click', COUNT(c) FROM w3
+      |UNION ALL
+      |SELECT 4, 'purchase', COUNT(p) FROM w3
+      |ORDER BY stage_idx""".stripMargin
+
+  /** Cohort retention: users grouped by first-seen day (any event),
+    * counted once per (cohort, day-offset) they return on. Day =
+    * micros DIV 86400e6 — an integer bucket both engines floor
+    * identically (ts is positive).
+    *
+    * Scale shape: one window min over the user partition (same
+    * hash-partitioning a groupBy would shuffle anyway), a distinct on
+    * the already-partitioned (user, offset) pairs, and a final
+    * fixed-cardinality (days × offsets) agg. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events(spark, dir)
+      .select(col("user_id"),
+        expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .select(col("user_id"), col("day"),
+        min(col("day")).over(w).as("cohort_day"))
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val eventsRetentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT e.user_id, cohort_day, day - cohort_day AS day_offset
+      |  FROM e JOIN c USING (user_id))
+      |SELECT cohort_day, day_offset, COUNT(*) AS n_users
+      |FROM a GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
 }

@@ -129,6 +129,48 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.collect().toSeq == again.collect().toSeq)
   }
 
+  test("events_funnel: stages monotone; order matters on a planted user") {
+    import spark.implicits._
+    val got = operators.EventQueries.eventsFunnel(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2))
+    val byStage = got.toMap
+    assert(got.map(_._1).toSeq ==
+      Seq("signup", "view", "click", "purchase"))
+    assert(byStage("signup") >= byStage("view"))
+    assert(byStage("view") >= byStage("click"))
+    assert(byStage("click") >= byStage("purchase"))
+    // planted: user 1 does everything in order; user 2's purchase
+    // PRECEDES the click, so it must not count as stage 4
+    val us = 1000000L
+    val planted = Seq(
+      (1L, "signup", 1 * us), (1L, "view", 2 * us),
+      (1L, "click", 3 * us), (1L, "purchase", 4 * us),
+      (2L, "signup", 1 * us), (2L, "view", 2 * us),
+      (2L, "purchase", 3 * us), (2L, "click", 4 * us))
+      .toDF("user_id", "event_type", "usv")
+      .select(col("user_id"), col("event_type"),
+        (col("usv") * 1000L).as("ts")) // nanos, like the parquet read
+    val tmp = java.nio.file.Files.createTempDirectory("funnel").toString
+    planted.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val f = operators.EventQueries.eventsFunnel(spark, tmp).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f == Map("signup" -> 2L, "view" -> 2L, "click" -> 2L,
+      "purchase" -> 1L))
+  }
+
+  test("events_retention: offset-0 count equals cohort size") {
+    val r = operators.EventQueries.eventsRetention(spark, dir)
+    val rows = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(rows.nonEmpty)
+    // every user appears in their own cohort on day 0
+    val day0 = rows.filter(_._2 == 0L).map(_._3).sum
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(day0 == users)
+    // offsets never precede the cohort day
+    assert(rows.forall(_._2 >= 0L))
+  }
+
   test("q10 argmin picks the minimum price per part") {
     val df = operators.RelationalQueries.q10Argmin(spark, dir)
     val li = graft.sources.Tables.load(spark, dir, "lineitem")
