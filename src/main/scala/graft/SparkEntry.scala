@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_keep" -> (DedupOps.dedupKeep _),
     "text_scrub" -> (TextAnalysis.textScrub _),
     "skew_salted_agg" -> (SkewOps.skewSaltedAgg _),
+    "skew_salted_join" -> (SkewOps.skewSaltedJoin _),
     "dedup_fingerprint" -> (DedupOps.dedupFingerprint _),
     "dedup_jaccard" -> (DedupOps.dedupJaccard _),
     "dedup_minhash" -> (DedupOps.dedupMinhash _),
@@ -136,6 +137,7 @@ object SparkEntry {
     "sample" -> TextQueries.sampleSql,
     "seeded_sample" -> TextQueries.seededSampleSql,
     "skew_salted_agg" -> SkewOps.skewSaltedAggSql,
+    "skew_salted_join" -> SkewOps.skewSaltedJoinSql,
     "words_containing_u" -> TextQueries.wordsContainingUSql,
     "nick_nack" -> TextQueries.nickNackSql,
     "stratified_sample" -> TextQueries.stratifiedSampleSql,

@@ -50,4 +50,50 @@ object SkewOps {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
+
+  /** Salted equi-join: the fact side tags each row with
+    * hash(spreadOn) mod R, the dim side replicates every row R times
+    * (posexplode of 0..R-1), and the join runs on (key, salt) — a hot
+    * fact key's rows now spread over R reducer partitions instead of
+    * one. Result is row-identical to the plain join (every fact row
+    * meets exactly ONE replica of its dim row).
+    *
+    * When to reach for it at 100 TB: a shuffle join whose build side
+    * is too big to broadcast AND whose key histogram has hot keys —
+    * the R× dim inflation buys removal of the straggler partition.
+    * (AQE's skewedJoin covers the sort-merge case automatically;
+    * explicit salting remains the portable form and the only one that
+    * also spreads a hot key across a downstream keyed agg.) */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      spreadOn: Column, salts: Int = 16): DataFrame = {
+    val f = fact.withColumn("_salt", pmod(hash(spreadOn), lit(salts)))
+    val d = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    f.join(d, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Driver-facing salted join, oracled: lineitem ⋈ part on partkey
+    * (the dim replicated 16×), aggregated per brand with DECIMAL
+    * sums so the result is bit-equal to the plain join+agg the
+    * oracle computes. */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame =
+    saltedJoin(
+      Tables.load(spark, dir, "lineitem")
+        .select(col("l_partkey").as("partkey"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"),
+          col("l_orderkey")),
+      Tables.load(spark, dir, "part")
+        .select(col("p_partkey").as("partkey"), col("p_brand")),
+      key = "partkey", spreadOn = col("l_orderkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).cast("double").as("total_qty"))
+      .orderBy(col("p_brand"))
+
+  val skewSaltedJoinSql: String =
+    """SELECT p_brand, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
 }

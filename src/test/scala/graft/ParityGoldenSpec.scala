@@ -92,6 +92,23 @@ class ParityGoldenSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salted join equals plain join, row for row") {
+    val li = graft.sources.Tables.load(spark, SparkFixture.Sf0001, "lineitem")
+      .select(col("l_partkey").as("partkey"), col("l_orderkey"),
+        col("l_quantity"))
+    val part = graft.sources.Tables.load(spark, SparkFixture.Sf0001, "part")
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    val key = Seq("partkey", "l_orderkey", "l_quantity", "p_brand")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(key.map(col): _*).collect().map(_.toSeq).toSeq
+      .sortBy(_.mkString("|"))
+    val saltedRows = rows(SkewOps.saltedJoin(li, part, "partkey",
+      spreadOn = col("l_orderkey"), salts = 7))
+    val plainRows = rows(li.join(part, Seq("partkey")))
+    assert(saltedRows == plainRows)
+    assert(saltedRows.nonEmpty)
+  }
+
   test("approx distinct (HLL) lands within 5% of exact at sf0.001") {
     val li = graft.sources.Tables.load(spark, SparkFixture.Sf0001, "lineitem")
     val approx = li.agg(approx_count_distinct(col("l_partkey")))
