@@ -270,6 +270,43 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("count-lines right vs wrong: per-task partials need a reducer " +
+      "(mr_count_lines_right/wrong)") {
+    import spark.implicits._
+    // the reference pair of example jobs shows what mapper_final does
+    // NOT do: without a reducer the job emits ONE partial per task
+    // (mr_count_lines_wrong.py), with a reducer the partials sum to
+    // the true line count (mr_count_lines_right.py)
+    val lines = spark.createDataset(1 to 100)
+      .repartition(4).map(i => (null: String, s"line $i"))
+    var n = 0L
+    val wrong = MrStep.mapOnly[String, String, String, Long](
+      (_, _) => { n += 1; Iterator.empty })
+      .copy(mapperFinal = () => Iterator.single((null: String, n)))
+    val wrongOut = MrPipeline.fromDataset(lines).step(wrong).ds.collect()
+    assert(wrongOut.length == 4)            // one partial per task
+    assert(wrongOut.map(_._2).sum == 100L)  // partials cover all lines
+    assert(wrongOut.exists(_._2 != 100L))   // but no single row is the answer
+    val right = wrong.copy(
+      reducer = (k: String, vs: Iterator[Long]) =>
+        Iterator.single((k, vs.sum)))
+    val rightOut = MrPipeline.fromDataset(lines).step(right).ds.collect()
+    assert(rightOut.toSeq == Seq((null, 100L)))
+  }
+
+  test("a throwing mapper_init fails the job (mr_boom)") {
+    import spark.implicits._
+    val data = spark.createDataset(Seq((null: String, "x")))
+    val boom = MrStep.mapOnly[String, String, String, String](
+      MrStep.idMapper)
+      .copy(mapperInit = () => throw new RuntimeException("BOOM"))
+    val e = intercept[org.apache.spark.SparkException] {
+      MrPipeline.fromDataset(data).step(boom).ds.collect()
+    }
+    assert(e.getMessage.contains("BOOM") ||
+      Option(e.getCause).exists(_.getMessage.contains("BOOM")))
+  }
+
   test("TextSink writes part files readable back through the protocol") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
