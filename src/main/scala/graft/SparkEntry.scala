@@ -46,6 +46,7 @@ object SparkEntry {
     "nick_nack" -> (TextQueries.nickNack _),
     "stratified_sample" -> (TextQueries.stratifiedSample _),
     "tf_idf" -> (TextQueries.tfIdf _),
+    "inverted_index" -> (TextQueries.invertedIndex _),
     "word_freq_mr" -> (MrApiQueries.wordFreqMr _),
     "wc_mr" -> (MrApiQueries.wcMr _),
     "ann_topk" -> (SimilarityOps.annTopK _),
@@ -91,6 +92,8 @@ object SparkEntry {
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "bpe_vocab" -> ((s: SparkSession, d: String) =>
       BpeOps.bpeVocab(s, d)),
+    "bpe_encode" -> ((s: SparkSession, d: String) =>
+      BpeOps.bpeEncode(s, d)),
     "train_val_split" -> ((s: SparkSession, d: String) =>
       TextAnalysis.trainValSplit(s, d)),
     "ppl_filter" -> (TextAnalysis.pplFilter _),
@@ -142,6 +145,7 @@ object SparkEntry {
     "nick_nack" -> TextQueries.nickNackSql,
     "stratified_sample" -> TextQueries.stratifiedSampleSql,
     "tf_idf" -> TextQueries.tfIdfSql,
+    "inverted_index" -> TextQueries.invertedIndexSql,
     "word_freq_mr" -> TextQueries.wordFreqSql,
     "wc_mr" -> MrApiQueries.wcMrSql,
     "ann_topk" -> SimilarityOps.annTopKSql,

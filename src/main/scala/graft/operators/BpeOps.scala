@@ -112,4 +112,55 @@ object BpeOps {
       .map { case (r, a, b, c) => (r, a, b, a + b, c) }
       .toDF("rank", "left", "right", "merged", "pair_count")
   }
+
+  /** Segment the DISTINCT words of `d` with an already-learned merge
+    * list: the 16 rank-ordered merges stack as nested regexp_replace
+    * in ONE projection (single analyze/codegen — the per-round
+    * blowup that forced localCheckpoint in learnMerges never starts,
+    * because nothing here is iteration-dependent). */
+  def segmentWords(d: DataFrame,
+      table: Seq[(Int, String, String, Long)]): DataFrame = {
+    var words = d
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .select(col("w"),
+        concat(regexp_replace(col("w"), "(.)", "$1 "), lit("</w>"))
+          .as("seg"))
+    for ((_, a, b, _) <- table.sortBy(_._1)) {
+      val pat = "(?<= )" + Pattern.quote(a) + " " + Pattern.quote(b) +
+        "(?= )"
+      words = words.select(col("w"), trim(regexp_replace(
+        concat(lit(" "), col("seg"), lit(" ")),
+        pat, java.util.regex.Matcher.quoteReplacement(a + b))).as("seg"))
+    }
+    words
+  }
+
+  /** Registered query: tokenize the corpus with the learned merges —
+    * per-doc word and subword-token counts plus the milli token/word
+    * fertility ratio (the number a tokenizer team actually watches).
+    *
+    * Scale shape: merges apply to the DISTINCT-word table only
+    * (vocab-bounded work, same argument as learnMerges), then ONE
+    * equi-join maps corpus occurrences to subword counts (word-keyed
+    * shuffle; the vocab side is ~10⁷ rows at 100 TB — too big to
+    * broadcast, fine to hash-join), one per-doc agg. Rows-only:
+    * the merge regex needs lookbehind (no RE2/DuckDB analog); the
+    * spec pins segmentation against the pure-Scala reference encoder. */
+  def bpeEncode(spark: SparkSession, dir: String,
+      merges: Int = 16): DataFrame = {
+    val d = docs(spark, dir)
+    val wtok = segmentWords(d, learnMerges(d, merges))
+      .select(col("w"), size(split(col("seg"), " ")).cast("long")
+        .as("n_sub"))
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(wtok, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subword_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_subword_tokens"),
+        expr("1000 * n_subword_tokens DIV n_words").as("fertility_milli"))
+      .orderBy(col("doc_id"))
+  }
 }

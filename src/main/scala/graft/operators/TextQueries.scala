@@ -388,4 +388,33 @@ object TextQueries {
       |  tf.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) * 1000000) AS BIGINT) AS tf_idf_micro
       |FROM tf JOIN df USING (term) CROSS JOIN n
       |ORDER BY tf.doc_id, tf.term""".stripMargin
+
+  /** Inverted index (the classic MR workload): word → document
+    * frequency + a CAPPED sorted posting list. The cap (first 100
+    * doc ids) is the scale guard — an uncapped posting string for a
+    * corpus-wide word is a GB-sized row at 100 TB; a real index
+    * shards postings into fixed-size array chunks, and the capped
+    * prefix keeps this query's output row-bounded while still
+    * exercising the distinct+group+sort shape. One distinct shuffle
+    * on (word, doc) + one word-keyed agg. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", slice(sort_array(collect_set(col("doc_id"))),
+          1, 100).cast("array<string>")).as("posting"))
+      .orderBy(col("word"))
+
+  val invertedIndexSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |p AS (SELECT DISTINCT doc_id, word FROM w WHERE len(word) > 0)
+      |SELECT word, COUNT(*) AS df,
+      |  array_to_string(list_sort(list(doc_id))[1:100], ',') AS posting
+      |FROM p GROUP BY word
+      |ORDER BY word""".stripMargin
 }

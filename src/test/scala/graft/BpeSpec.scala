@@ -75,4 +75,49 @@ class BpeSpec extends AnyFunSuite {
     // 2 distinct tiny words exhaust their pairs before 50 merges
     check(Seq("ab ab cd"), 50)
   }
+
+  /** Reference encoder: apply merges in rank order, left-to-right
+    * non-overlapping (Sennrich apply_bpe on a single word). */
+  private def refEncode(w: String,
+      table: Seq[(String, String, Long)]): Seq[String] = {
+    var syms = w.map(_.toString).toVector :+ "</w>"
+    for ((a, b, _) <- table) {
+      val nb = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          nb += (a + b); i += 2
+        } else { nb += syms(i); i += 1 }
+      }
+      syms = nb.result()
+    }
+    syms
+  }
+
+  test("segmentWords matches the reference encoder word for word") {
+    import spark.implicits._
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest newest newest newest newest",
+      "widest widest widest")
+    val d = corpus.toDF("text")
+    val table = BpeOps.learnMerges(d, 8)
+    val got = BpeOps.segmentWords(d, table).collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").toSeq).toMap
+    val ref = table.map { case (_, a, b, c) => (a, b, c) }
+    corpus.flatMap(_.split(" ")).distinct.foreach { w =>
+      assert(got(w) == refEncode(w, ref), s"segmentation diverges on $w")
+    }
+  }
+
+  test("bpe_encode fertility is consistent: words <= subwords <= chars+1") {
+    val out = BpeOps.bpeEncode(spark, "/root/testdata/sf0.001", merges = 4)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (words, subs) = (r.getLong(1), r.getLong(2))
+      assert(subs >= words, "every word is at least one subword")
+      assert(r.getLong(3) == 1000 * subs / words)
+    }
+  }
 }
