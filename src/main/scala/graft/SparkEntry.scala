@@ -30,6 +30,7 @@ object SparkEntry {
     "q8_semi_anti" -> (RelationalQueries.q8SemiAnti _),
     "q9_rollup" -> (RelationalQueries.q9Rollup _),
     "q10_argmin" -> (RelationalQueries.q10Argmin _),
+    "fuzzy_join" -> (RelationalQueries.fuzzyJoin _),
     "word_freq" -> (TextQueries.wordFreq _),
     "wc" -> (TextQueries.wc _),
     "most_used_word" -> (TextQueries.mostUsedWord _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "q8_semi_anti" -> RelationalQueries.q8Sql,
     "q9_rollup" -> RelationalQueries.q9Sql,
     "q10_argmin" -> RelationalQueries.q10Sql,
+    "fuzzy_join" -> RelationalQueries.fuzzyJoinSql,
     "word_freq" -> TextQueries.wordFreqSql,
     "wc" -> TextQueries.wcSql,
     "most_used_word" -> TextQueries.mostUsedWordSql,

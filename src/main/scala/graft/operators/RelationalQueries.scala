@@ -284,4 +284,48 @@ object RelationalQueries {
       |  FROM lineitem) t
       |WHERE rn = 1
       |ORDER BY l_partkey""".stripMargin
+
+  /** Blocked fuzzy (edit-distance) self-join over part names — the
+    * entity-resolution string-matching pattern. Two scale moves, both
+    * part of the registered CONTRACT (the oracle computes the same
+    * blocked semantics):
+    *  1. compact to DISTINCT names first (name-cardinality work, not
+    *     row-cardinality — 2000 parts here carry 64 names, and a
+    *     100 TB catalog's name vocabulary is similarly sublinear);
+    *  2. equi-join on a blocking key (the head noun) so candidates
+    *     are Σ block² over name-vocab blocks, never vocab² — the
+    *     dedup_embedding blocking argument; levenshtein then verifies
+    *     exactly within the block.
+    * Output pairs carry the per-name part multiplicities, so a
+    * consumer can expand to part-level matches without redoing the
+    * string work. */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+    val a = p.select(col("p_name").as("name_a"),
+      col("n_parts").as("n_a"), col("noun"))
+    val b = p.select(col("p_name").as("name_b"),
+      col("n_parts").as("n_b"), col("noun"))
+    a.join(b, Seq("noun"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("lev",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("lev") <= 2)
+      .select(col("name_a"), col("name_b"), col("lev"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val fuzzyJoinSql: String =
+    """WITH p AS (
+      |  SELECT p_name, COUNT(*) AS n_parts,
+      |    string_split(p_name, ' ')[-1] AS noun
+      |  FROM part GROUP BY p_name)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+      |  a.n_parts AS n_a, b.n_parts AS n_b
+      |FROM p a JOIN p b ON a.noun = b.noun AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
 }
