@@ -61,7 +61,11 @@ object Bench {
       else ok.sorted.apply((ok.size - 1) / 2)
     }
 
+    // Dev-only subset filter (the driver sets no env): restricts both
+    // the timed loop and the blow-up probe, for fast probe iteration.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(run(_, warmDir)) // warmup: JIT, codegen, catalog
     // Interleave reps (rep-major, not query-major) so a transient system
     // hiccup hits one rep of many queries, not all reps of one query.
@@ -81,11 +85,19 @@ object Bench {
     val probeNames = Seq("dedup_clusters", "dedup_jaccard",
       "dedup_minhash", "boilerplate_ratio", "text_classifier",
       "dedup_embedding", "near_dup_clean", "dedup_passage",
-      "decontaminate")
+      "decontaminate").filter(n => only.forall(_.contains(n)))
     val blowDir = graft.sources.Blowup.ensure(spark, sfDir, factor = 10)
+    // Probe hygiene: by this point the JVM has run names.size×(reps+1)
+    // queries — drop cached relations and hint a full GC so the probe
+    // measures the query, not accumulated old-gen pressure (a one-off
+    // text_classifier probe once read 32.7 s late-JVM vs 9.1 s fresh).
+    // BEST-of-2 for the same reason: the comparison is order-of-
+    // magnitude, and min is the noise-robust statistic for it.
+    spark.catalog.clearCache()
+    System.gc()
     val probe = probeNames.map { nm =>
       val base = results.toMap.getOrElse(nm, -1.0)
-      val t = run(nm, blowDir)
+      val t = math.min(run(nm, blowDir), run(nm, blowDir))
       s""""$nm":{"base":$base,"x10":$t}"""
     }.mkString("{", ",", "}")
     val line =
