@@ -112,6 +112,8 @@ object SparkEntry {
     "events_attribution" -> (EventQueries.eventsAttribution _),
     "events_funnel" -> (EventQueries.eventsFunnel _),
     "events_retention" -> (EventQueries.eventsRetention _),
+    "events_wau" -> (EventQueries.eventsWau _),
+    "triangle_count" -> (TextQueries.triangleCount _),
     "multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "text_classifier" -> (TextClassifier.classify _),
     "phone_to_url" -> (PhoneToUrl.phoneToUrl _),
@@ -186,6 +188,8 @@ object SparkEntry {
     "events_attribution" -> EventQueries.eventsAttributionSql,
     "events_funnel" -> EventQueries.eventsFunnelSql,
     "events_retention" -> EventQueries.eventsRetentionSql,
+    "events_wau" -> EventQueries.eventsWauSql,
+    "triangle_count" -> TextQueries.triangleCountSql,
     "text_classifier" -> TextClassifier.classifySql,
     "phone_to_url" -> PhoneToUrl.phoneToUrlSql,
     "multimodal_features" -> MultimodalOps.multimodalFeaturesSql,

@@ -363,4 +363,41 @@ object EventQueries {
       |SELECT cohort_day, day_offset, COUNT(*) AS n_users
       |FROM a GROUP BY cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Trailing-7-day active users per day (WAU): the sliding-window
+    * COUNT DISTINCT that naïvely needs a self-range-join.
+    *
+    * Scale shape: each distinct (user, day) EXPLODES into the 7
+    * window-end days it contributes to (fixed 7× row inflation — the
+    * events_attribution bucketize trick applied to a sliding window),
+    * then distinct + a day-keyed agg. Linear, no range join, no
+    * per-day re-scan; window length only scales the constant. Output
+    * is restricted to days that actually appear (no phantom tail past
+    * max(day)). */
+  def eventsWau(spark: SparkSession, dir: String): DataFrame = {
+    val active = events(spark, dir)
+      .select(col("user_id"),
+        expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .distinct()
+    val days = active.select(col("day")).distinct()
+    active
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .join(days, Seq("day")) // drop window ends past the data range
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      .orderBy(col("day"))
+  }
+
+  val eventsWauSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |c AS (
+      |  SELECT DISTINCT user_id, day + o.i AS day2
+      |  FROM e, UNNEST(range(0, 7)) o(i)),
+      |d AS (SELECT DISTINCT day FROM e)
+      |SELECT day2 AS day, COUNT(*) AS wau
+      |FROM c JOIN d ON c.day2 = d.day
+      |GROUP BY day2 ORDER BY day2""".stripMargin
 }

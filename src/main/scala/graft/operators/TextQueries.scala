@@ -417,4 +417,73 @@ object TextQueries {
       |  array_to_string(list_sort(list(doc_id))[1:100], ',') AS posting
       |FROM p GROUP BY word
       |ORDER BY word""".stripMargin
+
+  /** Triangle count over the word-adjacency graph (edges = distinct
+    * unordered adjacent-word pairs) — the classic distributed graph
+    * kernel. The Spark plan uses the Schank-Wagner DEGREE ORDERING:
+    * every edge is oriented low→high by (degree, word), wedges are
+    * enumerated from each node's out-neighbors only, and a final
+    * equi-join closes them. Orientation bounds every node's
+    * out-degree by O(√|E|) — on a power-law graph the hub that would
+    * generate deg² wedges under naive enumeration generates almost
+    * none, which is what keeps the wedge table linear-ish at 100 TB.
+    * The count is orientation-invariant (each triangle has exactly
+    * one source under any total order), so the oracle can use the
+    * plain canonical u<v<w closure. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val edges = toks
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> named_struct('a', least(element_at(ts, i), element_at(ts, i + 1)), " +
+          "'b', greatest(element_at(ts, i), element_at(ts, i + 1))))")).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    // degree-ordered orientation: src = lower (deg, word)
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val oriented = edges
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    val w1 = oriented.select(col("src"), col("dst").as("x"))
+    val w2 = oriented.select(col("src"), col("dst").as("y"))
+    val wedges = w1.join(w2, Seq("src")).filter(col("x") < col("y"))
+    // close each wedge: is (x, y) an edge (undirected)?
+    val closing = edges.select(
+      least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
+    wedges.select(least(col("x"), col("y")).as("x"),
+        greatest(col("x"), col("y")).as("y"))
+      .join(closing, Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_triangles"), col("n_edges"), col("n_nodes"))
+  }
+
+  val triangleCountSql: String =
+    """WITH t AS (
+      |  SELECT string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |pairs AS (
+      |  SELECT LEAST(ts[i], ts[i+1]) AS a, GREATEST(ts[i], ts[i+1]) AS b
+      |  FROM t, UNNEST(range(1, len(ts))) o(i)),
+      |e AS (SELECT DISTINCT a, b FROM pairs WHERE a <> b),
+      |tri AS (
+      |  SELECT COUNT(*) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+      |    ON e3.a = e1.a AND e3.b = e2.b),
+      |ne AS (SELECT COUNT(*) AS n_edges FROM e),
+      |nn AS (SELECT COUNT(*) AS n_nodes FROM
+      |  (SELECT DISTINCT v FROM (SELECT a AS v FROM e
+      |    UNION SELECT b AS v FROM e)))
+      |SELECT n_triangles, n_edges, n_nodes FROM tri, ne, nn""".stripMargin
 }

@@ -123,6 +123,7 @@ class PlanSpec extends AnyFunSuite {
       "next_word_stats" -> "single-row total",
       "ppl_filter" -> "broadcast sides = single-row corpus count + single-row p75 threshold",
       "heavy_hitters" -> "broadcast side = single-row occurrence total",
+      "triangle_count" -> "broadcast sides = single-row edge/node totals",
     )
     for ((name, q) <- SparkEntry.queries) {
       val p = plan(q(spark, dir))

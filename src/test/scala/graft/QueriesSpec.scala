@@ -171,6 +171,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.forall(_._2 >= 0L))
   }
 
+  test("events_wau: day-d value equals direct distinct over [d-6, d]") {
+    val wau = operators.EventQueries.eventsWau(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val active = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "ts DIV 1000 DIV 86400000000 AS day")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(wau.nonEmpty)
+    wau.foreach { case (d, n) =>
+      val want = active.filter { case (_, ad) => ad >= d - 6 && ad <= d }
+        .map(_._1).distinct.length
+      assert(n == want, s"wau($d)")
+    }
+  }
+
+  test("triangle_count: degree-ordered count matches a planted graph") {
+    import spark.implicits._
+    // "a b c a" yields edges {ab, bc, ac} = 1 triangle; "d e" adds an
+    // edge touching no triangle; "a b" duplicates an existing edge
+    val tmp = java.nio.file.Files.createTempDirectory("tri").toString
+    Seq((1L, "a b c a"), (2L, "d e"), (3L, "a b"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = operators.TextQueries.triangleCount(spark, tmp).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 4L, 5L)))
+  }
+
   test("q10 argmin picks the minimum price per part") {
     val df = operators.RelationalQueries.q10Argmin(spark, dir)
     val li = graft.sources.Tables.load(spark, dir, "lineitem")
