@@ -37,6 +37,12 @@ object SketchOps {
     * round is paid for by k+1 arrivals. */
   final class MisraGries(val k: Int) {
     private val counters = mutable.HashMap.empty[String, Long]
+    /** Restore a previously-emitted summary (≤ k entries) — the
+      * streaming-state resume path. O(entries), not O(Σ counts). */
+    def seed(prev: Iterable[(String, Long)]): Unit = {
+      require(prev.size <= k, s"seed larger than $k counters")
+      prev.foreach { case (w, c) => counters.update(w, c) }
+    }
     def add(w: String): Unit = counters.get(w) match {
       case Some(c) => counters.update(w, c + 1)
       case None if counters.size < k => counters.update(w, 1L)

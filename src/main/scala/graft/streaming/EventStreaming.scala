@@ -122,6 +122,42 @@ object EventStreaming {
       .withWatermark("event_ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  case class HeavyHitterEst(word: String, est: Long)
+
+  /** Streaming Misra-Gries heavy hitters: the batch SketchOps kernel
+    * carried as mapGroupsWithState state, one MG summary per state
+    * shard. Memory is k counters per shard FOREVER — the property a
+    * streaming top-k needs (a plain streaming groupBy(word).count()
+    * holds the whole vocabulary in state). Shards merge downstream by
+    * union-sum exactly like batch partials (mergeable-summaries
+    * bound), so candidates-then-exact-verify works incrementally too.
+    * Spec checks the stream's merged estimates against the batch
+    * truth under the N/(k+1) undercount bound. */
+  def heavyHitterStream(spark: SparkSession, docsDir: String,
+      k: Int = 32, shards: Int = 8): Dataset[HeavyHitterEst] = {
+    import spark.implicits._
+    val words = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, " +
+        "n_chars LONG")
+      .parquet(docsDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("w"), pmod(hash(col("w")), lit(shards)).as("shard"))
+      .as[(String, Int)]
+    words.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[(String, Int)],
+         state: GroupState[Map[String, Long]]) =>
+          val mg = new graft.operators.SketchOps.MisraGries(k)
+          state.getOption.foreach(mg.seed)
+          rows.foreach { case (w, _) => mg.add(w) }
+          val snap = mg.result.toMap
+          state.update(snap)
+          snap.iterator.map { case (w, c) => HeavyHitterEst(w, c) }
+      }
+  }
+
   /** Stateful per-user running totals via mapGroupsWithState — the
     * custom-state escape hatch (what a stateful reducer would be if
     * the reference had streaming). */

@@ -143,6 +143,43 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MG heavy hitters: merged shard estimates bound the truth") {
+    val docsDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-docs")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        d.resolve("documents.parquet"))
+      d.toString
+    }
+    val k = 16
+    val q = EventStreaming.heavyHitterStream(spark, docsDir, k = k)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hh_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // last update per (shard emission) — single batch here, so the
+      // table IS the per-shard summaries; merge by union-sum
+      val est = spark.table("hh_out")
+        .groupBy("word").agg(sum("est").as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val truth = graft.sources.Tables.load(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = truth.values.sum
+      est.foreach { case (w, e) =>
+        assert(e <= truth(w), s"$w overcounted")
+      }
+      truth.filter { case (_, c) => c * (k + 1) > n }.foreach { case (w, c) =>
+        val e = est.getOrElse(w, 0L)
+        assert(e > 0, s"heavy key $w missing from merged summaries")
+        assert(e >= c - n / (k + 1), s"$w undercount exceeds merged bound")
+      }
+    } finally q.stop()
+  }
+
   test("multimodal feature extraction matches direct computation") {
     import spark.implicits._
     val feats = MultimodalOps.multimodalFeatures(spark, dir)
