@@ -100,6 +100,11 @@ object SparkEntry {
     "ppl_filter" -> (TextAnalysis.pplFilter _),
     "heavy_hitters" -> ((s: SparkSession, d: String) =>
       SketchOps.heavyHitters(s, d)),
+    "group_sample" -> ((s: SparkSession, d: String) =>
+      PipelineOps.groupSample(s, d)),
+    "seq_pack" -> (PipelineOps.seqPack _),
+    "rag_chunk" -> (PipelineOps.ragChunk _),
+    "corpus_merge" -> (PipelineOps.corpusMerge _),
     "word_pmi" -> ((s: SparkSession, d: String) => TextAnalysis.wordPmi(s, d)),
     "events_hourly" -> (EventQueries.eventsHourly _),
     "events_json" -> (EventQueries.eventsJson _),
@@ -178,6 +183,10 @@ object SparkEntry {
     "train_val_split" -> TextAnalysis.trainValSplitSql,
     "ppl_filter" -> TextAnalysis.pplFilterSql,
     "heavy_hitters" -> SketchOps.heavyHittersSql,
+    "group_sample" -> PipelineOps.groupSampleSql,
+    "seq_pack" -> PipelineOps.seqPackSql,
+    "rag_chunk" -> PipelineOps.ragChunkSql,
+    "corpus_merge" -> PipelineOps.corpusMergeSql,
     "word_pmi" -> TextAnalysis.wordPmiSql,
     "events_hourly" -> EventQueries.eventsHourlySql,
     "events_json" -> EventQueries.eventsJsonSql,

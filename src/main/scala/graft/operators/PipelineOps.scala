@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Training-corpus assembly operators: the steps that sit BETWEEN the
+  * cleaning/dedup stages (DedupOps, TextAnalysis) and the trainer —
+  * per-group sampling, sequence packing, retrieval chunking, and
+  * incremental corpus merge.
+  *
+  * No mrjob analog (the reference stops at generic MapReduce); these
+  * are the extension surface the engine adds for LLM data pipelines.
+  * Everything here is fully oracled: the only nondeterminism candidates
+  * (sampling, ordering) ride the same seeded affine-permutation hash
+  * over Z_P that seeded_sample established ([[TextQueries.SamplePrime]]
+  * — a permutation both engines compute exactly), and all arithmetic is
+  * integer.
+  */
+object PipelineOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  private def seededHash(idCol: Column, seed: Long): Column = {
+    val (a, b) = TextQueries.sampleHashConstants(seed)
+    pmod(pmod(idCol, lit(TextQueries.SamplePrime)) * a + b,
+      lit(TextQueries.SamplePrime))
+  }
+
+  private def seededHashSql(idExpr: String, seed: Long): String = {
+    val (a, b) = TextQueries.sampleHashConstants(seed)
+    s"($idExpr % ${TextQueries.SamplePrime} * $a + $b) % ${TextQueries.SamplePrime}"
+  }
+
+  // ---------------- per-group seeded sample ----------------
+
+  /** Fixed-k seeded sample PER SOURCE — the grouped form of
+    * seeded_sample (the reference's reservoir sampler,
+    * mr_log_sampler.py:32-120, run once per log family). Smallest-k by
+    * the seeded permutation hash within each source: row_number over
+    * (source → hash) then rk ≤ k.
+    *
+    * Scale: Spark's InferWindowGroupLimit turns the rank filter into a
+    * map-side per-partition top-k BEFORE the shuffle (same machinery
+    * PlanSpec pins for q5_window), so a source with 10⁹ docs moves only
+    * partitions×k rows — never the group. One shuffle on source. */
+  def groupSample(spark: SparkSession, dir: String, k: Int = 20,
+      seed: Long = 41L): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__h"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), col("lang"),
+        seededHash(col("doc_id"), seed).as("__h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("doc_id"), col("lang"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val groupSampleSql: String =
+    s"""SELECT source, doc_id, lang FROM (
+       |  SELECT source, doc_id, lang,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ${seededHashSql("doc_id", 41L)}, doc_id) AS rk
+       |  FROM documents) t
+       |WHERE rk <= 20
+       |ORDER BY source, doc_id""".stripMargin
+
+  // ---------------- sequence packing ----------------
+
+  /** Concat-and-chunk sequence packing at L = [[PackLen]] tokens — the
+    * standard LLM pretraining layout: documents are concatenated in a
+    * deterministic order and the stream is cut every L tokens, so a doc
+    * may span sequences. Output: each doc's token span in the packed
+    * stream and the first/last sequence id it lands in.
+    *
+    * Packing is PER SOURCE (partitioned window cumsum), not global: a
+    * global token offset would be one total-order sort of the corpus,
+    * while per-source packing shuffles once on source and each trainer
+    * shard stays self-contained — the layout DoReMi/LLaMA-style
+    * source-mixture training wants anyway. A pathologically dominant
+    * source makes one big sort partition; the mitigation is the same
+    * salting used in SkewOps (pack per (source, doc_id DIV B) superblock
+    * then offset by superblock totals), not a different algorithm. */
+  val PackLen = 256L
+
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("start_tok"),
+        expr(s"start_tok DIV $PackLen").as("seq_first"),
+        expr(s"(start_tok + n_tok - 1) DIV $PackLen").as("seq_last"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val seqPackSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT source, doc_id, n_tok,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |  FROM d)
+       |SELECT source, doc_id, n_tok, start_tok,
+       |  start_tok // $PackLen AS seq_first,
+       |  (start_tok + n_tok - 1) // $PackLen AS seq_last
+       |FROM o
+       |ORDER BY source, doc_id""".stripMargin
+
+  // ---------------- retrieval chunking ----------------
+
+  /** Overlapping retrieval chunks (RAG indexing layout): windows of
+    * [[ChunkLen]] tokens at stride [[ChunkStride]] per doc. Chunk count
+    * is 1 + ceil((n − W)/S) so the final window always reaches the last
+    * token; the tail chunk may be shorter. Emits the span plus its
+    * boundary tokens (the slice itself stays derivable from
+    * (doc_id, off, len) against the corpus — shipping every overlapped
+    * token string would inflate the output ~W/S ≈ 1.3× plus copies).
+    *
+    * Scale: explode factor is n/S per doc — linear in corpus tokens,
+    * no shuffle at all until the caller aggregates (the plan is scan →
+    * generate → project). */
+  val ChunkLen = 64L
+  val ChunkStride = 48L
+
+  def ragChunk(spark: SparkSession, dir: String): DataFrame = {
+    val nc = when(col("n") <= ChunkLen, lit(1L))
+      .otherwise(expr(s"(n - $ChunkLen + $ChunkStride - 1) DIV $ChunkStride") + 1L)
+    docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), nc - 1L)))
+      .select(col("doc_id"), col("chunk_id"), col("n"), col("ts"),
+        (col("chunk_id") * ChunkStride).as("off"))
+      .withColumn("chunk_len", least(lit(ChunkLen), col("n") - col("off")))
+      .select(col("doc_id"), col("chunk_id"), col("off"), col("chunk_len"),
+        element_at(col("ts"), (col("off") + 1L).cast("int")).as("first_tok"),
+        element_at(col("ts"),
+          (col("off") + col("chunk_len")).cast("int")).as("last_tok"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val ragChunkSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, ts, n,
+       |    unnest(range(0, CASE WHEN n <= $ChunkLen THEN 1
+       |      ELSE (n - $ChunkLen + $ChunkStride - 1) // $ChunkStride + 1 END)) AS chunk_id
+       |  FROM d)
+       |SELECT doc_id, chunk_id, chunk_id * $ChunkStride AS off,
+       |  least($ChunkLen, n - chunk_id * $ChunkStride) AS chunk_len,
+       |  ts[CAST(chunk_id * $ChunkStride + 1 AS INT)] AS first_tok,
+       |  ts[CAST(chunk_id * $ChunkStride +
+       |    least($ChunkLen, n - chunk_id * $ChunkStride) AS INT)] AS last_tok
+       |FROM c
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------- incremental corpus merge ----------------
+
+  /** Incremental ingest: merge a new batch into the corpus with
+    * latest-version-wins upsert, then reject inserted docs whose text
+    * exactly duplicates the existing corpus (ingest-time exact dedup —
+    * the streaming-world compaction DedupOps.dedupExact does in batch).
+    *
+    * The batch is DERIVED deterministically from `documents` so the
+    * query is a pure function of the table (the phone_to_url fixture
+    * trick): doc_id ≡ 0 (mod 7) arrives revised (text + " v2");
+    * doc_id ≡ 4 (mod 26) arrives re-posted under a fresh id with
+    * UNCHANGED text (must be rejected as a dup); doc_id ≡ 17 (mod 26)
+    * arrives as genuinely new text (must survive).
+    *
+    * Scale: upsert = one hash shuffle on doc_id (on a bucketed corpus
+    * layout, BucketingSpec's no-exchange SMJ shape makes it
+    * shuffle-free); ingest dedup = one anti-join shuffle on text, the
+    * dedup_exact shape. Nothing quadratic, nothing driver-side. */
+  def corpusMerge(spark: SparkSession, dir: String): DataFrame = {
+    val InsBase = 100000000L
+    val d = docs(spark, dir)
+    val base = d.select(col("doc_id"), col("text"), col("source"),
+      lit(1).as("version"))
+    val updates = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+        col("source"), lit(2).as("version"))
+    val inserts = d.filter(col("doc_id") % 26 === 4 || col("doc_id") % 26 === 17)
+      .select((col("doc_id") + InsBase).as("doc_id"),
+        when(col("doc_id") % 26 === 17, concat(lit("fresh "), col("text")))
+          .otherwise(col("text")).as("text"),
+        col("source"), lit(2).as("version"))
+    val merged = base.unionByName(updates).unionByName(inserts)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("version").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val existing = merged.filter(col("doc_id") < InsBase)
+    val insKept = merged.filter(col("doc_id") >= InsBase)
+      .join(existing.select(col("text")), Seq("text"), "left_anti")
+    existing.unionByName(insKept.select(existing.columns.map(col): _*))
+      .select(col("doc_id"), col("version"), col("source"),
+        when(col("doc_id") >= InsBase, lit("insert"))
+          .when(col("version") === 2, lit("update"))
+          .otherwise(lit("keep")).as("op"),
+        length(col("text")).cast("long").as("n_chars_cur"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusMergeSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, source, 1 AS version FROM documents),
+      |updates AS (
+      |  SELECT doc_id, text || ' v2' AS text, source, 2 AS version
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |inserts AS (
+      |  SELECT doc_id + 100000000 AS doc_id,
+      |    CASE WHEN doc_id % 26 = 17 THEN 'fresh ' || text ELSE text END AS text,
+      |    source, 2 AS version
+      |  FROM documents WHERE doc_id % 26 = 4 OR doc_id % 26 = 17),
+      |merged AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY version DESC) AS rn
+      |    FROM (SELECT * FROM base UNION ALL SELECT * FROM updates
+      |          UNION ALL SELECT * FROM inserts) u) t
+      |  WHERE rn = 1),
+      |existing AS (SELECT * FROM merged WHERE doc_id < 100000000),
+      |ins_kept AS (
+      |  SELECT * FROM merged m WHERE doc_id >= 100000000
+      |    AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.text = m.text))
+      |SELECT doc_id, version, source,
+      |  CASE WHEN doc_id >= 100000000 THEN 'insert'
+      |       WHEN version = 2 THEN 'update' ELSE 'keep' END AS op,
+      |  CAST(length(text) AS BIGINT) AS n_chars_cur
+      |FROM (SELECT doc_id, version, source, text FROM existing
+      |      UNION ALL SELECT doc_id, version, source, text FROM ins_kept) r
+      |ORDER BY doc_id""".stripMargin
+}
