@@ -119,6 +119,7 @@ object SparkEntry {
     "events_retention" -> (EventQueries.eventsRetention _),
     "events_wau" -> (EventQueries.eventsWau _),
     "triangle_count" -> (TextQueries.triangleCount _),
+    "pagerank" -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
     "multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "text_classifier" -> (TextClassifier.classify _),
     "phone_to_url" -> (PhoneToUrl.phoneToUrl _),
@@ -199,6 +200,7 @@ object SparkEntry {
     "events_retention" -> EventQueries.eventsRetentionSql,
     "events_wau" -> EventQueries.eventsWauSql,
     "triangle_count" -> TextQueries.triangleCountSql,
+    "pagerank" -> GraphOps.pageRankSql,
     "text_classifier" -> TextClassifier.classifySql,
     "phone_to_url" -> PhoneToUrl.phoneToUrlSql,
     "multimodal_features" -> MultimodalOps.multimodalFeaturesSql,

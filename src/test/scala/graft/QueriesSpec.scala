@@ -197,6 +197,35 @@ class QueriesSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 4L, 5L)))
   }
 
+  test("pagerank matches a pure-Scala replay of the integer recurrence") {
+    import spark.implicits._
+    // planted graph: a→b→c→a cycle with a side branch b→z (dangling
+    // sink — its mass is dropped by contract) and a feeder chain x→y→a;
+    // exercises out-degree division, no-in-edge floor, and drop-mass
+    val tmp = java.nio.file.Files.createTempDirectory("pr").toString
+    Seq((1L, "a b c a"), (2L, "x y a"), (3L, "b z"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.GraphOps.pageRank(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replay: same edges, same integer ops
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a",
+      "x" -> "y", "y" -> "a", "b" -> "z")
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to operators.GraphOps.PrIters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => r(e._1) / deg(e._1)).sum
+      }
+      r = nodes.map(n => n -> (150000L + 850L * in.getOrElse(n, 0L) / 1000L))
+        .toMap
+    }
+    assert(got == r)
+    // x has no in-edges: after round 1 it must sit at the 150000 floor
+    assert(got("x") == 150000L)
+  }
+
   test("q10 argmin picks the minimum price per part") {
     val df = operators.RelationalQueries.q10Argmin(spark, dir)
     val li = graft.sources.Tables.load(spark, dir, "lineitem")
