@@ -120,6 +120,9 @@ object SparkEntry {
     "events_wau" -> (EventQueries.eventsWau _),
     "triangle_count" -> (TextQueries.triangleCount _),
     "pagerank" -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
+    "kmeans_assign" -> ((s: SparkSession, d: String) =>
+      ClusterOps.kmeansAssign(s, d)),
+    "semdedup" -> ((s: SparkSession, d: String) => ClusterOps.semDedup(s, d)),
     "multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "text_classifier" -> (TextClassifier.classify _),
     "phone_to_url" -> (PhoneToUrl.phoneToUrl _),
@@ -201,6 +204,8 @@ object SparkEntry {
     "events_wau" -> EventQueries.eventsWauSql,
     "triangle_count" -> TextQueries.triangleCountSql,
     "pagerank" -> GraphOps.pageRankSql,
+    "kmeans_assign" -> ClusterOps.kmeansAssignSql,
+    "semdedup" -> ClusterOps.semDedupSql,
     "text_classifier" -> TextClassifier.classifySql,
     "phone_to_url" -> PhoneToUrl.phoneToUrlSql,
     "multimodal_features" -> MultimodalOps.multimodalFeaturesSql,

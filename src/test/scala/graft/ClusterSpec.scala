@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{ClusterOps, SimilarityOps}
+
+/** Semantic gates for the k-means / SemDeDup family. The DuckDB differ
+  * proves cross-engine equality; these prove the ENGINE side computes
+  * the published algorithm (pure-Scala Lloyd replay) and pin the
+  * cluster-blocking recall trade on the fixture. */
+class ClusterSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = SparkFixture.Sf0001
+
+  test("kmeans_assign matches a pure-Scala replay of integer Lloyd") {
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map { r =>
+        r.getAs[Long]("vec_id") ->
+          r.getSeq[Float](r.fieldIndex("embedding")).toArray
+      }.sortBy(_._1)
+    // quantize + shift exactly as the engine does
+    val q = raw.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1000000d) + ClusterOps.Shift)
+    }
+    val (a, b) = operators.TextQueries.sampleHashConstants(ClusterOps.ClusterSeed)
+    val p = operators.TextQueries.SamplePrime
+    def hk(id: Long): Long = Math.floorMod(Math.floorMod(id, p) * a + b, p)
+    val qMap = q.toMap
+    // cluster ids are STABLE across rounds (an emptied cluster drops
+    // out without renumbering the rest) — keyed map, not a Seq
+    var cents: Map[Int, Array[Long]] =
+      q.sortBy { case (id, _) => (hk(id), id) }
+        .take(ClusterOps.K).zipWithIndex
+        .map { case ((_, v), cl) => cl -> v.clone }.toMap
+    def dist(v: Array[Long], c: Array[Long]): Long =
+      v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    var assign: Map[Long, (Int, Long)] = Map.empty
+    for (i <- 1 to ClusterOps.Iters) {
+      assign = q.map { case (id, v) =>
+        val best = cents.toSeq.map { case (cl, c) => (dist(v, c), cl) }.min
+        id -> (best._2, best._1)
+      }.toMap
+      if (i < ClusterOps.Iters) {
+        cents = assign.groupBy(_._2._1).map { case (cl, m) =>
+          val members = m.keys.toSeq.map(qMap)
+          cl -> Array.tabulate(ClusterOps.Dim) { d =>
+            members.map(_(d)).sum / members.size
+          }
+        }
+      }
+    }
+    val got = ClusterOps.kmeansAssign(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getAs[Long]("dist_q"))).toMap
+    assert(got == assign)
+  }
+
+  test("semdedup pairs are a subset of brute-force pairs; recall pinned") {
+    val brute = SimilarityOps.dedupEmbeddingAllPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    val got = ClusterOps.semDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(brute),
+      "a within-cluster pair must also pass the global threshold")
+    val recall = got.size.toDouble / brute.size
+    assert(recall >= 0.25,
+      f"cluster-blocking recall $recall%.2f collapsed below the pinned floor")
+  }
+}
