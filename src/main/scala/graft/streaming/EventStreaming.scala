@@ -181,4 +181,35 @@ object EventStreaming {
           next
       }
   }
+
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases landing in (click, click + 1 h] — the incremental form
+    * of EventQueries.eventsAttribution's bucketized range join.
+    *
+    * Batch bucketizes to avoid a per-user cross product; streaming
+    * instead bounds STATE with watermarks + the event-time range
+    * condition: clicks wait at most 1 h of event time for a matching
+    * purchase, so the click buffer holds ≤ 2 h (watermark + range) and
+    * the purchase buffer ≤ 1 h past its watermark — both pruned as the
+    * watermark advances. That state bound is the whole point: an
+    * unbounded-state stream join is the streaming analog of the
+    * cartesian scan the batch side refused to plan. */
+  def attributionStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    def src = spark.readStream
+      .schema(EventSchema)
+      .parquet(eventsDir)
+      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("c_ts"), col("p_ts"))
+  }
 }

@@ -143,6 +143,26 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches batch attribution counts") {
+    val q = EventStreaming.attributionStream(spark, eventsDir).writeStream
+      .outputMode("append")
+      .format("memory").queryName("attr_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // per-click matched-purchase counts; batch rows with 0 purchases
+      // have no streaming counterpart (inner join)
+      val got = spark.table("attr_out")
+        .groupBy("click_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = EventQueries.eventsAttribution(spark, dir)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          r.getAs[Long]("n_purchases")).toMap
+        .filter(_._2 > 0)
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("streaming MG heavy hitters: merged shard estimates bound the truth") {
     val docsDir = {
       val d = java.nio.file.Files.createTempDirectory("graft-docs")
