@@ -124,6 +124,8 @@ class PlanSpec extends AnyFunSuite {
       "ppl_filter" -> "broadcast sides = single-row corpus count + single-row p75 threshold",
       "heavy_hitters" -> "broadcast side = single-row occurrence total",
       "triangle_count" -> "broadcast sides = single-row edge/node totals",
+      "kmeans_assign" -> "broadcast side = k (8) centroids per round",
+      "semdedup" -> "broadcast side = k (8) centroids per round (assignment phase)",
     )
     for ((name, q) <- SparkEntry.queries) {
       val p = plan(q(spark, dir))
@@ -161,6 +163,14 @@ class PlanSpec extends AnyFunSuite {
       s"reads columns the query never uses:\n$p")
     assert(p.contains("ReadSchema: struct<>"),
       s"corpus-count branch should scan no columns:\n$p")
+  }
+
+  test("group_sample: per-source seeded top-k gets WindowGroupLimit pruning") {
+    // the operator's 100 TB claim: a giant source moves partitions×k
+    // rows, never the group — requires the partial window limit
+    val p = plan(operators.PipelineOps.groupSample(spark, dir))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"no partial window limit:\n$p")
   }
 
   test("phone_to_url: per-phone argmin gets WindowGroupLimit pruning") {
