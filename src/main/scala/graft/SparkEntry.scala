@@ -170,6 +170,7 @@ object SparkEntry {
     "text_scrub" -> TextAnalysis.textScrubSql,
     "dedup_fingerprint" -> DedupOps.dedupFingerprintSql,
     "dedup_jaccard" -> DedupOps.dedupJaccardSql,
+    "dedup_simhash" -> DedupOps.dedupSimhashSql,
     "dedup_clusters" -> DedupOps.dedupClustersSql,
     "dedup_passage" -> DedupOps.passageDedupSql,
     "near_dup_clean" -> DedupOps.nearDupCleanSql,

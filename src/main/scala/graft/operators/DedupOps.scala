@@ -378,7 +378,7 @@ object DedupOps {
       |SELECT i, j, jaccard FROM p WHERE jaccard >= 0.5
       |ORDER BY i, j""".stripMargin
 
-  // ---------------- SimHash (non-oracled scale path) ----------------
+  // ---------------- SimHash ----------------------------------------
 
   /** 64-bit SimHash over token hashes: sign-sum of each bit across
     * token xxhash64s. Linear: explode + groupBy + bit fold. */
@@ -421,11 +421,128 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Driver-facing SimHash query (summary row; ScalaTest-validated). */
+  // -------- SimHash under a cross-engine-exact hash family --------
+  //
+  // The xxhash64 path above is the production fingerprint (one hash
+  // per token, no joins). It cannot be oracled: DuckDB has no
+  // xxhash64. This variant runs the SAME algorithm under a hash
+  // family both engines compute bit-identically — token → vocab rank
+  // (row_number over the sorted distinct vocabulary; binary UTF-8
+  // ordering on both engines) → two QUADRATIC permutation-style
+  // hashes over Z_P (the affine seeded_sample family is linear, so
+  // composing it stays linear and consecutive ranks would get
+  // correlated bit patterns; the h² term breaks that), 30 bits each
+  // → 60-bit fingerprint. Chunk-collision candidates over four
+  // 15-bit chunks are pigeonhole-COMPLETE for hamming ≤ 3, and the
+  // verify step keeps only true pairs — so the pair list equals the
+  // all-pairs hamming scan DuckDB replays, and the row is FULLY
+  // ORACLED.
+  //
+  // Scale: the vocab rank assignment is one window over the DISTINCT
+  // vocabulary (vocab-bounded — ~10⁷ rows at 100 TB, trivial next to
+  // the corpus scan); everything else is the linear explode +
+  // groupBy + chunk-join shape of the production path.
+
+  val SimhashOracleBits = 60
+  val SimhashOracleMaxHamming = 3
+
+  /** One 30-bit quadratic hash of the vocab rank: two independent
+    * affine layers joined by a squaring, all mod P = 2³¹−1. Every
+    * intermediate fits in a 64-bit long: h,q < 2³¹ so h·h < 2⁶², and
+    * (h·h mod P)·a₂ < 2⁶². */
+  private def quadHash(vid: Column, seed: Long): Column = {
+    val p = TextQueries.SamplePrime
+    val (a1, b1) = TextQueries.sampleHashConstants(seed)
+    val (a2, b2) = TextQueries.sampleHashConstants(seed + 77)
+    val h = pmod(pmod(vid, lit(p)) * a1 + b1, lit(p))
+    pmod(pmod(h * h, lit(p)) * a2 + b2 + h, lit(p))
+  }
+
+  private def quadHashSql(vidExpr: String, seed: Long): String = {
+    val p = TextQueries.SamplePrime
+    val (a1, b1) = TextQueries.sampleHashConstants(seed)
+    val (a2, b2) = TextQueries.sampleHashConstants(seed + 77)
+    val h = s"(($vidExpr) % $p * $a1 + $b1) % $p"
+    s"((($h) * ($h) % $p) * $a2 + $b2 + ($h)) % $p"
+  }
+
+  /** 60-bit oracled SimHash fingerprint per doc. */
+  def simhashOracle(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.select(col("tok")).distinct()
+      .withColumn("vid",
+        row_number().over(Window.orderBy(col("tok"))).cast("long"))
+      .withColumn("q0", quadHash(col("vid"), 7L))
+      .withColumn("q1", quadHash(col("vid"), 19L))
+    val tv = toks.join(vocab, "tok")
+    val bitSums: Seq[Column] = (0 until SimhashOracleBits).map { b =>
+      val src = if (b < 30) col("q0") else col("q1")
+      sum(when(shiftrightunsigned(src, b % 30).bitwiseAND(lit(1L)) === 1L,
+        1).otherwise(-1)).as(s"b$b")
+    }
+    tv.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashOracleBits).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Complete hamming-≤3 pair list: four 15-bit chunk collisions
+    * (pigeonhole-complete) + exact bit_count verify. */
+  def simhashOraclePairs(d: DataFrame): DataFrame = {
+    val s = simhashOracle(d)
+    val chunked = s.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 15)
+          .bitwiseAND(lit(0x7FFFL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimhashOracleMaxHamming)
+  }
+
+  /** Driver-facing SimHash query: the oracled variant's complete
+    * hamming-≤3 pair list. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(docs(spark, dir)).agg(
-      count(lit(1)).as("n_pairs"),
-      coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
+    simhashOraclePairs(docs(spark, dir))
+      .select(col("i"), col("j"), col("hamming"))
+      .orderBy(col("i"), col("j"))
+
+  val dedupSimhashSql: String = {
+    val bitSums = (0 until SimhashOracleBits).map { b =>
+      val src = if (b < 30) "q0" else "q1"
+      s"SUM(CASE WHEN ($src >> ${b % 30}) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n    ")
+    val fold = (0 until SimhashOracleBits).map { b =>
+      s"(CASE WHEN b$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |vocab AS (
+       |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS vid
+       |  FROM (SELECT DISTINCT tok FROM toks) v),
+       |hashed AS (
+       |  SELECT tok, ${quadHashSql("vid", 7L)} AS q0,
+       |    ${quadHashSql("vid", 19L)} AS q1 FROM vocab),
+       |tv AS (
+       |  SELECT t.doc_id, h.q0, h.q1 FROM toks t JOIN hashed h USING (tok)),
+       |sums AS (
+       |  SELECT doc_id, $bitSums
+       |  FROM tv GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $fold AS simhash FROM sums)
+       |SELECT x.doc_id AS i, y.doc_id AS j,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimhashOracleMaxHamming
+       |ORDER BY i, j""".stripMargin
+  }
 
   /** Resolve near-dup PAIRS into KEEP/DROP decisions: connected
     * components by iterated min-label propagation WITH pointer-doubling

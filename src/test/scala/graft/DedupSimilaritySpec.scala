@@ -60,6 +60,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.get((2L, 3L)).contains(0))
   }
 
+  test("oracled simhash: identical docs at hamming 0, chunk candidates " +
+    "equal the all-pairs hamming scan (pigeonhole completeness)") {
+    val hashes = DedupOps.simhashOracle(plantedDocs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(2L) == hashes(3L), "identical docs, identical fingerprint")
+    hashes.values.foreach(h =>
+      assert((h >>> DedupOps.SimhashOracleBits) == 0L, "60-bit domain"))
+    // ground truth: brute-force hamming over the collected fingerprints
+    val ids = hashes.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      d = java.lang.Long.bitCount(hashes(i) ^ hashes(j))
+      if d <= DedupOps.SimhashOracleMaxHamming
+    } yield (i, j, d.toLong)).toSet
+    val viaChunks = DedupOps.simhashOraclePairs(plantedDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaChunks == brute,
+      s"chunk-collision pairs $viaChunks != all-pairs $brute")
+    assert(brute.exists { case (i, j, d) => i == 2L && j == 3L && d == 0L })
+  }
+
   test("LSH ANN candidates are a subset of brute force and keep exact dups") {
     import spark.implicits._
     val dir = SparkFixture.Sf0001
