@@ -31,6 +31,7 @@ object SparkEntry {
     "q9_rollup" -> (RelationalQueries.q9Rollup _),
     "q10_argmin" -> (RelationalQueries.q10Argmin _),
     "fuzzy_join" -> (RelationalQueries.fuzzyJoin _),
+    "table_profile" -> (RelationalQueries.tableProfile _),
     "word_freq" -> (TextQueries.wordFreq _),
     "wc" -> (TextQueries.wc _),
     "most_used_word" -> (TextQueries.mostUsedWord _),
@@ -48,6 +49,8 @@ object SparkEntry {
     "stratified_sample" -> (TextQueries.stratifiedSample _),
     "tf_idf" -> (TextQueries.tfIdf _),
     "inverted_index" -> (TextQueries.invertedIndex _),
+    "keyword_tag" -> (TextQueries.keywordTag _),
+    "doc_sim_sparse" -> (SparseSimOps.docSimSparse _),
     "word_freq_mr" -> (MrApiQueries.wordFreqMr _),
     "wc_mr" -> (MrApiQueries.wcMr _),
     "ann_topk" -> (SimilarityOps.annTopK _),
@@ -142,6 +145,7 @@ object SparkEntry {
     "q9_rollup" -> RelationalQueries.q9Sql,
     "q10_argmin" -> RelationalQueries.q10Sql,
     "fuzzy_join" -> RelationalQueries.fuzzyJoinSql,
+    "table_profile" -> RelationalQueries.tableProfileSql,
     "word_freq" -> TextQueries.wordFreqSql,
     "wc" -> TextQueries.wcSql,
     "most_used_word" -> TextQueries.mostUsedWordSql,
@@ -159,6 +163,8 @@ object SparkEntry {
     "stratified_sample" -> TextQueries.stratifiedSampleSql,
     "tf_idf" -> TextQueries.tfIdfSql,
     "inverted_index" -> TextQueries.invertedIndexSql,
+    "keyword_tag" -> TextQueries.keywordTagSql,
+    "doc_sim_sparse" -> SparseSimOps.docSimSparseSql,
     "word_freq_mr" -> TextQueries.wordFreqSql,
     "wc_mr" -> MrApiQueries.wcMrSql,
     "ann_topk" -> SimilarityOps.annTopKSql,

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Sparse (tf-idf) document similarity via an inverted-index join —
+  * the term-at-a-time counterpart to the dense-embedding paths in
+  * [[SimilarityOps]]. Retrieval systems run exactly this shape when
+  * no embedding exists: postings are joined term-by-term, partial
+  * products aggregate into pair dot products, and each doc keeps its
+  * top-k neighbors.
+  *
+  * Scale design:
+  *  - the candidate cost of a raw posting self-join is Σ_term df²,
+  *    which a corpus-wide term turns into N² (every doc shares
+  *    "the"). The classic IR fix is CHAMPION LISTS (top-R docs per
+  *    term by weight): candidates become Σ min(df, R)² ≤ R · corpus
+  *    tokens — LINEAR in corpus size with constant R, at every df
+  *    distribution. An absolute df stop-list cap would also be
+  *    linear but returns an empty result the moment the vocabulary
+  *    is small relative to the corpus (every term everywhere), and a
+  *    relative (5 %-of-N) cap is N²-shaped — champion lists are the
+  *    variant that survives both regimes, which is why they are the
+  *    production structure;
+  *  - the champion row_number gets map-side pruning from
+  *    InferWindowGroupLimit (the q5_window machinery), so the full
+  *    posting list never shuffles — only each term's top R;
+  *  - one shuffle on term for the capped self-join, one on (i, j)
+  *    for the dot aggregation, then a second WindowGroupLimit prunes
+  *    the per-doc top-k;
+  *  - all similarity math is integer: idf quantized once per (n, df)
+  *    domain to milli-nats (the tf_idf trick), cos² as integer ppm
+  *    through DECIMAL/HUGEINT 128-bit intermediates — bit-identical
+  *    in DuckDB, so the row is fully oracled.
+  *
+  * The contract is champion-list cosine: similarity measured in the
+  * champion posting space (norms included). Deterministic — ties in
+  * the champion ranking break by doc_id, in the neighbor ranking by
+  * neighbor id.
+  */
+object SparseSimOps {
+
+  /** Terms in fewer than MinDf docs can't pair anything. */
+  val MinDf = 2
+
+  /** Champion-list size: top-R postings kept per term. */
+  val ChampR = 10
+
+  /** Neighbors reported per document. */
+  val TopK = 5
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** Per-doc top-[[TopK]] champion-list-cosine neighbors:
+    * (i, j, rank, cos2_ppm) with cos²·10⁶ under tf·idf_milli weights
+    * over the champion posting space. */
+  def docSimSparse(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val n = d.select(count(lit(1)).as("n"))
+    val terms = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= MinDf)
+    // integer milli-nat idf — quantized once per (n, df), never per
+    // row (oracle determinism); then champion-list cap per term
+    val weighted = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("w", col("tf") *
+        round(log(col("n").cast("double") / col("df").cast("double"))
+          * 1000d).cast("long"))
+    val postings = weighted
+      .withColumn("cr", row_number().over(Window.partitionBy(col("term"))
+        .orderBy(col("w").desc, col("doc_id"))))
+      .filter(col("cr") <= ChampR)
+      .select(col("term"), col("doc_id"), col("w"))
+    val norms = postings.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("n2"))
+    // term-at-a-time pair stream: Σ min(df, R)² rows
+    val dots = postings.as("x").join(postings.as("y"), Seq("term"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .agg(sum(col("x.w") * col("y.w")).as("dot"))
+    val scored = dots
+      .join(norms.select(col("doc_id").as("i"), col("n2").as("n2i")), Seq("i"))
+      .join(norms.select(col("doc_id").as("j"), col("n2").as("n2j")), Seq("j"))
+      // cos²·10⁶ with integral DIV; dot² needs 128-bit headroom →
+      // DECIMAL(38,0) intermediates on both engines
+      .withColumn("cos2_ppm", expr(
+        "CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000 " +
+          "DIV (CAST(n2i AS DECIMAL(38,0)) * n2j) AS BIGINT)"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("i"))
+        .orderBy(col("cos2_ppm").desc, col("j"))))
+      .filter(col("rank") <= TopK)
+      .select(col("i"), col("j"), col("rank").cast("long").as("rank"),
+        col("cos2_ppm"))
+      .orderBy(col("i"), col("rank"))
+  }
+
+  val docSimSparseSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+       |df AS (
+       |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1
+       |  HAVING COUNT(DISTINCT doc_id) >= $MinDf),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |weighted AS (
+       |  SELECT tf.term, tf.doc_id,
+       |    tf.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+       |      * 1000) AS BIGINT) AS w
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |postings AS (
+       |  SELECT term, doc_id, w FROM (
+       |    SELECT term, doc_id, w, row_number() OVER (PARTITION BY term
+       |      ORDER BY w DESC, doc_id) AS cr
+       |    FROM weighted) c
+       |  WHERE cr <= $ChampR),
+       |norms AS (
+       |  SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+       |  FROM postings GROUP BY 1),
+       |dots AS (
+       |  SELECT x.doc_id AS i, y.doc_id AS j, CAST(SUM(x.w * y.w) AS BIGINT) AS dot
+       |  FROM postings x JOIN postings y USING (term)
+       |  WHERE x.doc_id <> y.doc_id GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.i, d.j,
+       |    CAST((CAST(d.dot AS HUGEINT) * d.dot * 1000000)
+       |      // (CAST(ni.n2 AS HUGEINT) * nj.n2) AS BIGINT) AS cos2_ppm
+       |  FROM dots d
+       |  JOIN norms ni ON ni.doc_id = d.i
+       |  JOIN norms nj ON nj.doc_id = d.j),
+       |ranked AS (
+       |  SELECT i, j, CAST(row_number() OVER (PARTITION BY i
+       |    ORDER BY cos2_ppm DESC, j) AS BIGINT) AS rank, cos2_ppm
+       |  FROM scored)
+       |SELECT i, j, rank, cos2_ppm FROM ranked
+       |WHERE rank <= $TopK
+       |ORDER BY i, rank""".stripMargin
+}

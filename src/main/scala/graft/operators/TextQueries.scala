@@ -486,4 +486,44 @@ object TextQueries {
       |  (SELECT DISTINCT v FROM (SELECT a AS v FROM e
       |    UNION SELECT b AS v FROM e)))
       |SELECT n_triangles, n_edges, n_nodes FROM tri, ne, nn""".stripMargin
+
+  // ---------------- dictionary keyword tagging ----------------
+
+  /** The tag dictionary (a fixed topic lexicon — the multi-pattern
+    * grep surface: one pass, every pattern at once). */
+  val TagKeywords: Seq[String] =
+    Seq("spark", "query", "data", "join", "stream", "filter")
+
+  /** Multi-keyword document tagging: per (doc, keyword) hit counts for
+    * a dictionary of keywords — the multi-pattern generalization of
+    * [[grep]] (one regex, one pass) that content tagging / topic
+    * routing pipelines run. Emits only matching (doc, keyword) pairs.
+    *
+    * Scale: the dictionary is broadcast (fixed-cardinality literal
+    * relation — the bounded-side exception PlanSpec allows), tokens
+    * stream through one explode + broadcast-hash-join with NO shuffle
+    * of the corpus side, then one partial-agg shuffle on
+    * (doc_id, keyword). A real engine swaps the equi-join for an
+    * Aho-Corasick automaton once patterns are substrings; for
+    * token-level dictionaries the join IS the automaton. */
+  def keywordTag(spark: SparkSession, dir: String): DataFrame = {
+    val kw = spark.createDataFrame(
+      TagKeywords.map(Tuple1.apply)).toDF("keyword")
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(kw), col("tok") === col("keyword"))
+      .groupBy(col("doc_id"), col("keyword"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"), col("keyword"))
+  }
+
+  val keywordTagSql: String = {
+    val inList = TagKeywords.map(k => s"'$k'").mkString(", ")
+    s"""SELECT doc_id, tok AS keyword, COUNT(*) AS n_hits
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |      FROM documents) t
+       |WHERE tok IN ($inList)
+       |GROUP BY doc_id, tok
+       |ORDER BY doc_id, keyword""".stripMargin
+  }
 }

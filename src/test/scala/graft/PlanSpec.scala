@@ -126,6 +126,7 @@ class PlanSpec extends AnyFunSuite {
       "triangle_count" -> "broadcast sides = single-row edge/node totals",
       "kmeans_assign" -> "broadcast side = k (8) centroids per round",
       "semdedup" -> "broadcast side = k (8) centroids per round (assignment phase)",
+      "doc_sim_sparse" -> "broadcast side = single-row corpus doc count",
     )
     for ((name, q) <- SparkEntry.queries) {
       val p = plan(q(spark, dir))
@@ -177,6 +178,30 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(operators.PhoneToUrl.phoneToUrl(spark, dir))
     assert(p.contains("WindowGroupLimit"),
       s"rk=1 filter lost its partial window limit:\n$p")
+  }
+
+  test("doc_sim_sparse: champion-list cap AND per-doc top-k both get " +
+    "WindowGroupLimit pruning") {
+    // the operator's linearity claim rests on the champion row_number
+    // pruning map-side — a full posting list must never shuffle
+    val p = plan(operators.SparseSimOps.docSimSparse(spark, dir))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4,
+      s"champion/top-k partial window limits missing:\n$p")
+  }
+
+  test("keyword_tag: dictionary is broadcast; corpus side never shuffles " +
+    "before the join") {
+    val p = plan(operators.TextQueries.keywordTag(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"dictionary not broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation:\n$p")
+  }
+
+  test("table_profile: all six column profiles run in ONE scan (Expand)") {
+    val p = plan(operators.RelationalQueries.tableProfile(spark, dir))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profile re-scans the table:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct lost its Expand plan:\n$p")
   }
 
   test("ann_ivf_topk: centroid set is broadcast, cells drive the join") {

@@ -235,4 +235,58 @@ class QueriesSpec extends AnyFunSuite {
       .filter(col("best_price") =!= col("p")).count()
     assert(joined == 0)
   }
+
+  test("doc_sim_sparse: cos² in (0, 10⁶], ranks dense from 1, symmetric " +
+    "pair scores agree") {
+    val rows = operators.SparseSimOps.docSimSparse(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getLong(3)
+      assert(c > 0 && c <= 1000000L, s"cos2_ppm out of range: $r")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (i, rs) =>
+      val ranks = rs.map(_.getLong(2)).sorted.toSeq
+      assert(ranks == (1L to ranks.size), s"ranks not dense for i=$i")
+    }
+    // dot and norms are symmetric, so where both directions survive
+    // their top-k cut the scores must be identical
+    val score = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    score.foreach { case ((i, j), c) =>
+      score.get((j, i)).foreach(c2 => assert(c2 == c, s"asym ($i,$j)"))
+    }
+  }
+
+  test("keyword_tag counts match a direct per-doc token count") {
+    val tags = operators.TextQueries.keywordTag(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tags.nonEmpty)
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+    val kws = operators.TextQueries.TagKeywords.toSet
+    val direct = docs.flatMap { r =>
+      r.getString(1).split(" ").filter(kws).groupBy(identity)
+        .map { case (k, hits) => (r.getLong(0), k) -> hits.length.toLong }
+    }.toMap
+    assert(tags == direct)
+  }
+
+  test("table_profile matches directly computed column stats") {
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    val prof = operators.RelationalQueries.tableProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.size == 6)
+    val nRows = li.count()
+    prof.values.foreach(r => assert(r.getLong(1) == nRows))
+    val rf = prof("l_returnflag")
+    assert(rf.getLong(3) ==
+      li.select(col("l_returnflag")).distinct().count())
+    assert(rf.getString(6) != null && rf.getString(7) != null)
+    val qty = prof("l_quantity")
+    val (qmin, qmax) = {
+      val r = li.agg(min(col("l_quantity")), max(col("l_quantity"))).head()
+      (math.round(r.getDouble(0) * 1e6), math.round(r.getDouble(1) * 1e6))
+    }
+    assert(qty.getLong(4) == qmin && qty.getLong(5) == qmax)
+    assert(qty.isNullAt(6) && qty.isNullAt(7))
+  }
 }
