@@ -32,6 +32,7 @@ object SparkEntry {
     "q10_argmin" -> (RelationalQueries.q10Argmin _),
     "fuzzy_join" -> (RelationalQueries.fuzzyJoin _),
     "table_profile" -> (RelationalQueries.tableProfile _),
+    "zorder_layout" -> (RelationalQueries.zorderLayout _),
     "word_freq" -> (TextQueries.wordFreq _),
     "wc" -> (TextQueries.wc _),
     "most_used_word" -> (TextQueries.mostUsedWord _),
@@ -121,6 +122,8 @@ object SparkEntry {
     "events_funnel" -> (EventQueries.eventsFunnel _),
     "events_retention" -> (EventQueries.eventsRetention _),
     "events_wau" -> (EventQueries.eventsWau _),
+    "events_cube" -> (EventQueries.eventsCube _),
+    "events_moving_avg" -> (EventQueries.eventsMovingAvg _),
     "triangle_count" -> (TextQueries.triangleCount _),
     "pagerank" -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
     "kmeans_assign" -> ((s: SparkSession, d: String) =>
@@ -146,6 +149,7 @@ object SparkEntry {
     "q10_argmin" -> RelationalQueries.q10Sql,
     "fuzzy_join" -> RelationalQueries.fuzzyJoinSql,
     "table_profile" -> RelationalQueries.tableProfileSql,
+    "zorder_layout" -> RelationalQueries.zorderLayoutSql,
     "word_freq" -> TextQueries.wordFreqSql,
     "wc" -> TextQueries.wcSql,
     "most_used_word" -> TextQueries.mostUsedWordSql,
@@ -209,6 +213,8 @@ object SparkEntry {
     "events_funnel" -> EventQueries.eventsFunnelSql,
     "events_retention" -> EventQueries.eventsRetentionSql,
     "events_wau" -> EventQueries.eventsWauSql,
+    "events_cube" -> EventQueries.eventsCubeSql,
+    "events_moving_avg" -> EventQueries.eventsMovingAvgSql,
     "triangle_count" -> TextQueries.triangleCountSql,
     "pagerank" -> GraphOps.pageRankSql,
     "kmeans_assign" -> ClusterOps.kmeansAssignSql,

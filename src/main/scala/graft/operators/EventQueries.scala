@@ -400,4 +400,80 @@ object EventQueries {
       |SELECT day2 AS day, COUNT(*) AS wau
       |FROM c JOIN d ON c.day2 = d.day
       |GROUP BY day2 ORDER BY day2""".stripMargin
+
+  /** CUBE aggregation — all four grouping sets of
+    * (event_type, hour-of-day) in one pass: the OLAP dashboard shape
+    * (q9 covers ROLLUP; this covers the full lattice). NULL grouping
+    * markers are normalized to 'ALL'/-1 so both engines agree on the
+    * output domain.
+    *
+    * Scale: Catalyst plans CUBE as one Expand (4× map-side inflation)
+    * + one partial+final agg — one shuffle total, vs four separate
+    * scans of a 100 TB table. Same argument as table_profile's
+    * multi-distinct. */
+  def eventsCube(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        hour(timestamp_micros(tsMicros)).cast("long").as("hod"),
+        col("value"))
+      .cube(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("hod"), lit(-1L)).as("hod"),
+        col("n"), col("total_value"))
+      .orderBy(col("event_type"), col("hod"))
+
+  val eventsCubeSql: String =
+    """SELECT COALESCE(event_type, 'ALL') AS event_type,
+      |  COALESCE(CAST(hour(ts) AS BIGINT), -1) AS hod,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY CUBE (event_type, CAST(hour(ts) AS BIGINT))
+      |ORDER BY event_type, hod""".stripMargin
+
+  /** Trailing moving average — per user, mean value over the last 5
+    * events (the monitoring/feature-engineering rolling window).
+    * Exact integer contract: DECIMAL cent sums through an integral
+    * DIV to milli-units, so no cross-engine float-divide drift; ties
+    * on ts break by event_id.
+    *
+    * Scale: one shuffle on user_id, then the frame is a running
+    * ROWS window inside each partition — constant memory per group
+    * (Spark's bounded-frame WindowExec buffers only the 5-row
+    * frame). */
+  def eventsMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      // milli sum goes through BIGINT BEFORE the integral divide:
+      // DuckDB's `//` on a DECIMAL operand divides in decimal and the
+      // final BIGINT cast ROUNDS the quotient, while Spark's DIV
+      // truncates — integer // integer truncates on both
+      .withColumn("avg_value_milli",
+        expr("CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 1000 AS BIGINT) " +
+          "DIV n_in_window"))
+      .select(col("user_id"), col("event_id"), col("n_in_window"),
+        col("avg_value_milli"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val eventsMovingAvgSql: String =
+    """WITH w AS (
+      |  SELECT user_id, event_id,
+      |    COUNT(*) OVER win AS n_in_window,
+      |    SUM(CAST(value AS DECIMAL(18,2))) OVER win AS sv
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, n_in_window,
+      |  CAST(sv * 1000 AS BIGINT) // n_in_window AS avg_value_milli
+      |FROM w
+      |ORDER BY user_id, event_id""".stripMargin
 }

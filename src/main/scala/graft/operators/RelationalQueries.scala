@@ -339,48 +339,125 @@ object RelationalQueries {
   /** Data-quality column profile of `lineitem` — the pipeline-hygiene
     * pass every ingest runs before heavier stages: per column, row
     * count, null count, exact distinct count, and min/max (numeric
-    * min/max micro-quantized ONCE per column — the values have ≤2
-    * decimal digits, so ×10⁶ never lands near a rounding half; string
-    * min/max as-is).
+    * min/max micro-quantized ONCE per column in the final projection —
+    * the values have ≤2 decimal digits, so ×10⁶ never lands near a
+    * rounding half; string min/max as-is).
     *
-    * Scale: ONE scan. All six per-column profiles (including six exact
-    * COUNT(DISTINCT)s) run in a single aggregate — Catalyst plans the
-    * multi-distinct via Expand (6× row inflation map-side, still one
-    * shuffle), which beats six separate scans of a 100 TB table by 6×
-    * I/O. For columns where approximate suffices at scale, the
-    * hll_distinct sketch path composes with this shape. The wide
-    * single-row result is then unpivoted driver-free via
-    * explode(array(struct…)). */
+    * Scale: ONE scan, TWO-STAGE (the Deequ-style exact-profile shape).
+    * A naive single aggregate with six COUNT(DISTINCT)s plus string
+    * MIN/MAX is a trap Catalyst can't escape: string aggregation
+    * buffers are immutable, so the whole multi-distinct Expand falls
+    * out of HashAggregate into SortAggregate — measured 14 s at sf0.1
+    * (two full sorts of the 7× expanded corpus) vs ~1 s for this
+    * shape. Instead: explode each row into (column, value) pairs,
+    * HASH-aggregate them into the per-column distinct-value table
+    * (values are GROUPING KEYS, which hash fine — only buffers can't
+    * be strings), then summarize that compacted table (Σ distinct
+    * values ≪ rows) into counts and min/max. The one sort-based agg
+    * left runs over the compacted table, not the corpus. */
   def tableProfile(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
-    def micro(c: String): Column =
-      round(col(c).cast("double") * 1000000d).cast("long")
-    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
-      ProfileCols.flatMap { case (c, isNum) =>
-        Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nul"),
-          countDistinct(col(c)).as(s"${c}__dst")) ++
-          (if (isNum) Seq(min(micro(c)).as(s"${c}__min"),
-            max(micro(c)).as(s"${c}__max"))
-          else Seq(min(col(c)).as(s"${c}__smin"),
-            max(col(c)).as(s"${c}__smax")))
-      }
-    val wide = l.agg(aggs.head, aggs.tail: _*)
-    val rows = ProfileCols.map { case (c, isNum) =>
-      struct(
-        lit(c).as("column"), col("n_rows"),
-        col(s"${c}__nul").as("n_null"), col(s"${c}__dst").as("n_distinct"),
-        (if (isNum) col(s"${c}__min") else lit(null).cast("long"))
-          .as("min_num_micro"),
-        (if (isNum) col(s"${c}__max") else lit(null).cast("long"))
-          .as("max_num_micro"),
-        (if (isNum) lit(null).cast("string") else col(s"${c}__smin"))
-          .as("min_str"),
-        (if (isNum) lit(null).cast("string") else col(s"${c}__smax"))
-          .as("max_str"))
+    val pairs = ProfileCols.map { case (c, isNum) =>
+      struct(lit(c).as("pc"),
+        (if (isNum) col(c).cast("double") else lit(null).cast("double"))
+          .as("vnum"),
+        (if (isNum) lit(null).cast("string") else col(c).cast("string"))
+          .as("vstr"))
     }
-    wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+    val g1 = l.select(explode(array(pairs: _*)).as("e")).select(col("e.*"))
+      .groupBy(col("pc"), col("vnum"), col("vstr"))
+      .agg(count(lit(1)).as("cnt"))
+    val isNull = col("vnum").isNull && col("vstr").isNull
+    g1.groupBy(col("pc"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        sum(when(isNull, col("cnt")).otherwise(0L)).as("n_null"),
+        sum(when(isNull, 0L).otherwise(1L)).as("n_distinct"),
+        min(col("vnum")).as("mn"), max(col("vnum")).as("mx"),
+        min(col("vstr")).as("min_str"), max(col("vstr")).as("max_str"))
+      .select(col("pc").as("column"), col("n_rows"), col("n_null"),
+        col("n_distinct"),
+        round(col("mn") * 1000000d).cast("long").as("min_num_micro"),
+        round(col("mx") * 1000000d).cast("long").as("max_num_micro"),
+        col("min_str"), col("max_str"))
       .orderBy(col("column"))
+  }
+
+  // ---------------- Z-order layout key ----------------
+
+  /** Bits interleaved per key by the Z-order curve (after range
+    * normalization to 0..2^ZBits-1). */
+  val ZBits = 8
+
+  /** Z-order (Morton) layout audit over lineitem's (l_partkey,
+    * l_suppkey): range-normalize each key to [[ZBits]] bits against
+    * its observed min/max (integer scaling — the quantization
+    * Delta/Iceberg OPTIMIZE ZORDER applies before interleaving, since
+    * raw keys occupy only the low bits of their domain and would
+    * degenerate to a single bucket), interleave into a 16-bit
+    * z-value, bucket rows by the top 8 z-bits, and report each
+    * bucket's row count and per-key min/max spans. Rows co-located in
+    * a z-bucket cover a NARROW range of BOTH keys, so min/max file
+    * statistics prune scans on either predicate — the span columns
+    * are exactly the file-skipping stats a lakehouse writes, and
+    * shrinking spans == better pruning.
+    *
+    * Scale: key bounds are one agg broadcast as a single row (the
+    * tf_idf shape); the z-value itself is pure codegen'd bit algebra
+    * (no shuffle, no UDF); the bucket summary is one partial+final
+    * agg on an 8-bit key. Used as a write-time
+    * `repartitionByRange(zval)` key, this is how a 100 TB table gets
+    * multi-column scan pruning without a second sort column. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val bounds = l.agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+    val top = (1L << ZBits) - 1
+    def scale(k: String, lo: String, hi: String) =
+      expr(s"(($k - $lo) * $top) DIV greatest(1, $hi - $lo)")
+    val withScaled = l.crossJoin(broadcast(bounds))
+      .withColumn("ps", scale("l_partkey", "pmin", "pmax"))
+      .withColumn("ss", scale("l_suppkey", "smin", "smax"))
+    val z = (0 until ZBits).map { b =>
+      val p = shiftrightunsigned(col("ps"), b).bitwiseAND(lit(1L)) *
+        lit(1L << (2 * b))
+      val s = shiftrightunsigned(col("ss"), b).bitwiseAND(lit(1L)) *
+        lit(1L << (2 * b + 1))
+      p + s
+    }.reduce(_ + _)
+    withScaled.select(col("l_partkey"), col("l_suppkey"), z.as("zval"))
+      .withColumn("zbucket", expr(s"zval DIV ${1L << ZBits}"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("part_lo"), max(col("l_partkey")).as("part_hi"),
+        min(col("l_suppkey")).as("supp_lo"), max(col("l_suppkey")).as("supp_hi"))
+      .orderBy(col("zbucket"))
+  }
+
+  val zorderLayoutSql: String = {
+    val top = (1L << ZBits) - 1
+    val terms = (0 until ZBits).map { b =>
+      s"((ps >> $b) & 1) * ${1L << (2 * b)} + " +
+        s"((ss >> $b) & 1) * ${1L << (2 * b + 1)}"
+    }.mkString(" + ")
+    s"""WITH bounds AS (
+       |  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+       |    MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+       |  FROM lineitem),
+       |scaled AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ((l_partkey - pmin) * $top) // greatest(1, pmax - pmin) AS ps,
+       |    ((l_suppkey - smin) * $top) // greatest(1, smax - smin) AS ss
+       |  FROM lineitem CROSS JOIN bounds),
+       |z AS (
+       |  SELECT l_partkey, l_suppkey, ($terms) AS zval FROM scaled)
+       |SELECT zval // ${1L << ZBits} AS zbucket, COUNT(*) AS n,
+       |  MIN(l_partkey) AS part_lo, MAX(l_partkey) AS part_hi,
+       |  MIN(l_suppkey) AS supp_lo, MAX(l_suppkey) AS supp_hi
+       |FROM z
+       |GROUP BY zbucket
+       |ORDER BY zbucket""".stripMargin
   }
 
   val tableProfileSql: String = {

@@ -127,6 +127,7 @@ class PlanSpec extends AnyFunSuite {
       "kmeans_assign" -> "broadcast side = k (8) centroids per round",
       "semdedup" -> "broadcast side = k (8) centroids per round (assignment phase)",
       "doc_sim_sparse" -> "broadcast side = single-row corpus doc count",
+      "zorder_layout" -> "broadcast side = single-row key-range bounds",
     )
     for ((name, q) <- SparkEntry.queries) {
       val p = plan(q(spark, dir))
@@ -197,11 +198,40 @@ class PlanSpec extends AnyFunSuite {
       s"no partial aggregation:\n$p")
   }
 
-  test("table_profile: all six column profiles run in ONE scan (Expand)") {
+  test("table_profile: one scan; distinct-value compaction is " +
+    "HASH-aggregated (no corpus-wide sort agg)") {
     val p = plan(operators.RelationalQueries.tableProfile(spark, dir))
     assert("Scan parquet".r.findAllIn(p).size == 1,
       s"profile re-scans the table:\n$p")
-    assert(p.contains("Expand"), s"multi-distinct lost its Expand plan:\n$p")
+    // stage 1 (over the exploded corpus) must stay HashAggregate; the
+    // only sort-based agg allowed is the summary over the compacted
+    // distinct-value table — i.e. the FIRST agg above the Generate is
+    // a hash agg. String buffers in stage 1 would flip it to
+    // SortAggregate (measured 14x slower at sf0.1).
+    val firstAggAboveGenerate = p.split("\n").reverse
+      .dropWhile(l => !l.contains("Generate")).find(_.contains("Aggregate"))
+    assert(firstAggAboveGenerate.exists(_.contains("HashAggregate")),
+      s"corpus-side agg fell out of hash aggregation:\n$p")
+  }
+
+  test("events_cube: all four grouping sets run in ONE scan via Expand") {
+    val p = plan(operators.EventQueries.eventsCube(spark, dir))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"cube re-scans the table:\n$p")
+    assert(p.contains("Expand"), s"CUBE lost its Expand plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation:\n$p")
+  }
+
+  test("zorder_layout: z-value is codegen'd; bucket agg is partial+final") {
+    val df = operators.RelationalQueries.zorderLayout(spark, dir)
+    val cg = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(cg.contains("WholeStageCodegen"),
+      s"bit algebra fell out of codegen:\n$cg")
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation:\n$p")
   }
 
   test("ann_ivf_topk: centroid set is broadcast, cells drive the join") {

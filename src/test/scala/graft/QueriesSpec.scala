@@ -270,6 +270,59 @@ class QueriesSpec extends AnyFunSuite {
     assert(tags == direct)
   }
 
+  test("events_cube: grand total row equals the events count, and the " +
+    "lattice is additive") {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val rows = operators.EventQueries.eventsCube(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val total = ev.count()
+    assert(rows(("ALL", -1L)) == total)
+    // each 1-d margin sums back to the grand total
+    val byType = rows.collect { case ((t, -1L), n) if t != "ALL" => n }.sum
+    val byHod = rows.collect { case (("ALL", h), n) if h != -1L => n }.sum
+    assert(byType == total && byHod == total)
+  }
+
+  test("events_moving_avg: first event per user averages itself; window " +
+    "never exceeds 5") {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val out = operators.EventQueries.eventsMovingAvg(spark, dir).collect()
+    assert(out.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 5))
+    val firstEvent = ev.select(col("user_id"), col("event_id"), col("ts"),
+        col("value")).collect()
+      .groupBy(_.getLong(0)).map { case (_, rs) =>
+        rs.minBy(r => (r.getLong(2), r.getLong(1)))
+      }
+    val byId = out.map(r => r.getLong(1) -> r).toMap
+    firstEvent.foreach { r =>
+      val got = byId(r.getLong(1))
+      assert(got.getLong(2) == 1L)
+      val expect = (BigDecimal(r.getDouble(3)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) * 1000).toLongExact
+      assert(got.getLong(3) == expect,
+        s"first-event avg ${got.getLong(3)} != $expect")
+    }
+  }
+
+  test("zorder_layout: buckets partition all rows and narrow BOTH key " +
+    "spans (the file-skipping property)") {
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    val out = operators.RelationalQueries.zorderLayout(spark, dir).collect()
+    assert(out.map(_.getLong(1)).sum == li.count())
+    val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (pRange, sRange) =
+      (b.getLong(1) - b.getLong(0), b.getLong(3) - b.getLong(2))
+    // top-8 z-bits fix 4 high bits of each scaled key → each bucket
+    // covers ~1/16 of each range; assert the loose 1/4 bound
+    out.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= pRange / 4 + 1,
+        s"part span not narrowed: $r")
+      assert(r.getLong(5) - r.getLong(4) <= sRange / 4 + 1,
+        s"supp span not narrowed: $r")
+    }
+  }
+
   test("table_profile matches directly computed column stats") {
     val li = graft.sources.Tables.load(spark, dir, "lineitem")
     val prof = operators.RelationalQueries.tableProfile(spark, dir).collect()
