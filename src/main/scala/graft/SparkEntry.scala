@@ -123,6 +123,7 @@ object SparkEntry {
     "events_retention" -> (EventQueries.eventsRetention _),
     "events_wau" -> (EventQueries.eventsWau _),
     "events_cube" -> (EventQueries.eventsCube _),
+    "events_anomaly" -> (EventQueries.eventsAnomaly _),
     "events_moving_avg" -> (EventQueries.eventsMovingAvg _),
     "triangle_count" -> (TextQueries.triangleCount _),
     "pagerank" -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
@@ -214,6 +215,7 @@ object SparkEntry {
     "events_retention" -> EventQueries.eventsRetentionSql,
     "events_wau" -> EventQueries.eventsWauSql,
     "events_cube" -> EventQueries.eventsCubeSql,
+    "events_anomaly" -> EventQueries.eventsAnomalySql,
     "events_moving_avg" -> EventQueries.eventsMovingAvgSql,
     "triangle_count" -> TextQueries.triangleCountSql,
     "pagerank" -> GraphOps.pageRankSql,

@@ -434,6 +434,61 @@ object EventQueries {
       |GROUP BY CUBE (event_type, CAST(hour(ts) AS BIGINT))
       |ORDER BY event_type, hod""".stripMargin
 
+  /** Z-score anomaly detection — flag events whose value sits more
+    * than 1.5σ from their event-type mean (the monitoring-pipeline
+    * outlier pass). The whole contract is EXACT integer algebra so
+    * both engines agree bit-for-bit: with per-type totals n, sx=Σc,
+    * sx2=Σc² over integer cents c,
+    *   z² = (n·c − sx)² / (n·sx2 − sx²)  (… = ((c−μ)/σ)² / n² cancel)
+    * so the flag is (n·c − sx)²·10⁶ > T·(n·sx2 − sx²) with T =
+    * 2.25·10⁶ — no division by σ, no float anywhere; reported z²_ppm
+    * uses the same integral DIV. 128-bit DECIMAL/HUGEINT intermediates
+    * keep the squares exact at any n.
+    *
+    * Scale: one partial+final agg to 5 stat rows, broadcast join
+    * back, codegen'd filter — the tf_idf shape; nothing quadratic,
+    * no window. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100d).cast("long")
+    val e = events(spark, dir)
+      .select(col("event_id"), col("event_type"), cents.as("c"))
+    val stats = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("c")).as("sx"),
+      sum(expr("c * c")).as("sx2"))
+    e.join(broadcast(stats), Seq("event_type"))
+      // decimal-first products: n·c in LONG would already overflow at
+      // 100 TB row counts before the cast could widen it
+      .withColumn("d", expr("CAST(n AS DECIMAL(38,0)) * c - sx"))
+      .withColumn("num", expr("d * d * 1000000"))
+      .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * sx2 - " +
+        "CAST(sx AS DECIMAL(38,0)) * sx"))
+      .filter(expr("num > 2250000 * den"))
+      .select(col("event_id"), col("event_type"), col("c").as("value_cents"),
+        expr("CAST(num DIV den AS BIGINT)").as("z2_ppm"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsAnomalySql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sx,
+      |    CAST(SUM(c * c) AS BIGINT) AS sx2
+      |  FROM e GROUP BY 1),
+      |j AS (
+      |  SELECT e.event_id, e.event_type, e.c,
+      |    (CAST(s.n AS HUGEINT) * e.c - s.sx)
+      |      * (CAST(s.n AS HUGEINT) * e.c - s.sx) * 1000000 AS num,
+      |    CAST(s.n AS HUGEINT) * s.sx2 - CAST(s.sx AS HUGEINT) * s.sx AS den
+      |  FROM e JOIN s USING (event_type))
+      |SELECT event_id, event_type, c AS value_cents,
+      |  CAST(num // den AS BIGINT) AS z2_ppm
+      |FROM j
+      |WHERE num > 2250000 * den
+      |ORDER BY event_id""".stripMargin
+
   /** Trailing moving average — per user, mean value over the last 5
     * events (the monitoring/feature-engineering rolling window).
     * Exact integer contract: DECIMAL cent sums through an integral

@@ -212,4 +212,29 @@ object EventStreaming {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("click_id"), col("user_id"), col("c_ts"), col("p_ts"))
   }
+
+  /** Stream-static enrichment join: the event stream joined to a
+    * STATIC dimension (per-user segment derived from `customer`) —
+    * the remaining canonical Structured Streaming join shape
+    * (stream-stream is attributionStream). The static side is planned
+    * per micro-batch as an ordinary batch relation: no watermark, no
+    * state — on a cluster the dim is broadcast into each batch (or
+    * re-read if it changed), which is why enrichment dims should stay
+    * small or bucketed. Output: per (segment, event_type) running
+    * counts in update mode. */
+  def enrichedCounts(spark: SparkSession, eventsDir: String,
+      tablesDir: String): DataFrame = {
+    val dim = graft.sources.Tables.load(spark, tablesDir, "customer")
+      .select((col("c_custkey") % 200).as("user_id"),
+        (col("c_custkey") % 5).cast("long").as("segment"))
+      .groupBy(col("user_id")).agg(min(col("segment")).as("segment"))
+    spark.readStream
+      .schema(EventSchema)
+      .parquet(eventsDir)
+      .join(dim, Seq("user_id"), "left")
+      .select(coalesce(col("segment"), lit(-1L)).as("segment"),
+        col("event_type"))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -214,6 +214,13 @@ class PlanSpec extends AnyFunSuite {
       s"corpus-side agg fell out of hash aggregation:\n$p")
   }
 
+  test("events_anomaly: type stats broadcast back; agg is partial+final") {
+    val p = plan(operators.EventQueries.eventsAnomaly(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation:\n$p")
+  }
+
   test("events_cube: all four grouping sets run in ONE scan via Expand") {
     val p = plan(operators.EventQueries.eventsCube(spark, dir))
     assert("Scan parquet".r.findAllIn(p).size == 1,

@@ -323,6 +323,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("events_anomaly equals an exact BigInt replay of the z² contract") {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 100)))
+    val byType = ev.groupBy(_._2).map { case (t, rs) =>
+      val n = BigInt(rs.length)
+      val sx = rs.map(r => BigInt(r._3)).sum
+      val sx2 = rs.map(r => BigInt(r._3) * r._3).sum
+      t -> (n, sx, sx2)
+    }
+    val expect = ev.flatMap { case (id, t, c) =>
+      val (n, sx, sx2) = byType(t)
+      val d = n * c - sx
+      val num = d * d * 1000000
+      val den = n * sx2 - sx * sx
+      if (num > den * 2250000) Some(id -> (num / den).toLong) else None
+    }.toMap
+    val got = operators.EventQueries.eventsAnomaly(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("table_profile matches directly computed column stats") {
     val li = graft.sources.Tables.load(spark, dir, "lineitem")
     val prof = operators.RelationalQueries.tableProfile(spark, dir).collect()

@@ -91,6 +91,34 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches the batch join, no state") {
+    val q = EventStreaming.enrichedCounts(spark, eventsDir, dir).writeStream
+      .outputMode("complete")
+      .format("memory").queryName("enriched_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enriched_out")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      // batch replay of the same dim derivation + join + agg
+      val dim = graft.sources.Tables.load(spark, dir, "customer")
+        .select((col("c_custkey") % 200).as("user_id"),
+          (col("c_custkey") % 5).cast("long").as("segment"))
+        .groupBy(col("user_id")).agg(min(col("segment")).as("segment"))
+      val expect = graft.sources.Tables.load(spark, dir, "events")
+        .join(dim, Seq("user_id"), "left")
+        .select(coalesce(col("segment"), lit(-1L)).as("segment"),
+          col("event_type"))
+        .groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got == expect)
+      assert(got.keys.map(_._1).toSet.size > 1, "dim never matched")
+    } finally q.stop()
+  }
+
   test("stateful running totals cover every user with batch-equal counts") {
     val q = EventStreaming.userRunningTotals(spark, eventsDir).writeStream
       .outputMode("update")
