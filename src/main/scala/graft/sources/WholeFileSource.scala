@@ -55,4 +55,23 @@ object WholeFileSource {
     spark.read.textFile(glob)
       .select(input_file_name().as("file"))
       .groupBy(col("file")).agg(count(lit(1)).as("n_lines"))
+
+  /** Manifest-input scan — the nicknack ManifestTextInputFormat
+    * contract (mrjob/examples/mr_nick_nack_input_format.py:19: the
+    * input file LISTS one path per line; each listed file's lines are
+    * the records): read the manifest, hand the listed paths to the
+    * text source as the load set. The manifest itself is small by
+    * definition (it's a file list), so the driver-side read of it is
+    * the same bounded action as any path resolution; the listed files
+    * stream through the ordinary distributed text scan with
+    * input_file_name() preserved for provenance. Blank lines and
+    * `#` comments are tolerated. */
+  def manifestTextFile(spark: SparkSession, manifestPath: String): DataFrame = {
+    val fs = GraftFs(spark)
+    val paths = fs.catLines(manifestPath)
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    require(paths.nonEmpty, s"empty manifest: $manifestPath")
+    spark.read.textFile(paths: _*)
+      .select(input_file_name().as("file"), col("value").as("line"))
+  }
 }

@@ -64,6 +64,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(counts.values.sum == 4)
   }
 
+  test("manifestTextFile reads exactly the listed files " +
+    "(ManifestTextInputFormat parity)") {
+    val out = tmpDir()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/f1.txt"), "a\nb\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/f2.txt"), "c\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/ignored.txt"), "NO\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/manifest.txt"),
+      s"# file list\n$out/f1.txt\n\n$out/f2.txt\n")
+    val rows = WholeFileSource.manifestTextFile(spark, s"$out/manifest.txt")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.map(_._2).sorted.toSeq == Seq("a", "b", "c"),
+      "must read listed files only, skipping blanks and comments")
+    assert(rows.map(_._1).distinct.length == 2, "provenance per file")
+    assert(!rows.exists(_._1.contains("ignored")))
+  }
+
   test("partitionByKey places keys on the requested partitions") {
     import spark.implicits._
     val data = spark.createDataset(
