@@ -118,6 +118,7 @@ object SparkEntry {
     "events_median" -> (EventQueries.eventsMedian _),
     "events_quantiles" -> ((s: SparkSession, d: String) =>
       EventQueries.eventsQuantiles(s, d)),
+    "events_quantiles_exact" -> (EventQueries.eventsQuantilesExact _),
     "events_attribution" -> (EventQueries.eventsAttribution _),
     "events_funnel" -> (EventQueries.eventsFunnel _),
     "events_retention" -> (EventQueries.eventsRetention _),
@@ -216,6 +217,7 @@ object SparkEntry {
     "events_wau" -> EventQueries.eventsWauSql,
     "events_cube" -> EventQueries.eventsCubeSql,
     "events_anomaly" -> EventQueries.eventsAnomalySql,
+    "events_quantiles_exact" -> EventQueries.eventsQuantilesExactSql,
     "events_moving_avg" -> EventQueries.eventsMovingAvgSql,
     "triangle_count" -> TextQueries.triangleCountSql,
     "pagerank" -> GraphOps.pageRankSql,

@@ -254,6 +254,55 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** EXACT per-group quantiles — the oracled complement to the GK
+    * sketch ([[eventsQuantiles]], rows-only by nature): p50/p95/p99
+    * of value cents per event type via the VALUE-HISTOGRAM running
+    * sum (the ppl_filter trick, per group). pX = min{c : 100·cum ≥
+    * X·n} — all-integer rank compare, no interpolation, no float.
+    *
+    * Scale: the window runs over HISTOGRAM rows (distinct cent
+    * values per type — domain-bounded), never the corpus; one
+    * partial+final agg builds the histogram, one tiny window, one
+    * 5-row summary agg. A corpus-sorting percentile would shuffle
+    * 100 TB; this shuffles the value domain. */
+  def eventsQuantilesExact(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100d).cast("long").as("c"))
+    val hist = e.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.select(col("event_type"), col("c"),
+      sum(col("cnt")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("c"))).as("cum"))
+    val n = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    cum.join(n, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        min(when(col("cum") * 2 >= col("n"), col("c"))).as("p50_cents"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("c"))).as("p95_cents"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("c"))).as("p99_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsQuantilesExactSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |hist AS (
+      |  SELECT event_type, c, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, c,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum
+      |  FROM hist),
+      |n AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1)
+      |SELECT cum.event_type, MAX(n.n) AS n_events,
+      |  MIN(CASE WHEN cum * 2 >= n THEN c END) AS p50_cents,
+      |  MIN(CASE WHEN cum * 20 >= n * 19 THEN c END) AS p95_cents,
+      |  MIN(CASE WHEN cum * 100 >= n * 99 THEN c END) AS p99_cents
+      |FROM cum JOIN n USING (event_type)
+      |GROUP BY cum.event_type
+      |ORDER BY cum.event_type""".stripMargin
+
   val eventsSessionizeSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -389,6 +389,15 @@ object RelationalQueries {
     * normalization to 0..2^ZBits-1). */
   val ZBits = 8
 
+  /** Morton interleave of two [[ZBits]]-bit values (ps even bits, ss
+    * odd bits) — a bijection onto 0..2^(2·ZBits)-1, pure codegen'd
+    * bit algebra. */
+  def mortonInterleave(ps: Column, ss: Column): Column =
+    (0 until ZBits).map { b =>
+      shiftrightunsigned(ps, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)) +
+        shiftrightunsigned(ss, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1))
+    }.reduce(_ + _)
+
   /** Z-order (Morton) layout audit over lineitem's (l_partkey,
     * l_suppkey): range-normalize each key to [[ZBits]] bits against
     * its observed min/max (integer scaling — the quantization
@@ -419,14 +428,8 @@ object RelationalQueries {
     val withScaled = l.crossJoin(broadcast(bounds))
       .withColumn("ps", scale("l_partkey", "pmin", "pmax"))
       .withColumn("ss", scale("l_suppkey", "smin", "smax"))
-    val z = (0 until ZBits).map { b =>
-      val p = shiftrightunsigned(col("ps"), b).bitwiseAND(lit(1L)) *
-        lit(1L << (2 * b))
-      val s = shiftrightunsigned(col("ss"), b).bitwiseAND(lit(1L)) *
-        lit(1L << (2 * b + 1))
-      p + s
-    }.reduce(_ + _)
-    withScaled.select(col("l_partkey"), col("l_suppkey"), z.as("zval"))
+    withScaled.select(col("l_partkey"), col("l_suppkey"),
+        mortonInterleave(col("ps"), col("ss")).as("zval"))
       .withColumn("zbucket", expr(s"zval DIV ${1L << ZBits}"))
       .groupBy(col("zbucket"))
       .agg(count(lit(1)).as("n"),

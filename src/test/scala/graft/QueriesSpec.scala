@@ -304,6 +304,26 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("mortonInterleave is a bijection on the full 8-bit × 8-bit grid") {
+    import spark.implicits._
+    val all = (0 until 256).flatMap(p => (0 until 256).map(s =>
+      (p.toLong, s.toLong)))
+    val got = all.toDF("ps", "ss")
+      .select(col("ps"), col("ss"),
+        operators.RelationalQueries.mortonInterleave(col("ps"), col("ss"))
+          .as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).distinct.length == 65536, "not injective")
+    assert(got.forall { case (_, _, z) => z >= 0 && z < 65536 }, "range")
+    // deinterleave inverts exactly
+    got.foreach { case (ps, ss, z) =>
+      val (dp, ds) = (0 until 8).foldLeft((0L, 0L)) { case ((a, b), i) =>
+        (a | (((z >> (2 * i)) & 1) << i), b | (((z >> (2 * i + 1)) & 1) << i))
+      }
+      assert(dp == ps && ds == ss, s"inverse failed at ($ps,$ss)")
+    }
+  }
+
   test("zorder_layout: buckets partition all rows and narrow BOTH key " +
     "spans (the file-skipping property)") {
     val li = graft.sources.Tables.load(spark, dir, "lineitem")
@@ -321,6 +341,36 @@ class QueriesSpec extends AnyFunSuite {
       assert(r.getLong(5) - r.getLong(4) <= sRange / 4 + 1,
         s"supp span not narrowed: $r")
     }
+  }
+
+  test("events_quantiles_exact equals the sorted-rank definition, and " +
+    "the GK sketch brackets it within rank error") {
+    val cents = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def rankQ(xs: Array[Long], q100: Int): Long =
+      // min value whose cumulative count reaches ceil(q·n)
+      xs((xs.length * q100 + 99) / 100 - 1)
+    val got = operators.EventQueries.eventsQuantilesExact(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    cents.foreach { case (t, xs) =>
+      val (n, p50, p95, p99) = got(t)
+      assert(n == xs.length)
+      assert(p50 == rankQ(xs, 50) && p95 == rankQ(xs, 95) &&
+        p99 == rankQ(xs, 99), s"exact quantiles off for $t")
+    }
+    // the GK variant's values, scaled to cents, land within a loose
+    // rank neighborhood of the exact answers
+    operators.EventQueries.eventsQuantiles(spark, dir).collect()
+      .foreach { r =>
+        val xs = cents(r.getString(0))
+        val approxP50 = math.round(r.getDouble(2) * 100)
+        val idx = xs.indexWhere(_ >= approxP50)
+        assert(idx >= 0 && math.abs(idx - xs.length / 2) <= xs.length / 10,
+          s"GK p50 far from exact for ${r.getString(0)}")
+      }
   }
 
   test("events_anomaly equals an exact BigInt replay of the z² contract") {
