@@ -109,6 +109,7 @@ object SparkEntry {
     "seq_pack" -> (PipelineOps.seqPack _),
     "rag_chunk" -> (PipelineOps.ragChunk _),
     "corpus_merge" -> (PipelineOps.corpusMerge _),
+    "table_diff" -> (PipelineOps.tableDiff _),
     "word_pmi" -> ((s: SparkSession, d: String) => TextAnalysis.wordPmi(s, d)),
     "events_hourly" -> (EventQueries.eventsHourly _),
     "events_json" -> (EventQueries.eventsJson _),
@@ -204,6 +205,7 @@ object SparkEntry {
     "seq_pack" -> PipelineOps.seqPackSql,
     "rag_chunk" -> PipelineOps.ragChunkSql,
     "corpus_merge" -> PipelineOps.corpusMergeSql,
+    "table_diff" -> PipelineOps.tableDiffSql,
     "word_pmi" -> TextAnalysis.wordPmiSql,
     "events_hourly" -> EventQueries.eventsHourlySql,
     "events_json" -> EventQueries.eventsJsonSql,

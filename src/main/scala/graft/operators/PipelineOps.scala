@@ -213,6 +213,79 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Table reconciliation (data-diff): FULL OUTER join of the corpus
+    * against its next version, classifying every doc as added /
+    * removed / changed / kept and reporting the changed-size delta —
+    * the audit step between pipeline runs (what changed since the
+    * last snapshot?). The "new version" is derived deterministically
+    * from `documents` (the corpus_merge fixture trick) so the query
+    * is a pure function of the table: doc_id ≡ 0 (mod 11) is dropped,
+    * ≡ 3 (mod 11) gets text appended, ≡ 7 (mod 13) arrives as a new
+    * id. Output keeps only the non-kept rows (bounded by churn, not
+    * corpus size).
+    *
+    * Scale: ONE hash shuffle on doc_id for the full outer join
+    * (shuffle-free on a bucketed layout); the kept-row filter means
+    * the output is churn-sized. Length deltas, not text bodies, cross
+    * the wire. */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val NewBase = 200000000L
+    val d = docs(spark, dir)
+    val old = d.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val newv = d.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 3,
+          length(col("text")).cast("long") + 9L) // " (revised)"
+          .otherwise(length(col("text")).cast("long")).as("len"))
+      .unionByName(d.filter(col("doc_id") % 13 === 7)
+        .select((col("doc_id") + NewBase).as("doc_id"),
+          length(col("text")).cast("long").as("len")))
+    old.select(col("doc_id"), col("len").as("old_len"))
+      .join(newv.select(col("doc_id"), col("len").as("new_len")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_len").isNull, lit("added"))
+          .when(col("new_len").isNull, lit("removed"))
+          .when(col("old_len") =!= col("new_len"), lit("changed"))
+          .otherwise(lit("kept")))
+      .filter(col("status") =!= "kept")
+      .select(col("doc_id"), col("status"),
+        coalesce(col("old_len"), lit(-1L)).as("old_len"),
+        coalesce(col("new_len"), lit(-1L)).as("new_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tableDiffSql: String =
+    """WITH old AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS old_len
+      |  FROM documents),
+      |newv AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 3 THEN CAST(length(text) AS BIGINT) + 9
+      |         ELSE CAST(length(text) AS BIGINT) END AS new_len
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000000 AS doc_id,
+      |    CAST(length(text) AS BIGINT) AS new_len
+      |  FROM documents WHERE doc_id % 13 = 7),
+      |j AS (
+      |  SELECT COALESCE(old.doc_id, newv.doc_id) AS doc_id,
+      |    old.old_len, newv.new_len
+      |  FROM old FULL OUTER JOIN newv ON old.doc_id = newv.doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN old_len IS NULL THEN 'added'
+      |       WHEN new_len IS NULL THEN 'removed'
+      |       WHEN old_len <> new_len THEN 'changed'
+      |       ELSE 'kept' END AS status,
+      |  COALESCE(old_len, -1) AS old_len,
+      |  COALESCE(new_len, -1) AS new_len
+      |FROM j
+      |WHERE (CASE WHEN old_len IS NULL THEN 'added'
+      |            WHEN new_len IS NULL THEN 'removed'
+      |            WHEN old_len <> new_len THEN 'changed'
+      |            ELSE 'kept' END) <> 'kept'
+      |ORDER BY doc_id""".stripMargin
+
   val corpusMergeSql: String =
     """WITH base AS (
       |  SELECT doc_id, text, source, 1 AS version FROM documents),

@@ -213,6 +213,56 @@ object EventStreaming {
       .select(col("click_id"), col("user_id"), col("c_ts"), col("p_ts"))
   }
 
+  /** Streaming upsert via foreachBatch — the merge-into-target
+    * pattern every streaming ingest runs (the incremental form of
+    * PipelineOps.corpusMerge): each micro-batch is folded into a
+    * parquet target with latest-ts-wins per event_id, so replayed or
+    * duplicated input files UPSERT instead of appending duplicates.
+    * foreachBatch is the escape hatch Structured Streaming provides
+    * exactly for sinks with merge semantics; on Delta/Iceberg the
+    * body would be a single MERGE INTO — here it's read-merge-write
+    * to a tmp dir then the two-rename swap (GraftFs.compactParquet's
+    * contract: one-rename exposure window, not a true atomic swap).
+    *
+    * State story: the TARGET holds the state — the stream itself
+    * keeps none (no watermark, no state store), which is what makes
+    * the pattern restart-safe: reprocessed batches are idempotent
+    * because the merge key dedups them. */
+  def upsertStream(spark: SparkSession, eventsDir: String,
+      targetDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream
+      .schema(EventSchema)
+      .parquet(eventsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val fs = graft.sources.GraftFs(s)
+        val incoming = batch.select(col("event_id"), col("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        val merged = (if (fs.exists(s"$targetDir/part-*"))
+          s.read.parquet(targetDir).unionByName(incoming)
+        else incoming)
+          .groupBy(col("event_id"))
+          .agg(max(struct(col("ts"), col("user_id"), col("event_type"),
+            col("value"))).as("m"))
+          .select(col("event_id"), col("m.ts"), col("m.user_id"),
+            col("m.event_type"), col("m.value"))
+        val tmp = targetDir.stripSuffix("/") + "_merge_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val conf = s.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(targetDir)
+        val hfs = p.getFileSystem(conf)
+        val old = new org.apache.hadoop.fs.Path(
+          targetDir.stripSuffix("/") + "_merge_old")
+        hfs.delete(old, true)
+        if (hfs.exists(p)) hfs.rename(p, old)
+        hfs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+        hfs.delete(old, true)
+        ()
+      }
+      .start()
+  }
+
   /** Stream-static enrichment join: the event stream joined to a
     * STATIC dimension (per-user segment derived from `customer`) —
     * the remaining canonical Structured Streaming join shape

@@ -91,6 +91,34 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert: replayed input files merge, not duplicate") {
+    val src = java.nio.file.Files.createTempDirectory("graft-upsert-src")
+    val tgt = java.nio.file.Files
+      .createTempDirectory("graft-upsert-tgt").toString + "/state"
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      src.resolve("b1.parquet"))
+    val q = EventStreaming.upsertStream(spark, src.toString, tgt)
+    try {
+      q.processAllAvailable()
+      // replay: the SAME events land again as a new file (at-least-once
+      // delivery) — the merge key must dedup them
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        src.resolve("b2.parquet"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(tgt)
+      val expect = graft.sources.Tables.load(spark, dir, "events")
+      assert(got.count() == expect.count(),
+        "replayed file duplicated rows instead of upserting")
+      assert(got.select(col("event_id")).distinct().count() == expect.count())
+      val dsum = sum(col("ts").cast("decimal(38,0)"))
+      val (gs, es) = (got.agg(dsum).head().getDecimal(0),
+        expect.agg(dsum).head().getDecimal(0))
+      assert(gs == es, "merged payloads drifted from the source")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join matches the batch join, no state") {
     val q = EventStreaming.enrichedCounts(spark, eventsDir, dir).writeStream
       .outputMode("complete")
