@@ -85,7 +85,19 @@ object Bench {
     val probeNames = Seq("dedup_clusters", "dedup_jaccard",
       "dedup_minhash", "boilerplate_ratio", "text_classifier",
       "dedup_embedding", "near_dup_clean", "dedup_passage",
-      "decontaminate").filter(n => only.forall(_.contains(n)))
+      "decontaminate",
+      // round-3 additions worth a scale check (documents/embeddings
+      // queries only — Blowup materializes just those two tables):
+      // Lloyd assignment over blown-up embeddings (N·K per round,
+      // linear), champion-list sparse cosine, and the word-graph
+      // iteration (token prefixing grows the vocab 10× too, so edges
+      // grow linearly). semdedup is deliberately NOT probed at its
+      // registered K: with cluster COUNT pinned at 8 for the unrolled
+      // oracle SQL, Σ|cluster|² grows quadratically in corpus size —
+      // the honest scale configuration grows K with N (bounded
+      // cluster SIZE), which the ClusterOps scaladoc states
+      "kmeans_assign", "doc_sim_sparse", "pagerank")
+      .filter(n => only.forall(_.contains(n)))
     val blowDir = graft.sources.Blowup.ensure(spark, sfDir, factor = 10)
     // Probe hygiene: by this point the JVM has run names.size×(reps+1)
     // queries — drop cached relations and hint a full GC so the probe

@@ -160,10 +160,20 @@ object ClusterOps {
     * the paper's τ≈0.95 the pair set here is empty. Measured on sf0.01:
     * 24 of 59 ground-truth pairs share a cluster at k=8 (random-init
     * Lloyd on 10-way label structure) — the honest recall of
-    * cluster-blocking at this k, pinned by the spec. */
+    * cluster-blocking at this k, pinned by the spec.
+    *
+    * Scale contract: the Σ cluster² bound only holds if cluster SIZE
+    * stays bounded, i.e. K grows with the corpus (Abbas et al. run
+    * k ≈ N/⟨cluster size⟩; 100k clusters for LAION-scale data). K is
+    * pinned at 8 HERE because the DuckDB oracle unrolls one CTE per
+    * (round, centroid) — a production run passes k ∝ N through the
+    * `k` parameter and the plan shape is unchanged. This is also why
+    * the bench's 10× blow-up probe runs kmeans_assign (N·K per
+    * round, linear at any K) rather than semdedup-at-fixed-K, which
+    * would measure the deliberately-degenerate configuration. */
   def semDedup(spark: SparkSession, dir: String,
-      threshold: Double = 0.4): DataFrame = {
-    val asg = kmeansAssign(spark, dir)
+      threshold: Double = 0.4, k: Int = K): DataFrame = {
+    val asg = kmeansAssign(spark, dir, k)
     val e = emb(spark, dir)
       .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("v"))
       .withColumn("n2", VectorOps.norm2Q(col("v")))
