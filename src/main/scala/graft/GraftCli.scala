@@ -31,6 +31,10 @@ object GraftCli {
     val fn = SparkEntry.queries.getOrElse(name,
       throw new IllegalArgumentException(
         s"unknown query '$name' — run with --list for the catalog"))
+    // only stop a session this invocation created — embedded callers
+    // (tests, notebooks) keep theirs alive
+    val preexisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .appName(s"graft.$name")
       // spark-submit supplies spark.master as a system property; bare
@@ -42,6 +46,6 @@ object GraftCli {
       .getOrCreate()
     try fn(spark, tablesDir).write.mode("overwrite").format(format)
       .save(outDir)
-    finally spark.stop()
+    finally if (!preexisting) spark.stop()
   }
 }

@@ -84,6 +84,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(!rows.exists(_._1.contains("ignored")))
   }
 
+  test("GraftCli round-trips a catalog query to csv (the spark-submit " +
+    "output-dir contract)") {
+    spark // force the shared fixture session so the CLI reuses it
+    val out = tmpDir() + "/cli-out"
+    GraftCli.main(Array("word_freq", SparkFixture.Sf0001, out,
+      "--format", "csv"))
+    val rows = spark.read.option("inferSchema", "true").csv(out)
+      .collect()
+    val direct = operators.TextQueries.wordFreq(spark, SparkFixture.Sf0001)
+      .count()
+    assert(rows.length == direct && rows.nonEmpty)
+    assert(!spark.sparkContext.isStopped,
+      "CLI must not stop a session it did not create")
+  }
+
   test("partitionByKey places keys on the requested partitions") {
     import spark.implicits._
     val data = spark.createDataset(
