@@ -491,8 +491,10 @@ object EventQueries {
     *   z² = (n·c − sx)² / (n·sx2 − sx²)  (… = ((c−μ)/σ)² / n² cancel)
     * so the flag is (n·c − sx)²·10⁶ > T·(n·sx2 − sx²) with T =
     * 2.25·10⁶ — no division by σ, no float anywhere; reported z²_ppm
-    * uses the same integral DIV. 128-bit DECIMAL/HUGEINT intermediates
-    * keep the squares exact at any n.
+    * uses the same integral DIV. Squares ride 128-bit DECIMAL/HUGEINT
+    * on both engines; exact while |n·c − sx| < ~1.8·10¹⁶ (the
+    * DECIMAL(38,0) ceiling on d²·10⁶ — beyond it Spark nulls the
+    * product, so shard the stats window before that point).
     *
     * Scale: one partial+final agg to 5 stat rows, broadcast join
     * back, codegen'd filter — the tf_idf shape; nothing quadratic,
@@ -503,7 +505,10 @@ object EventQueries {
       .select(col("event_id"), col("event_type"), cents.as("c"))
     val stats = e.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"), sum(col("c")).as("sx"),
-      sum(expr("c * c")).as("sx2"))
+      // widen BEFORE squaring: c·c in LONG wraps silently past
+      // c ≈ 2³¹·⁵ cents while DuckDB errors — either way the engines
+      // diverge; DECIMAL squares agree everywhere
+      sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sx2"))
     e.join(broadcast(stats), Seq("event_type"))
       // decimal-first products: n·c in LONG would already overflow at
       // 100 TB row counts before the cast could widen it
@@ -524,7 +529,7 @@ object EventQueries {
       |  FROM events),
       |s AS (
       |  SELECT event_type, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sx,
-      |    CAST(SUM(c * c) AS BIGINT) AS sx2
+      |    SUM(CAST(c AS HUGEINT) * c) AS sx2
       |  FROM e GROUP BY 1),
       |j AS (
       |  SELECT e.event_id, e.event_type, e.c,
@@ -555,14 +560,13 @@ object EventQueries {
       .select(col("user_id"), col("event_id"), col("ts"),
         col("value").cast("decimal(18,2)").as("v"))
       .withColumn("n_in_window", count(lit(1)).over(w))
+      .withColumn("sv", sum(col("v")).over(w))
       // milli sum goes through BIGINT BEFORE the integral divide:
       // DuckDB's `//` on a DECIMAL operand divides in decimal and the
       // final BIGINT cast ROUNDS the quotient, while Spark's DIV
       // truncates — integer // integer truncates on both
       .withColumn("avg_value_milli",
-        expr("CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-          "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 1000 AS BIGINT) " +
-          "DIV n_in_window"))
+        expr("CAST(sv * 1000 AS BIGINT) DIV n_in_window"))
       .select(col("user_id"), col("event_id"), col("n_in_window"),
         col("avg_value_milli"))
       .orderBy(col("user_id"), col("event_id"))

@@ -185,15 +185,17 @@ object PipelineOps {
     * shuffle-free); ingest dedup = one anti-join shuffle on text, the
     * dedup_exact shape. Nothing quadratic, nothing driver-side. */
   def corpusMerge(spark: SparkSession, dir: String): DataFrame = {
-    val InsBase = 100000000L
     val d = docs(spark, dir)
     val base = d.select(col("doc_id"), col("text"), col("source"),
       lit(1).as("version"))
     val updates = d.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
         col("source"), lit(2).as("version"))
+    // fresh-id inserts live in the NEGATIVE id namespace — provably
+    // disjoint from every non-negative corpus id at any scale (an
+    // additive offset collides once the corpus grows past it)
     val inserts = d.filter(col("doc_id") % 26 === 4 || col("doc_id") % 26 === 17)
-      .select((col("doc_id") + InsBase).as("doc_id"),
+      .select((-col("doc_id") - 1).as("doc_id"),
         when(col("doc_id") % 26 === 17, concat(lit("fresh "), col("text")))
           .otherwise(col("text")).as("text"),
         col("source"), lit(2).as("version"))
@@ -201,12 +203,12 @@ object PipelineOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("version").desc)))
       .filter(col("rn") === 1).drop("rn")
-    val existing = merged.filter(col("doc_id") < InsBase)
-    val insKept = merged.filter(col("doc_id") >= InsBase)
+    val existing = merged.filter(col("doc_id") >= 0)
+    val insKept = merged.filter(col("doc_id") < 0)
       .join(existing.select(col("text")), Seq("text"), "left_anti")
     existing.unionByName(insKept.select(existing.columns.map(col): _*))
       .select(col("doc_id"), col("version"), col("source"),
-        when(col("doc_id") >= InsBase, lit("insert"))
+        when(col("doc_id") < 0, lit("insert"))
           .when(col("version") === 2, lit("update"))
           .otherwise(lit("keep")).as("op"),
         length(col("text")).cast("long").as("n_chars_cur"))
@@ -229,16 +231,19 @@ object PipelineOps {
     * the output is churn-sized. Length deltas, not text bodies, cross
     * the wire. */
   def tableDiff(spark: SparkSession, dir: String): DataFrame = {
-    val NewBase = 200000000L
     val d = docs(spark, dir)
     val old = d.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    // synthetic "added" docs live in the NEGATIVE id namespace —
+    // provably disjoint from every non-negative corpus id at any
+    // scale (an additive offset could collide with real ids once the
+    // corpus grows past it)
     val newv = d.filter(col("doc_id") % 11 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 11 === 3,
-          length(col("text")).cast("long") + 9L) // " (revised)"
+          length(col("text")).cast("long") + 9L) // 9-char simulated append
           .otherwise(length(col("text")).cast("long")).as("len"))
       .unionByName(d.filter(col("doc_id") % 13 === 7)
-        .select((col("doc_id") + NewBase).as("doc_id"),
+        .select((-col("doc_id") - 1).as("doc_id"),
           length(col("text")).cast("long").as("len")))
     old.select(col("doc_id"), col("len").as("old_len"))
       .join(newv.select(col("doc_id"), col("len").as("new_len")),
@@ -265,7 +270,7 @@ object PipelineOps {
       |         ELSE CAST(length(text) AS BIGINT) END AS new_len
       |  FROM documents WHERE doc_id % 11 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 200000000 AS doc_id,
+      |  SELECT -doc_id - 1 AS doc_id,
       |    CAST(length(text) AS BIGINT) AS new_len
       |  FROM documents WHERE doc_id % 13 = 7),
       |j AS (
@@ -293,7 +298,7 @@ object PipelineOps {
       |  SELECT doc_id, text || ' v2' AS text, source, 2 AS version
       |  FROM documents WHERE doc_id % 7 = 0),
       |inserts AS (
-      |  SELECT doc_id + 100000000 AS doc_id,
+      |  SELECT -doc_id - 1 AS doc_id,
       |    CASE WHEN doc_id % 26 = 17 THEN 'fresh ' || text ELSE text END AS text,
       |    source, 2 AS version
       |  FROM documents WHERE doc_id % 26 = 4 OR doc_id % 26 = 17),
@@ -304,12 +309,12 @@ object PipelineOps {
       |    FROM (SELECT * FROM base UNION ALL SELECT * FROM updates
       |          UNION ALL SELECT * FROM inserts) u) t
       |  WHERE rn = 1),
-      |existing AS (SELECT * FROM merged WHERE doc_id < 100000000),
+      |existing AS (SELECT * FROM merged WHERE doc_id >= 0),
       |ins_kept AS (
-      |  SELECT * FROM merged m WHERE doc_id >= 100000000
+      |  SELECT * FROM merged m WHERE doc_id < 0
       |    AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.text = m.text))
       |SELECT doc_id, version, source,
-      |  CASE WHEN doc_id >= 100000000 THEN 'insert'
+      |  CASE WHEN doc_id < 0 THEN 'insert'
       |       WHEN version = 2 THEN 'update' ELSE 'keep' END AS op,
       |  CAST(length(text) AS BIGINT) AS n_chars_cur
       |FROM (SELECT doc_id, version, source, text FROM existing

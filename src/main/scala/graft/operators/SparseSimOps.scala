@@ -75,6 +75,11 @@ object SparseSimOps {
         round(log(col("n").cast("double") / col("df").cast("double"))
           * 1000d).cast("long"))
     val postings = weighted
+      // w = 0 ⟺ df == n (idf 0): such postings add nothing to any dot
+      // product but would poison norms (a doc of only corpus-wide
+      // terms gets n2 = 0 → 0 DIV 0 → NULL cos²) — drop them before
+      // championing
+      .filter(col("w") > 0)
       .withColumn("cr", row_number().over(Window.partitionBy(col("term"))
         .orderBy(col("w").desc, col("doc_id"))))
       .filter(col("cr") <= ChampR)
@@ -120,7 +125,7 @@ object SparseSimOps {
        |  SELECT term, doc_id, w FROM (
        |    SELECT term, doc_id, w, row_number() OVER (PARTITION BY term
        |      ORDER BY w DESC, doc_id) AS cr
-       |    FROM weighted) c
+       |    FROM weighted WHERE w > 0) c
        |  WHERE cr <= $ChampR),
        |norms AS (
        |  SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2

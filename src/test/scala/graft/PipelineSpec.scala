@@ -102,13 +102,13 @@ class PipelineSpec extends AnyFunSuite {
       if (id % 7 == 0) textOf(id) + " v2" else textOf(id))
     def expectInserted(text: String): Boolean = !currentTexts.contains(text)
     ids.filter(_ % 26 == 4).foreach { id =>
-      assert(rows.contains(id + 100000000L) == expectInserted(textOf(id)),
+      assert(rows.contains(-id - 1L) == expectInserted(textOf(id)),
         s"dup re-post of $id")
     }
     ids.filter(_ % 26 == 17).foreach { id =>
-      assert(rows.contains(id + 100000000L) ==
+      assert(rows.contains(-id - 1L) ==
         expectInserted("fresh " + textOf(id)), s"fresh insert of $id")
-      rows.get(id + 100000000L).foreach(r => assert(r._2 == "insert"))
+      rows.get(-id - 1L).foreach(r => assert(r._2 == "insert"))
     }
   }
 }
