@@ -120,6 +120,7 @@ object SparkEntry {
     "events_quantiles" -> ((s: SparkSession, d: String) =>
       EventQueries.eventsQuantiles(s, d)),
     "events_quantiles_exact" -> (EventQueries.eventsQuantilesExact _),
+    "events_gap_stats" -> (EventQueries.eventsGapStats _),
     "events_attribution" -> (EventQueries.eventsAttribution _),
     "events_funnel" -> (EventQueries.eventsFunnel _),
     "events_retention" -> (EventQueries.eventsRetention _),
@@ -220,6 +221,7 @@ object SparkEntry {
     "events_cube" -> EventQueries.eventsCubeSql,
     "events_anomaly" -> EventQueries.eventsAnomalySql,
     "events_quantiles_exact" -> EventQueries.eventsQuantilesExactSql,
+    "events_gap_stats" -> EventQueries.eventsGapStatsSql,
     "events_moving_avg" -> EventQueries.eventsMovingAvgSql,
     "triangle_count" -> TextQueries.triangleCountSql,
     "pagerank" -> GraphOps.pageRankSql,

@@ -303,6 +303,55 @@ object EventQueries {
       |GROUP BY cum.event_type
       |ORDER BY cum.event_type""".stripMargin
 
+  /** Inter-event gap distribution — the measurement that justifies a
+    * sessionization threshold (events_sessionize hard-codes 30 min;
+    * this op is how you'd pick it): per-user consecutive-event gaps
+    * in whole seconds, summarized as exact p50/p90/p99/max through
+    * the value-histogram running sum (the events_quantiles_exact
+    * machinery, global).
+    *
+    * Scale: one user shuffle for the lag window, then the histogram
+    * path — the quantile window runs over distinct gap-seconds
+    * values (domain-bounded), never the event stream. */
+  def eventsGapStats(spark: SparkSession, dir: String): DataFrame = {
+    val gaps = events(spark, dir)
+      .select(col("user_id"), col("event_id"), tsMicros.as("us"))
+      .withColumn("gap_sec",
+        expr("(us - lag(us) OVER (PARTITION BY user_id " +
+          "ORDER BY us, event_id)) DIV 1000000"))
+      .filter(col("gap_sec").isNotNull)
+      .select(col("gap_sec"))
+    val hist = gaps.groupBy(col("gap_sec")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.select(col("gap_sec"),
+      sum(col("cnt")).over(Window.orderBy(col("gap_sec"))).as("cum"))
+    val n = gaps.agg(count(lit(1)).as("n"))
+    cum.crossJoin(broadcast(n))
+      .agg(max(col("n")).as("n_gaps"),
+        min(when(col("cum") * 2 >= col("n"), col("gap_sec"))).as("p50_sec"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("gap_sec"))).as("p90_sec"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("gap_sec"))).as("p99_sec"),
+        max(col("gap_sec")).as("max_sec"))
+  }
+
+  val eventsGapStatsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |g AS (
+      |  SELECT (us - lag(us) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id)) // 1000000 AS gap_sec
+      |  FROM e),
+      |gaps AS (SELECT gap_sec FROM g WHERE gap_sec IS NOT NULL),
+      |hist AS (SELECT gap_sec, COUNT(*) AS cnt FROM gaps GROUP BY 1),
+      |cum AS (
+      |  SELECT gap_sec, SUM(cnt) OVER (ORDER BY gap_sec) AS cum FROM hist),
+      |n AS (SELECT COUNT(*) AS n FROM gaps)
+      |SELECT MAX(n.n) AS n_gaps,
+      |  MIN(CASE WHEN cum * 2 >= n THEN gap_sec END) AS p50_sec,
+      |  MIN(CASE WHEN cum * 10 >= n * 9 THEN gap_sec END) AS p90_sec,
+      |  MIN(CASE WHEN cum * 100 >= n * 99 THEN gap_sec END) AS p99_sec,
+      |  MAX(gap_sec) AS max_sec
+      |FROM cum CROSS JOIN n""".stripMargin
+
   val eventsSessionizeSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -128,6 +128,7 @@ class PlanSpec extends AnyFunSuite {
       "semdedup" -> "broadcast side = k (8) centroids per round (assignment phase)",
       "doc_sim_sparse" -> "broadcast side = single-row corpus doc count",
       "zorder_layout" -> "broadcast side = single-row key-range bounds",
+      "events_gap_stats" -> "broadcast side = single-row gap count",
     )
     for ((name, q) <- SparkEntry.queries) {
       val p = plan(q(spark, dir))

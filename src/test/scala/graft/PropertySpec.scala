@@ -86,4 +86,42 @@ object PropertySpec extends Properties("graft.kernels") {
       val (k2, v2) = JsonPairProtocol.read(JsonPairProtocol.write(k, v))
       (k2, v2) == ((normNum(k), normNum(v)))
     }
+
+  // ---- seeded-hash kernels (the cross-engine-exact sampling family) ----
+
+  private val P = graft.operators.TextQueries.SamplePrime
+
+  /** The affine map x → (a·x + b) mod P with P prime and 1 ≤ a < P is
+    * a bijection on [0, P) — the property the whole seeded_sample /
+    * group_sample / mix_sample / train_val_split determinism story
+    * rests on (distinct ids never collide, so top-n by hash is a true
+    * permutation sample). */
+  property("seeded affine permutation is injective and seed-stable") =
+    Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 2),
+      Gen.listOfN(50, Gen.chooseNum(0L, 1000000L))) { (seed, ids) =>
+      val (a, b) = graft.operators.TextQueries.sampleHashConstants(seed)
+      def h(x: Long) = (x % P * a + b) % P
+      val (a2, b2) = graft.operators.TextQueries.sampleHashConstants(seed)
+      val distinctIds = ids.distinct.filter(_ < P)
+      (a, b) == ((a2, b2)) && a >= 1 && a < P &&
+        distinctIds.map(h).distinct.size == distinctIds.size &&
+        distinctIds.forall(x => h(x) >= 0 && h(x) < P)
+    }
+
+  /** quadHash (the oracled-SimHash bit source) must stay in [0, P),
+    * be deterministic, and every intermediate must fit a Long — the
+    * scaladoc's overflow argument, exercised at the domain edges. */
+  property("simhash quadratic hash stays in-range at domain edges") =
+    Prop.forAll(Gen.oneOf(Gen.chooseNum(1L, 1000000L),
+      Gen.oneOf(1L, P - 1, P, P + 1, 2 * P - 1))) { vid =>
+      def q(seed: Long): Long = {
+        val (a1, b1) = graft.operators.TextQueries.sampleHashConstants(seed)
+        val (a2, b2) = graft.operators.TextQueries
+          .sampleHashConstants(seed + 77)
+        val h = (vid % P * a1 + b1) % P
+        ((h * h % P) * a2 + b2 + h) % P
+      }
+      val (x, y) = (q(7L), q(19L))
+      x >= 0 && x < P && y >= 0 && y < P && q(7L) == x
+    }
 }

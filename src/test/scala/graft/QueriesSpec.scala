@@ -373,6 +373,24 @@ class QueriesSpec extends AnyFunSuite {
       }
   }
 
+  test("events_gap_stats equals a direct sorted-gap replay") {
+    val byUser = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val gaps = byUser.values.flatMap { rs =>
+      rs.sortBy(r => (r._3, r._2)).sliding(2).collect {
+        case Array(a, b) => (b._3 - a._3) / 1000000L
+      }
+    }.toArray.sorted
+    def q(q100: Int): Long = gaps((gaps.length * q100 + 99) / 100 - 1)
+    val r = operators.EventQueries.eventsGapStats(spark, dir).head()
+    assert(r.getLong(0) == gaps.length)
+    assert(r.getLong(1) == q(50) && r.getLong(2) == q(90) &&
+      r.getLong(3) == q(99) && r.getLong(4) == gaps.max)
+    assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3))
+  }
+
   test("events_anomaly equals an exact BigInt replay of the z² contract") {
     val ev = graft.sources.Tables.load(spark, dir, "events")
       .select(col("event_id"), col("event_type"), col("value")).collect()
