@@ -100,10 +100,16 @@ object ClusterOps {
           .localCheckpoint() // k rows: eager, truncates iterative lineage
       }
     }
-    e.unpersist()
-    assign.select(col("vec_id"), col("cl").as("cluster"),
+    // checkpoint the final assignment BEFORE dropping the embedding
+    // cache: the return value is lazy, so unpersisting first would
+    // make every caller action re-run the last round (scan +
+    // quantize + distance) uncached — the same reason pageRank
+    // checkpoints its final ranks
+    val out = assign.select(col("vec_id"), col("cl").as("cluster"),
         col("dist").as("dist_q"))
-      .orderBy(col("vec_id"))
+      .localCheckpoint()
+    e.unpersist()
+    out.orderBy(col("vec_id"))
   }
 
   /** The identical integer recurrence unrolled in SQL: one exploded

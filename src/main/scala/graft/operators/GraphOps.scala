@@ -28,7 +28,10 @@ object GraphOps {
         slice(col("ts"), lit(1), size(col("ts")) - 1).as("src"),
         slice(col("ts"), lit(2), size(col("ts")) - 1).as("dst"))).as("p"))
       .select(col("p.src"), col("p.dst"))
-      .filter(col("src") =!= col("dst"))
+      // empty tokens from consecutive spaces would otherwise become a
+      // "" node that receives and redistributes rank mass
+      .filter(col("src") =!= col("dst") &&
+        length(col("src")) > 0 && length(col("dst")) > 0)
       .distinct()
   }
 
@@ -98,7 +101,8 @@ object GraphOps {
        |    SELECT unnest(list_transform(range(1, len(ts)),
        |      i -> {'src': ts[i], 'dst': ts[i + 1]})) AS p
        |    FROM toks) t),
-       |e AS (SELECT DISTINCT src, dst FROM pr WHERE src <> dst),
+       |e AS (SELECT DISTINCT src, dst FROM pr
+       |      WHERE src <> dst AND length(src) > 0 AND length(dst) > 0),
        |deg AS (SELECT src, COUNT(*) AS c FROM e GROUP BY src),
        |ed AS (SELECT e.src, e.dst, d.c FROM e JOIN deg d ON e.src = d.src),
        |nodes AS (SELECT DISTINCT src AS w FROM e

@@ -177,7 +177,11 @@ object PipelineOps {
     * query is a pure function of the table (the phone_to_url fixture
     * trick): doc_id ≡ 0 (mod 7) arrives revised (text + " v2");
     * doc_id ≡ 4 (mod 26) arrives re-posted under a fresh id with
-    * UNCHANGED text (must be rejected as a dup); doc_id ≡ 17 (mod 26)
+    * UNCHANGED text — rejected as a dup UNLESS its original was
+    * itself revised in the same batch (ids ≡ 56 mod 182 hit both
+    * rules: the corpus copy moved on to " v2", so the re-post of the
+    * old text is genuinely new content and survives; the spec
+    * computes this, it doesn't assume); doc_id ≡ 17 (mod 26)
     * arrives as genuinely new text (must survive).
     *
     * Scale: upsert = one hash shuffle on doc_id (on a bucketed corpus

@@ -440,7 +440,10 @@ object TextQueries {
           "i -> named_struct('a', least(element_at(ts, i), element_at(ts, i + 1)), " +
           "'b', greatest(element_at(ts, i), element_at(ts, i + 1))))")).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      // drop self-pairs AND empty tokens (consecutive spaces would
+      // inject a "" vertex)
+      .filter(col("a") =!= col("b") &&
+        length(col("a")) > 0 && length(col("b")) > 0).distinct()
     // degree-ordered orientation: src = lower (deg, word)
     val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -476,7 +479,8 @@ object TextQueries {
       |pairs AS (
       |  SELECT LEAST(ts[i], ts[i+1]) AS a, GREATEST(ts[i], ts[i+1]) AS b
       |  FROM t, UNNEST(range(1, len(ts))) o(i)),
-      |e AS (SELECT DISTINCT a, b FROM pairs WHERE a <> b),
+      |e AS (SELECT DISTINCT a, b FROM pairs
+      |      WHERE a <> b AND length(a) > 0 AND length(b) > 0),
       |tri AS (
       |  SELECT COUNT(*) AS n_triangles
       |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3

@@ -92,7 +92,12 @@ object EventStreaming {
                 case null =>
                   cur = SessionState(t, t, 1)
                 case s if t - s.end_us <= gapUs =>
-                  cur = SessionState(s.start_us, t, s.n_events + 1)
+                  // min/max, not overwrite: a LATER batch can deliver
+                  // an event OLDER than the session end (in-watermark
+                  // out-of-order arrival) — writing end_us = t would
+                  // regress the end and corrupt the next gap check
+                  cur = SessionState(math.min(s.start_us, t),
+                    math.max(s.end_us, t), s.n_events + 1)
                 case s =>
                   sessions ::= s
                   cur = SessionState(t, t, 1)
@@ -227,7 +232,9 @@ object EventStreaming {
     * State story: the TARGET holds the state — the stream itself
     * keeps none (no watermark, no state store), which is what makes
     * the pattern restart-safe: reprocessed batches are idempotent
-    * because the merge key dedups them. */
+    * because the merge key dedups them, and a crash between the two
+    * swap renames is recovered at the next batch by restoring the
+    * _merge_old backup before merging. */
   def upsertStream(spark: SparkSession, eventsDir: String,
       targetDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream
@@ -237,6 +244,16 @@ object EventStreaming {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
         val fs = graft.sources.GraftFs(s)
+        // crash recovery: a crash between the two swap renames leaves
+        // the target ABSENT and the previous state stranded in
+        // _merge_old — restore it before merging, or the replayed
+        // batch would rebuild from itself alone and the delete below
+        // would destroy the only copy of prior history
+        val p0 = new org.apache.hadoop.fs.Path(targetDir)
+        val hfs0 = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val old0 = new org.apache.hadoop.fs.Path(
+          targetDir.stripSuffix("/") + "_merge_old")
+        if (!hfs0.exists(p0) && hfs0.exists(old0)) hfs0.rename(old0, p0)
         val incoming = batch.select(col("event_id"), col("ts"),
           col("user_id"), col("event_type"), col("value"))
         val merged = (if (fs.exists(s"$targetDir/part-*"))
