@@ -625,7 +625,13 @@ object DedupOps {
       round += 1
     }
     edgesByDst.unpersist(blocking = false)
-    labels.toDF("doc_id", "keep_id")
+    // materialize through an eager checkpoint so the final round's
+    // persisted RDD can be RELEASED here — returning the lazy toDF
+    // would leak one cached label RDD into executor storage per call
+    // for the application lifetime
+    val out = labels.toDF("doc_id", "keep_id").localCheckpoint()
+    labels.unpersist(blocking = false)
+    out
   }
 
   /** Driver-facing cluster resolution: near-dup pairs from the

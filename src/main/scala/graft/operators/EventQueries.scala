@@ -29,6 +29,10 @@ object EventQueries {
     * through double and lose precision above 2^53 ns. */
   private def tsMicros = expr("ts DIV 1000")
 
+  /** ts (nanos long) → whole days since epoch (the retention/WAU
+    * cohort bucket). */
+  private def tsDay = expr("ts DIV 1000 DIV 86400000000")
+
   /** Attribution range join: for every click, how many purchases the
     * same user made within the following hour — the (t, t+Δ] range
     * join that goes quadratic if written naively (Spark plans a
@@ -440,7 +444,7 @@ object EventQueries {
     val w = Window.partitionBy(col("user_id"))
     events(spark, dir)
       .select(col("user_id"),
-        expr("ts DIV 1000 DIV 86400000000").as("day"))
+        tsDay.as("day"))
       .select(col("user_id"), col("day"),
         min(col("day")).over(w).as("cohort_day"))
       .select(col("user_id"), col("cohort_day"),
@@ -475,7 +479,7 @@ object EventQueries {
   def eventsWau(spark: SparkSession, dir: String): DataFrame = {
     val active = events(spark, dir)
       .select(col("user_id"),
-        expr("ts DIV 1000 DIV 86400000000").as("day"))
+        tsDay.as("day"))
       .distinct()
     val days = active.select(col("day")).distinct()
     active

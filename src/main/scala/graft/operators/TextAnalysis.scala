@@ -383,8 +383,10 @@ object TextAnalysis {
       .join(df.select(col("w").as("w2"), col("df").as("df2")), Seq("w2"))
       .crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("co_docs"), col("df1"), col("df2"),
-        round(log((col("co_docs") * col("n")).cast("double") /
-          (col("df1") * col("df2")).cast("double")) * 1000000d)
+        // each factor widens to double BEFORE the multiply — the LONG
+        // products co_docs·n and df1·df2 overflow at 100 TB doc counts
+        round(log(col("co_docs").cast("double") * col("n").cast("double") /
+          (col("df1").cast("double") * col("df2").cast("double"))) * 1000000d)
           .cast("long").as("pmi_micro"))
       .orderBy(col("w1"), col("w2"))
   }
@@ -401,8 +403,8 @@ object TextAnalysis {
       |  GROUP BY 1, 2
       |  HAVING COUNT(*) >= 50)
       |SELECT w1, w2, co_docs, f1.df AS df1, f2.df AS df2,
-      |  CAST(round(ln(CAST(co_docs * n.n AS DOUBLE) /
-      |    CAST(f1.df * f2.df AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_micro
+      |  CAST(round(ln(CAST(co_docs AS DOUBLE) * CAST(n.n AS DOUBLE) /
+      |    (CAST(f1.df AS DOUBLE) * CAST(f2.df AS DOUBLE))) * 1000000) AS BIGINT) AS pmi_micro
       |FROM pairs
       |JOIN df f1 ON f1.w = pairs.w1
       |JOIN df f2 ON f2.w = pairs.w2
@@ -454,7 +456,8 @@ object TextAnalysis {
     val tot = per.agg(sum(col("n_tokens")).as("tot"))
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        expr("1000000 * n_tokens DIV tot").as("token_share_ppm"),
+        expr("CAST(1000000 AS DECIMAL(38,0)) * n_tokens DIV tot")
+          .cast("long").as("token_share_ppm"),
         expr("CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 0.7 * 1000000)" +
           " AS BIGINT)").as("log_weight_micro"))
       .orderBy(col("source"))
@@ -467,7 +470,8 @@ object TextAnalysis {
       |  FROM documents GROUP BY source),
       |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM s)
       |SELECT source, n_docs, n_tokens,
-      |  1000000 * n_tokens // tot AS token_share_ppm,
+      |  CAST(CAST(1000000 AS HUGEINT) * n_tokens // tot AS BIGINT)
+      |    AS token_share_ppm,
       |  CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 0.7 * 1000000) AS BIGINT)
       |    AS log_weight_micro
       |FROM s CROSS JOIN t

@@ -460,11 +460,10 @@ object TextQueries {
     val w1 = oriented.select(col("src"), col("dst").as("x"))
     val w2 = oriented.select(col("src"), col("dst").as("y"))
     val wedges = w1.join(w2, Seq("src")).filter(col("x") < col("y"))
-    // close each wedge: is (x, y) an edge (undirected)?
-    val closing = edges.select(
-      least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
-    wedges.select(least(col("x"), col("y")).as("x"),
-        greatest(col("x"), col("y")).as("y"))
+    // close each wedge: is (x, y) an edge? (wedges already satisfy
+    // x < y from the filter above; edges carry a < b by construction)
+    val closing = edges.select(col("a").as("x"), col("b").as("y"))
+    wedges
       .join(closing, Seq("x", "y"))
       .agg(count(lit(1)).as("n_triangles"))
       .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
