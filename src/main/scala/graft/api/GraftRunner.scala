@@ -26,9 +26,12 @@ final class GraftRunner(val spark: SparkSession, label: String,
 
   /** Per-run scratch dir, created on first use (runner.py tmp-dir
     * contract: everything under one job-key-named dir). */
+  private var tmpMade = false
+
   lazy val tmpDir: String = {
     val d = s"$baseTmp/$jobKey"
     fs.mkdir(d)
+    tmpMade = true
     d
   }
 
@@ -41,7 +44,11 @@ final class GraftRunner(val spark: SparkSession, label: String,
   /** cleanup (runner.py:617-657): "TMP" removes the job's scratch
     * space; "NONE" keeps everything for debugging. */
   def cleanup(mode: String = cleanupMode): Unit =
-    if (mode.equalsIgnoreCase("TMP") || mode.equalsIgnoreCase("ALL")) {
+    // only if the scratch dir was ever materialized — referencing the
+    // lazy tmpDir here would mkdir it just to rm it (two remote fs
+    // calls per no-scratch run on hdfs/s3a)
+    if (tmpMade &&
+      (mode.equalsIgnoreCase("TMP") || mode.equalsIgnoreCase("ALL"))) {
       fs.rm(tmpDir)
     }
 }

@@ -129,9 +129,19 @@ final class MrPipeline[K, V](val ds: Dataset[(K, V)]) extends Serializable {
         // contract. combiner_cmd was flat-out missing in round 2
         // (VERDICT §missing #1).
         val c = s.cmdProtocols.get
+        // UTF-8 BYTE order, not String (UTF-16 code-unit) order: the
+        // sim runner sorts encoded bytes, and supplementary-plane
+        // characters order differently under the two — same parity
+        // rationale as the sortValuesRaw reduce path below
         val sorted = mapped.rdd
           .map { case (k, v) => c.internal.write(k, v) }
-          .mapPartitions(it => it.toVector.sorted.iterator)
+          .mapPartitions { it =>
+            val utf8 = java.nio.charset.StandardCharsets.UTF_8
+            it.map(l => (l.getBytes(utf8), l)).toVector
+              .sortWith((a, b) =>
+                java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
+              .iterator.map(_._2)
+          }
         val filtered = s.combinerPreFilter
           .fold(sorted)(cmd => sorted.pipe(filterSh(cmd)))
         s.combinerCmd match {
@@ -170,23 +180,38 @@ final class MrPipeline[K, V](val ds: Dataset[(K, V)]) extends Serializable {
     // default typed mode below stays on the Tungsten external sort.
     if (s.sortValuesRaw) {
       val c = s.cmdProtocols.get
-      val rawReduced = preCombined.repartition(n, col("_1")).rdd
+      val sortedLines = preCombined.repartition(n, col("_1")).rdd
         .mapPartitions { it =>
           val utf8 = java.nio.charset.StandardCharsets.UTF_8
-          val lines = it.map { case (k, v) => c.internal.write(k, v) }
+          it.map { case (k, v) => c.internal.write(k, v) }
             .map(l => (l.getBytes(utf8), l)).toVector
             .sortWith((a, b) =>
               java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
-          val keyed = lines.iterator.map { case (_, line) =>
-            val i = line.indexOf('\t')
-            (if (i < 0) line else line.substring(0, i), line)
-          }
-          rInit().iterator ++
-            AdjacentGroups(keyed).flatMap { case (_, ls) =>
-              val pairs = ls.map(c.internal.read).buffered
-              r(pairs.head._1, pairs.map(_._2))
-            } ++ rFinal()
+            .iterator.map(_._2)
         }
+      // shell substeps compose with raw mode exactly as with the typed
+      // sort: the byte-sorted encoded lines ARE the Hadoop-streaming
+      // reducer stdin (a silent fall-through to the typed reducer here
+      // would swallow a declared reducerCmd)
+      val filteredLines = s.reducerPreFilter
+        .fold(sortedLines)(cmd => sortedLines.pipe(filterSh(cmd)))
+      s.reducerCmd match {
+        case Some(cmd) =>
+          return new MrPipeline(
+            spark.createDataset(filteredLines.pipe(sh(cmd)).map(c.output.read)))
+        case None =>
+      }
+      val rawReduced = filteredLines.mapPartitions { it =>
+        val keyed = it.map { line =>
+          val i = line.indexOf('\t')
+          (if (i < 0) line else line.substring(0, i), line)
+        }
+        rInit().iterator ++
+          AdjacentGroups(keyed).flatMap { case (_, ls) =>
+            val pairs = ls.map(c.internal.read).buffered
+            r(pairs.head._1, pairs.map(_._2))
+          } ++ rFinal()
+      }
       return new MrPipeline(spark.createDataset(rawReduced))
     }
 
@@ -334,9 +359,20 @@ private[graft] final class MapSideCombine[K, V](
       vs += v
       if (vs.length >= FlushAt) {
         val combined = combineRun(k, vs).to(mutable.ArrayBuffer)
-        buf.update(k, combined)
+        if (combined.length >= FlushAt) {
+          // incompressible run (e.g. a distinct-union combiner on a
+          // hot key): EMIT the partial downstream instead of storing
+          // it — storing would re-trigger a full-buffer combine on
+          // EVERY subsequent value of the key (O(n·FlushAt) per key).
+          // Legal under the combiner-runs-0..n-times contract; the
+          // reducer re-merges partials.
+          buf.remove(k)
+          out = combined.iterator.map(k -> _)
+        } else buf.update(k, combined)
       }
-      if (buf.size >= MaxKeys) out = drainBuf()
+      // append, don't assign: `out` may already hold an emitted
+      // incompressible-run partial from this same iteration
+      if (buf.size >= MaxKeys) out = out ++ drainBuf()
     }
     if (!out.hasNext && buf.nonEmpty) out = drainBuf()
   }

@@ -246,9 +246,14 @@ object SimilarityOps {
         col("n2").as("cn"))
 
   def ivfAssign(e: DataFrame, cells: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    ivfAssignTo(e, ivfCentroids(e, cells, seed))
+
+  /** Assignment against a caller-supplied centroid set — lets callers
+    * that also probe centroids (annIvfTopK) build the subplan ONCE
+    * instead of paying the centroid scan+sort twice. */
+  def ivfAssignTo(e: DataFrame, cents: DataFrame): DataFrame = {
     val vecs = ivfVecs(e)
-    val cents = ivfCentroids(e, cells, seed)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cell_cos").desc, col("cell").asc)
     vecs.crossJoin(broadcast(cents))
@@ -270,11 +275,13 @@ object SimilarityOps {
   def annIvfTopK(spark: SparkSession, dir: String, cells: Int = 16,
       probes: Int = 4): DataFrame = {
     val e = emb(spark, dir)
-    val assigned = ivfAssign(e, cells)
+    // ONE centroid subplan shared by assignment and query probing —
+    // each ivfCentroids call is a full scan + quantize + sort
+    val cents = ivfCentroids(e, cells)
+    val assigned = ivfAssignTo(e, cents)
     val queries = assigned.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
         col("n2").as("qn"))
-    val cents = ivfCentroids(e, cells)
     val pw = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("probe_cos").desc, col("cell").asc)
     val probed = queries.crossJoin(broadcast(cents))

@@ -34,7 +34,13 @@ object TextSink {
     import org.apache.hadoop.io.Text
     import org.apache.hadoop.mapred.TextOutputFormat
     val rdd = ds.rdd.map { case (k, v) =>
-      (new Text(String.valueOf(k)), new Text(String.valueOf(v)))
+      // propagate null, don't stringify it: Hadoop's LineRecordWriter
+      // emits value-only for a null key (the RawValueProtocol output
+      // contract — String.valueOf(null) would write a literal "null\t"
+      // prefix on every line of a fromText pipeline)
+      val kt: Text = if (k == null) null else new Text(String.valueOf(k))
+      val vt: Text = if (v == null) null else new Text(String.valueOf(v))
+      (kt, vt)
     }
     new org.apache.spark.rdd.PairRDDFunctions(rdd)
       .saveAsHadoopFile[TextOutputFormat[Text, Text]](path)

@@ -258,6 +258,21 @@ class ApiSpec extends AnyFunSuite {
     assert(got == Map("k" -> "\"a\",10,9,true"))
   }
 
+  test("sortValuesRaw composes with reducer_cmd: shell reducer sees " +
+    "byte-sorted encoded lines") {
+    import spark.implicits._
+    val step = MrStep[String, String, String, String, String, String](
+      mapper = (_, line) =>
+        line.split(" ").iterator.map(w => (w, "1")),
+      reducer = sumReducer, // ignored: reducerCmd replaces it
+      reducerCmd = Some(AwkSumByKey),
+      sortValuesRaw = true,
+      cmdProtocols = Some(wordCountProtocols))
+    val got = MrPipeline.fromDataset(cmdLines).step(step).ds.collect().toMap
+    assert(got == Map("a" -> "3", "b" -> "2", "c" -> "1",
+      "skip" -> "1", "me" -> "1"))
+  }
+
   test("combiner and combiner_cmd are mutually exclusive") {
     intercept[IllegalArgumentException] {
       MrStep[String, String, String, String, String, String](
