@@ -40,6 +40,13 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = elementType
 
+  // a null ELEMENT nulls the whole dot product (the built-in array
+  // functions' convention) — reading the slot raw would silently use
+  // 0/garbage; containsNull can't be rejected statically because
+  // transform()/parquet arrays carry containsNull=true even when no
+  // null ever occurs
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -48,12 +55,18 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       case LongType =>
         var acc = 0L
         var i = 0
-        while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+        while (i < n) {
+          if (a.isNullAt(i) || b.isNullAt(i)) return null
+          acc += a.getLong(i) * b.getLong(i); i += 1
+        }
         acc
       case DoubleType =>
         var acc = 0d
         var i = 0
-        while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+        while (i < n) {
+          if (a.isNullAt(i) || b.isNullAt(i)) return null
+          acc += a.getDouble(i) * b.getDouble(i); i += 1
+        }
         acc
     }
   }
@@ -67,14 +80,17 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $n = $a.numElements() < $b.numElements()
          |  ? $a.numElements() : $b.numElements();
          |$jt $acc = 0;
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $hasNull = true; break; }
          |  $acc += $a.$get($i) * $b.$get($i);
          |}
-         |${ev.value} = $acc;
+         |if ($hasNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 

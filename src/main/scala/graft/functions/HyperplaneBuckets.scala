@@ -56,9 +56,14 @@ case class HyperplaneBuckets(child: Expression,
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // null ELEMENTS null the whole bucket array — see ArrayDotProduct
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = math.min(v.numElements(), dim)
+    var ni = 0
+    while (ni < n) { if (v.isNullAt(ni)) return null; ni += 1 }
     val out = new Array[Int](tables)
     val isFloat = elemIsFloat
     var t = 0
@@ -95,9 +100,16 @@ case class HyperplaneBuckets(child: Expression,
       val base = ctx.freshName("base")
       val bucket = ctx.freshName("bucket")
       val out = ctx.freshName("out")
+      val hasNull = ctx.freshName("hasNull")
+      val ni = ctx.freshName("ni")
       s"""
          |int $n = $v.numElements() < $dim ? $v.numElements() : $dim;
+         |boolean $hasNull = false;
+         |for (int $ni = 0; $ni < $n; $ni++) {
+         |  if ($v.isNullAt($ni)) { $hasNull = true; break; }
+         |}
          |int[] $out = new int[$tables];
+         |if (!$hasNull)
          |for (int $t = 0; $t < $tables; $t++) {
          |  int $bucket = 0;
          |  for (int $b = 0; $b < $bits; $b++) {
@@ -110,7 +122,9 @@ case class HyperplaneBuckets(child: Expression,
          |  }
          |  $out[$t] = $bucket;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |if ($hasNull) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
 

@@ -37,12 +37,17 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
+  // null ELEMENTS null the whole count (reading the slot raw would
+  // merge-walk over 0/garbage) — see ArrayDotProduct
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (na, nb) = (a.numElements(), b.numElements())
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }
       else if (x < y) i += 1
@@ -60,18 +65,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $na = $a.numElements();
          |int $nb = $b.numElements();
          |int $i = 0, $j = 0, $c = 0;
+         |boolean $hasNull = false;
          |while ($i < $na && $j < $nb) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { $hasNull = true; break; }
          |  long $x = $a.getLong($i);
          |  long $y = $b.getLong($j);
          |  if ($x == $y) { $c++; $i++; $j++; }
          |  else if ($x < $y) { $i++; }
          |  else { $j++; }
          |}
-         |${ev.value} = $c;
+         |if ($hasNull) { ${ev.isNull} = true; } else { ${ev.value} = $c; }
        """.stripMargin
     })
 

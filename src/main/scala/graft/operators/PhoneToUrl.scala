@@ -136,11 +136,14 @@ object PhoneToUrl {
     val parsed = WholeFileSource
       .mapRaw(spark, s"$wetDir/part-*", parseWet _)
       .toDF("host", "phone", "url")
-    val hostCounts = parsed.groupBy(col("host"))
-      .agg(count(lit(1)).as("host_phone_count"))
-    val kept = parsed.join(
-      hostCounts.filter(col("host_phone_count") <= MaxPhonesPerHost),
-      Seq("host"))
+    // host cap via a window count, NOT a groupBy + self-join: the
+    // self-join's two branches each re-run the whole-file WET parse
+    // (binary read + regex scan of every record) — the dominant cost
+    // at scale — while the window counts on ONE pass of it
+    val kept = parsed
+      .withColumn("host_phone_count",
+        count(lit(1)).over(Window.partitionBy(col("host"))))
+      .filter(col("host_phone_count") <= MaxPhonesPerHost)
     val w = Window.partitionBy(col("phone"))
       .orderBy(col("host_phone_count").asc, length(col("url")).desc,
         col("url").asc)

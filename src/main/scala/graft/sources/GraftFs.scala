@@ -17,26 +17,39 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Glob semantics: Hadoop globStatus (`hadoop fs` globbing) — the
   * reference's ls/cat/du/rm/exists all accept globs too.
   */
-final class GraftFs(conf: Configuration) extends Serializable {
+// NOT Serializable on purpose: the only field is a Hadoop
+// Configuration, which java.io can't serialize — capturing a GraftFs
+// in an executor closure should fail at compile review, not with a
+// misleading runtime NotSerializableException. (Executor-side fs work
+// would hold a Spark SerializableConfiguration instead.)
+final class GraftFs(conf: Configuration) {
 
   private def fsFor(path: String): FileSystem =
     new Path(path).getFileSystem(conf)
 
-  /** Recursively list matching FILES (no directories — the reference
-    * omits them for S3 compatibility, fs/base.py:75-83). */
-  def ls(pathGlob: String): Seq[String] = {
+  /** Recursively list matching FILES with their statuses — one
+    * metadata pass shared by ls and du (a du built on bare paths
+    * would re-fetch getFileStatus per file: N extra namenode RPCs
+    * ls just performed and discarded). */
+  private def lsStatus(pathGlob: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val fs = fsFor(pathGlob)
     val matches = Option(fs.globStatus(new Path(pathGlob)))
       .getOrElse(Array.empty).toSeq
     matches.flatMap { st =>
       if (st.isDirectory) {
         val it = fs.listFiles(st.getPath, true)
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) out += it.next().getPath.toString
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) out += it.next()
         out
-      } else Seq(st.getPath.toString)
+      } else Seq(st)
     }
   }
+
+  /** Recursively list matching FILES (no directories — the reference
+    * omits them for S3 compatibility, fs/base.py:75-83). */
+  def ls(pathGlob: String): Seq[String] =
+    lsStatus(pathGlob).map(_.getPath.toString)
 
   /** Cat all files matching the glob, concatenated in ls order
     * (fs/base.py:54-66; the reference yields b'' separators between
@@ -57,10 +70,7 @@ final class GraftFs(conf: Configuration) extends Serializable {
       .linesIterator.toSeq
 
   /** Total size of matching files (`hadoop fs -du`, fs/base.py:68-73). */
-  def du(pathGlob: String): Long = {
-    val fs = fsFor(pathGlob)
-    ls(pathGlob).map(p => fs.getFileStatus(new Path(p)).getLen).sum
-  }
+  def du(pathGlob: String): Long = lsStatus(pathGlob).map(_.getLen).sum
 
   /** Does anything match? (`hadoop fs -test -e`, fs/base.py:90-95). */
   def exists(pathGlob: String): Boolean = {
@@ -103,10 +113,14 @@ final class GraftFs(conf: Configuration) extends Serializable {
     md.digest(cat(path)).map(b => f"$b%02x").mkString
   }
 
-  /** URI-aware path join (fs/base.py:97-109). */
+  /** URI-aware path join (fs/base.py:97-109): posixpath.join
+    * semantics — a later component that is absolute or carries its
+    * own scheme REPLACES everything before it. */
   def join(path: String, paths: String*): String =
     paths.foldLeft(path) { (acc, p) =>
-      if (acc.endsWith("/")) acc + p else acc + "/" + p
+      if (p.startsWith("/") || p.contains("://")) p
+      else if (acc.endsWith("/")) acc + p
+      else acc + "/" + p
     }
 }
 
@@ -159,8 +173,14 @@ object GraftFs {
     val hfs = p.getFileSystem(conf)
     val old = new Path(dir.stripSuffix("/") + "_compact_old")
     hfs.delete(old, true)
-    hfs.rename(p, old)
-    hfs.rename(new Path(tmp), p)
+    // rename returns FALSE on failure rather than throwing — ignoring
+    // it would let the second rename move tmp INSIDE the still-present
+    // dir (Hadoop rename-into-existing-directory semantics) and report
+    // success over a corrupted layout
+    require(hfs.rename(p, old),
+      s"compactParquet: could not move $dir aside (live data untouched)")
+    require(hfs.rename(new Path(tmp), p),
+      s"compactParquet: could not swap in $tmp — previous data is at $old")
     hfs.delete(old, true)
     fs.ls(s"$dir/part-*").size
   }
