@@ -98,7 +98,8 @@ object Bench {
       // cluster SIZE), which the ClusterOps scaladoc states
       "kmeans_assign", "doc_sim_sparse", "pagerank")
       .filter(n => only.forall(_.contains(n)))
-    val blowDir = graft.sources.Blowup.ensure(spark, sfDir, factor = 10)
+    val blowDir = if (probeNames.nonEmpty)
+      graft.sources.Blowup.ensure(spark, sfDir, factor = 10) else sfDir
     // Probe hygiene: by this point the JVM has run names.size×(reps+1)
     // queries — drop cached relations and hint a full GC so the probe
     // measures the query, not accumulated old-gen pressure (a one-off
@@ -109,7 +110,10 @@ object Bench {
     System.gc()
     val probe = probeNames.map { nm =>
       val base = results.toMap.getOrElse(nm, -1.0)
-      val t = math.min(run(nm, blowDir), run(nm, blowDir))
+      // best-of-2 over SUCCESSFUL reps only — a bare min would report
+      // the -1.0 failure sentinel as the best time
+      val ts = Seq(run(nm, blowDir), run(nm, blowDir)).filter(_ >= 0)
+      val t = if (ts.isEmpty) -1.0 else ts.min
       s""""$nm":{"base":$base,"x10":$t}"""
     }.mkString("{", ",", "}")
     val line =

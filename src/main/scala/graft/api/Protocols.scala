@@ -85,7 +85,7 @@ object PyJson {
     }
   }
 
-  private[api] def quote(s: String): String = {
+  private[graft] def quote(s: String): String = {
     val b = new StringBuilder("\"")
     s.foreach {
       case '"' => b.append("\\\"")
@@ -108,6 +108,13 @@ object PyJson {
   * match the reference's stdlib-JSON lines exactly (see [[PyJson]];
   * golden-bytes gate in ParityGoldenSpec). */
 object JsonPairProtocol extends LineProtocol[JValue, JValue] {
+  // PyJson.dumps emits NaN/Infinity tokens (CPython json.dumps
+  // allow_nan default); jackson REJECTS them unless told otherwise,
+  // so read(write(NaN)) would crash mid-chain without this
+  JsonMethods.mapper.configure(
+    com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS,
+    true)
+
   def read(line: String): (JValue, JValue) = {
     val i = line.indexOf('\t')
     require(i >= 0, s"no tab in JSON pair line: $line")
@@ -217,6 +224,10 @@ object PyLiteral {
     case JInt(i) => i.toString
     case JLong(l) => l.toString
     case JDecimal(d) => d.toString
+    // Python repr spells non-finite floats nan/inf/-inf (PyJson's
+    // NaN/Infinity forms are the json.dumps spelling, not repr's)
+    case JDouble(d) if d.isNaN => "nan"
+    case JDouble(d) if d.isInfinite => if (d > 0) "inf" else "-inf"
     case JDouble(d) => PyJson.pyFloat(d)
     case JString(s) => quoteRepr(s)
     case JArray(xs) => xs.map(render).mkString("[", ", ", "]")
@@ -349,7 +360,16 @@ object PyLiteral {
         case "None" => JNull
         case "True" => JBool(true)
         case "False" => JBool(false)
-        case num if num.matches("[+-]?\\d+") => JLong(num.toLong)
+        // Python repr forms first, Java forms tolerated
+        case "nan" | "NaN" => JDouble(Double.NaN)
+        case "inf" | "Infinity" | "+inf" => JDouble(Double.PositiveInfinity)
+        case "-inf" | "-Infinity" => JDouble(Double.NegativeInfinity)
+        case num if num.matches("[+-]?\\d+") =>
+          // arbitrary precision: render emits BigInt-backed JInt, so
+          // toLong alone couldn't round-trip our own output
+          if (num.length <= 18) JLong(num.toLong)
+          else scala.util.Try(JLong(num.toLong))
+            .getOrElse(JInt(BigInt(num)))
         case num => JDouble(num.toDouble)
       }
     }

@@ -48,8 +48,8 @@ final class StopWordCountJob(args: JobArgs)
 object MrApiQueries {
 
   /** Word count exactly as mr_word_freq_count.py:23-33 structures it:
-    * tokenize mapper, summing combiner (map-side partial agg via
-    * Aggregator), summing reducer. */
+    * tokenize mapper, summing combiner (bounded map-side combine via
+    * MapSideCombine), summing reducer. */
   def wordFreqMr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lines = Tables.load(spark, dir, "documents")

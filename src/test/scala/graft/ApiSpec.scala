@@ -334,6 +334,31 @@ class ApiSpec extends AnyFunSuite {
     assert(parts.length == 1)
   }
 
+  test("protocols round-trip their own edge cases: NaN/Infinity JSON, " +
+    "Python-repr non-finite floats, arbitrary-precision ints") {
+    import org.json4s._
+    // json.dumps emits NaN/Infinity (allow_nan default); the reader
+    // must accept its own writer's output
+    val (jk, jv) = JsonPairProtocol.read(
+      JsonPairProtocol.write(JDouble(Double.NaN), JDouble(1.0)))
+    assert(jk.asInstanceOf[JDouble].num.isNaN)
+    val (_, ji) = JsonPairProtocol.read(
+      JsonPairProtocol.write(JNull, JDouble(Double.PositiveInfinity)))
+    assert(ji.asInstanceOf[JDouble].num.isPosInfinity)
+    // Python repr spells them nan/inf/-inf
+    val nanLine = ReprPairProtocol.write(JDouble(Double.NaN),
+      JDouble(Double.NegativeInfinity))
+    assert(nanLine == "nan\t-inf")
+    val (rk, rv) = ReprPairProtocol.read(nanLine)
+    assert(rk.asInstanceOf[JDouble].num.isNaN &&
+      rv.asInstanceOf[JDouble].num.isNegInfinity)
+    // BigInt-backed ints render beyond Long and must read back
+    val big = BigInt("99999999999999999999")
+    val (bk, _) = ReprPairProtocol.read(
+      ReprPairProtocol.write(JInt(big), JLong(1L)))
+    assert(bk == JInt(big))
+  }
+
   test("JsonPairProtocol round-trips mrjob-style pair lines") {
     import org.json4s._
     val line = """["prev", "word"]	42"""
