@@ -16,6 +16,10 @@ run / fork := true
 // a parseable raw line on stdout (BENCH_r{1,2} had `parsed: null` because
 // the sbt log decoration wrapped it).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and the trailing `[success] Total time: ...` sbt epilogue also goes
+// to stdout AFTER the JSON line (BENCH_r3 still had `parsed: null` from
+// it). Suppress it so the metrics line is the last line on stdout.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -505,9 +505,11 @@ object EventQueries {
 
   /** CUBE aggregation — all four grouping sets of
     * (event_type, hour-of-day) in one pass: the OLAP dashboard shape
-    * (q9 covers ROLLUP; this covers the full lattice). NULL grouping
-    * markers are normalized to 'ALL'/-1 so both engines agree on the
-    * output domain.
+    * (q9 covers ROLLUP; this covers the full lattice). Roll-up marker
+    * rows are identified via GROUPING() — not COALESCE over the NULL
+    * markers, which would conflate a genuine NULL event_type/ts data
+    * row with the 'ALL' roll-up — and normalized to 'ALL'/-1 on both
+    * engines.
     *
     * Scale: Catalyst plans CUBE as one Expand (4× map-side inflation)
     * + one partial+final agg — one shuffle total, vs four separate
@@ -521,15 +523,22 @@ object EventQueries {
       .cube(col("event_type"), col("hod"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double")
-          .as("total_value"))
-      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
-        coalesce(col("hod"), lit(-1L)).as("hod"),
+          .as("total_value"),
+        grouping(col("event_type")).as("g_et"),
+        grouping(col("hod")).as("g_hod"))
+      .select(
+        when(col("g_et") === 1, lit("ALL")).otherwise(col("event_type"))
+          .as("event_type"),
+        when(col("g_hod") === 1, lit(-1L)).otherwise(col("hod")).as("hod"),
         col("n"), col("total_value"))
       .orderBy(col("event_type"), col("hod"))
 
   val eventsCubeSql: String =
-    """SELECT COALESCE(event_type, 'ALL') AS event_type,
-      |  COALESCE(CAST(hour(ts) AS BIGINT), -1) AS hod,
+    """SELECT
+      |  CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+      |       ELSE event_type END AS event_type,
+      |  CASE WHEN GROUPING(CAST(hour(ts) AS BIGINT)) = 1 THEN -1
+      |       ELSE CAST(hour(ts) AS BIGINT) END AS hod,
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events
@@ -617,7 +626,12 @@ object EventQueries {
       // milli sum goes through BIGINT BEFORE the integral divide:
       // DuckDB's `//` on a DECIMAL operand divides in decimal and the
       // final BIGINT cast ROUNDS the quotient, while Spark's DIV
-      // truncates — integer // integer truncates on both
+      // truncates. On integers the engines STILL differ in sign
+      // handling — Spark DIV truncates toward zero, DuckDB `//`
+      // floors — so the oracle computes sign-safe truncating division
+      // explicitly ((a - a % b) // b; DuckDB % is C-style truncated
+      // modulo, so the difference is exactly divisible and floor ==
+      // trunc) rather than resting on a non-negative value domain.
       .withColumn("avg_value_milli",
         expr("CAST(sv * 1000 AS BIGINT) DIV n_in_window"))
       .select(col("user_id"), col("event_id"), col("n_in_window"),
@@ -633,8 +647,12 @@ object EventQueries {
       |  FROM events
       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+      |, m AS (
+      |  SELECT user_id, event_id, n_in_window,
+      |    CAST(sv * 1000 AS BIGINT) AS svm
+      |  FROM w)
       |SELECT user_id, event_id, n_in_window,
-      |  CAST(sv * 1000 AS BIGINT) // n_in_window AS avg_value_milli
-      |FROM w
+      |  (svm - svm % n_in_window) // n_in_window AS avg_value_milli
+      |FROM m
       |ORDER BY user_id, event_id""".stripMargin
 }

@@ -106,8 +106,9 @@ object PipelineOps {
        |  FROM documents),
        |o AS (
        |  SELECT source, doc_id, n_tok,
-       |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_tok
        |  FROM d)
        |SELECT source, doc_id, n_tok, start_tok,
        |  start_tok // $PackLen AS seq_first,

@@ -84,13 +84,17 @@ object SparseSimOps {
         .orderBy(col("w").desc, col("doc_id"))))
       .filter(col("cr") <= ChampR)
       .select(col("term"), col("doc_id"), col("w"))
+    // widen BEFORE squaring/summing (the eventsAnomaly sx2 pattern):
+    // w·w summed in LONG wraps silently at extreme tf·idf weights
+    // while the DuckDB oracle sums into HUGEINT (errors, not wraps) —
+    // DECIMAL(38,0) products agree with the oracle everywhere
     val norms = postings.groupBy(col("doc_id"))
-      .agg(sum(col("w") * col("w")).as("n2"))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
     // term-at-a-time pair stream: Σ min(df, R)² rows
     val dots = postings.as("x").join(postings.as("y"), Seq("term"))
       .filter(col("x.doc_id") =!= col("y.doc_id"))
       .groupBy(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-      .agg(sum(col("x.w") * col("y.w")).as("dot"))
+      .agg(sum(col("x.w").cast("decimal(38,0)") * col("y.w")).as("dot"))
     val scored = dots
       .join(norms.select(col("doc_id").as("i"), col("n2").as("n2i")), Seq("i"))
       .join(norms.select(col("doc_id").as("j"), col("n2").as("n2j")), Seq("j"))

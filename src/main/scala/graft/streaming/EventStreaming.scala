@@ -253,7 +253,12 @@ object EventStreaming {
         val hfs0 = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
         val old0 = new org.apache.hadoop.fs.Path(
           targetDir.stripSuffix("/") + "_merge_old")
-        if (!hfs0.exists(p0) && hfs0.exists(old0)) hfs0.rename(old0, p0)
+        // rename() reports failure by BOOLEAN, not exception — an
+        // unchecked false here would let the batch "succeed" over a
+        // missing/corrupt target (same contract as GraftFs.compactParquet)
+        if (!hfs0.exists(p0) && hfs0.exists(old0))
+          require(hfs0.rename(old0, p0),
+            s"upsert recovery: rename($old0, $p0) failed")
         val incoming = batch.select(col("event_id"), col("ts"),
           col("user_id"), col("event_type"), col("value"))
         val merged = (if (fs.exists(s"$targetDir/part-*"))
@@ -272,8 +277,15 @@ object EventStreaming {
         val old = new org.apache.hadoop.fs.Path(
           targetDir.stripSuffix("/") + "_merge_old")
         hfs.delete(old, true)
-        if (hfs.exists(p)) hfs.rename(p, old)
-        hfs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+        // checked swap: if rename(p, old) silently failed, the next
+        // rename would move tmp INSIDE the still-present target dir and
+        // report success over a corrupted layout — abort the batch
+        // instead (foreachBatch rethrows → query fails loudly; recovery
+        // above restores _merge_old on restart)
+        if (hfs.exists(p))
+          require(hfs.rename(p, old), s"upsert swap: rename($p, $old) failed")
+        require(hfs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+          s"upsert swap: rename($tmp, $p) failed")
         hfs.delete(old, true)
         ()
       }

@@ -63,6 +63,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         eq = True
         for c in got.columns:
             a, b = got[c], exp[c]
+            # The driver hashes materialized values, so dtype FAMILY must
+            # match too: an int64 32 vs a float64 32.0 (e.g. DuckDB HUGEINT
+            # materialized as float) hash-differ even though `32 == 32.0`.
+            fam = {'i': 'int', 'u': 'int', 'f': 'float', 'b': 'bool'}
+            ka = fam.get(a.dtype.kind, a.dtype.kind)
+            kb = fam.get(b.dtype.kind, b.dtype.kind)
+            if ka != kb:
+                eq = False
+                print(f"FAIL {name}: col {c} dtype family {a.dtype} vs "
+                      f"{b.dtype} (driver hash would mismatch)")
+                continue
             try:
                 same = (a.astype(object).where(pd.notnull(a), None).tolist() ==
                         b.astype(object).where(pd.notnull(b), None).tolist())
