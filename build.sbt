@@ -20,6 +20,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // to stdout AFTER the JSON line (BENCH_r3 still had `parsed: null` from
 // it). Suppress it so the metrics line is the last line on stdout.
 Global / showSuccess := false
+// showSuccess is consumed by the command layer, not a task — exclude it
+// from the unused-key lint (the effect is verified: no [success] line).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

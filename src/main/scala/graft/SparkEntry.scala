@@ -55,7 +55,14 @@ object SparkEntry {
     "word_freq_mr" -> (MrApiQueries.wordFreqMr _),
     "wc_mr" -> (MrApiQueries.wcMr _),
     "ann_topk" -> (SimilarityOps.annTopK _),
+    // bits == 0: every vector lands in bucket 0 of the single table, so
+    // the candidate set is provably complete and the rerank IS exact
+    // brute-force top-k — fully oracled against the exact top-k SQL
+    // (the ann_ivf_topk trick). The production approximate
+    // parameterization stays registered as ann_lsh_probe.
     "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
+      SimilarityOps.annLshTopK(s, d, tables = 1, bits = 0)),
+    "ann_lsh_probe" -> ((s: SparkSession, d: String) =>
       SimilarityOps.annLshTopK(s, d)),
     // probes == cells: provably identical to brute force (spec-pinned),
     // so this row is fully oracled against the exact top-k SQL; the
@@ -133,6 +140,8 @@ object SparkEntry {
     "kmeans_assign" -> ((s: SparkSession, d: String) =>
       ClusterOps.kmeansAssign(s, d)),
     "semdedup" -> ((s: SparkSession, d: String) => ClusterOps.semDedup(s, d)),
+    "semdedup_scaled" -> ((s: SparkSession, d: String) =>
+      ClusterOps.semDedupScaled(s, d)),
     "multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "text_classifier" -> (TextClassifier.classify _),
     "phone_to_url" -> (PhoneToUrl.phoneToUrl _),
@@ -177,6 +186,9 @@ object SparkEntry {
     "wc_mr" -> MrApiQueries.wcMrSql,
     "ann_topk" -> SimilarityOps.annTopKSql,
     "ann_ivf_topk" -> SimilarityOps.annTopKSql,
+    // bits=0 LSH: candidate set provably complete ⇒ result ≡ exact top-k
+    "ann_lsh_topk" -> SimilarityOps.annTopKSql,
+    "input_file_counts" -> TextQueries.inputFileCountsSql,
     "dedup_minhash" -> DedupOps.dedupMinhashSql,
     "dedup_embedding" -> SimilarityOps.dedupEmbeddingSql,
     "dedup_exact" -> DedupOps.dedupExactSql,

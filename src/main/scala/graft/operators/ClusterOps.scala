@@ -196,6 +196,41 @@ object ClusterOps {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Target cluster SIZE for the scale-safe config: k = ⌈N / this⌉,
+    * per Abbas et al.'s k ≈ N/⟨cluster size⟩ (100k clusters at
+    * LAION scale). */
+  val TargetClusterSize = 64L
+
+  /** The scale-safe SemDeDup the catalog EXECUTES: cluster COUNT grows
+    * with the corpus so cluster SIZE stays bounded — Σ cluster² ≈
+    * N·targetClusterSize, linear in N, vs the pinned-K=8 [[semDedup]]
+    * row whose Σ cluster² is quadratic by construction (kept because
+    * its unrolled DuckDB oracle needs a k known at SQL-gen time).
+    *
+    * Plan shape is UNCHANGED from [[semDedup]] (PlanSpec-pinned): one
+    * broadcast centroid table per Lloyd round, partial-aggregable
+    * argmin, within-cluster equi-join. The sizing `count()` is a
+    * single driver action answered from parquet footer metadata.
+    * Cost honesty at the extreme: the broadcast is k·Dim longs
+    * (~0.5 MB per 1k clusters) and Lloyd assignment is N·k dots per
+    * round — past ~10⁵ clusters a production run prunes assignment
+    * through a coarse quantizer first (the annIvf two-level shape);
+    * the within-cluster join and its Σ cluster² bound are unaffected.
+    *
+    * Rows-only registration: k depends on the data, so no static
+    * oracle SQL exists — the ScalaTest gates pin (a) exact equality
+    * with the all-pairs ground truth when one cluster covers the
+    * corpus (targetClusterSize ≥ N ⇒ k=1 ⇒ blocking is a no-op) and
+    * (b) subset-of-brute-force + recall floor at the default config. */
+  def semDedupScaled(spark: SparkSession, dir: String,
+      threshold: Double = 0.4,
+      targetClusterSize: Long = TargetClusterSize): DataFrame = {
+    val n = emb(spark, dir).count()
+    val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
+      .min(1 << 20).toInt
+    semDedup(spark, dir, threshold, k)
+  }
+
   val semDedupSql: String = {
     // strip the trailing projection off the kmeans chain, keep the CTEs
     val ctes = kmeansAssignSql.substring(0,

@@ -307,10 +307,16 @@ object SimilarityOps {
   }
 
   /** LSH-bucketed ANN: collide on any table's bucket, exact-rerank the
-    * candidates. Approximate (recall < 1) — the shape that survives
-    * 100 TB: shuffle is per-bucket, never N². Not oracle-checked
-    * (approximation is seed-defined); validated in ScalaTest against
-    * [[annTopK]] mechanics. */
+    * candidates. Approximate (recall < 1) at production parameters —
+    * the shape that survives 100 TB: shuffle is per-bucket, never N².
+    * Registered twice: `ann_lsh_topk` at (tables=1, bits=0), where
+    * every vector shares bucket 0 so the candidate set is provably
+    * complete and the result is EXACTLY brute-force top-k — that row
+    * is fully oracled against the exact top-k SQL and pins the
+    * end-to-end mechanics (bucket keying, posexplode join, rerank,
+    * rank tie-breaks); and `ann_lsh_probe` at the production
+    * parameters (rows-only + ScalaTest well-formedness/recall gates,
+    * since production recall is seed-defined). */
   def annLshTopK(spark: SparkSession, dir: String,
       tables: Int = 4, bits: Int = 8): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"),

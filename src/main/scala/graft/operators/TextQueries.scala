@@ -170,13 +170,50 @@ object TextQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** File-group count of the deterministic input layout below. */
+  val InputFixtureBuckets = 8
+
+  /** Deterministic multi-file text layout derived from `documents`:
+    * one line per doc, file group = doc_id % [[InputFixtureBuckets]]
+    * (a partitionBy dir per group). Written once per sf dir
+    * (marker-checked), GraftFs-resolved like the WET fixture. */
+  def ensureInputFixture(spark: SparkSession, dir: String): String = {
+    val out = graft.sources.GraftFs.scratchDir(spark,
+      "graft_infiles_v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val fs = graft.sources.GraftFs(spark)
+    if (!fs.exists(s"$out/_SUCCESS")) {
+      docs(spark, dir)
+        .select(col("doc_id").cast("string").as("value"),
+          (col("doc_id") % InputFixtureBuckets).as("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").text(out)
+    }
+    out
+  }
+
   /** input_file_name() parity for mapreduce.map.input.file
-    * (harness.py:306-325) — not SQL-oracle-able (file layout detail),
-    * driver records rows>0. */
-  def inputFileCounts(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"))
+    * (harness.py:306-325) — per-input-group row counts. Oracle-able via
+    * the phone_to_url fixture trick: the inputs are the deterministic
+    * file layout of [[ensureInputFixture]] (a pure function of
+    * `documents`), so the engine side round-trips through REAL file
+    * paths — read text files, take input_file_name(), map path → input
+    * group — while the expected counts are plain SQL over the table.
+    * Aggregation is at the partition-dir granularity because the part-
+    * file NAMES inside a group are writer-nondeterministic (task ids),
+    * exactly like mapreduce.map.input.file over a dir of splits. */
+  def inputFileCounts(spark: SparkSession, dir: String): DataFrame = {
+    val fix = ensureInputFixture(spark, dir)
+    spark.read.text(s"$fix/bucket=*")
+      .select(regexp_extract(input_file_name(), "(bucket=\\d+)", 1).as("file"))
+      .groupBy(col("file")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("file"))
+  }
+
+  val inputFileCountsSql: String =
+    s"""SELECT 'bucket=' || CAST(doc_id % $InputFixtureBuckets AS VARCHAR) AS file,
+       |  COUNT(*) AS n_rows
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
 
   /** log_sampler (mr_log_sampler.py:32-120): the reference reservoir-
     * samples with a seeded RNG; distributed + oracle-deterministic

@@ -66,4 +66,32 @@ class ClusterSpec extends AnyFunSuite {
     assert(recall >= 0.25,
       f"cluster-blocking recall $recall%.2f collapsed below the pinned floor")
   }
+
+  test("semdedup_scaled degenerates to EXACT all-pairs when one cluster " +
+    "covers the corpus (k ∝ N contract, k=1 case)") {
+    // targetClusterSize ≥ N ⇒ k = 1 ⇒ the within-cluster join IS the
+    // all-pairs join — blocking must be a pure candidate restriction,
+    // never a change to the pair semantics
+    val brute = SimilarityOps.dedupEmbeddingAllPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Double]("cos"))).toSet
+    val got = ClusterOps.semDedupScaled(spark, dir,
+      targetClusterSize = 1000000L).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Double]("cos"))).toSet
+    assert(got == brute)
+  }
+
+  test("semdedup_scaled at default config: subset of brute force, recall " +
+    "floor holds") {
+    val brute = SimilarityOps.dedupEmbeddingAllPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    val got = ClusterOps.semDedupScaled(spark, dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(brute),
+      "a within-cluster pair must also pass the global threshold")
+    assert(got.size.toDouble / brute.size >= 0.25,
+      "bounded-cluster-size blocking recall collapsed below the floor")
+  }
 }

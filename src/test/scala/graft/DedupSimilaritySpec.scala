@@ -99,6 +99,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lshPairs.forall { case (q, c) => q != c })
   }
 
+  test("LSH ANN at bits=0 equals brute-force top-k exactly (registered " +
+    "oracled config)") {
+    // one table, zero hyperplanes ⇒ every vector shares bucket 0 ⇒ the
+    // candidate set is complete by construction and the rerank must
+    // reproduce annTopK bit-for-bit, ranks and ties included — the
+    // recall-1 parameterization the ann_lsh_topk CORRECTNESS row runs
+    val dir = SparkFixture.Sf0001
+    val exact = SimilarityOps.annTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val full = SimilarityOps.annLshTopK(spark, dir, tables = 1, bits = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(full == exact,
+      s"bits=0 LSH diverged: missing=${exact -- full}, extra=${full -- exact}")
+  }
+
   test("dedupJaccard LSH path returns exactly the all-pairs ground truth") {
     val dir = SparkFixture.Sf0001
     val lsh = DedupOps.dedupJaccard(spark, dir)

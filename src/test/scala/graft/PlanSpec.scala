@@ -126,6 +126,7 @@ class PlanSpec extends AnyFunSuite {
       "triangle_count" -> "broadcast sides = single-row edge/node totals",
       "kmeans_assign" -> "broadcast side = k (8) centroids per round",
       "semdedup" -> "broadcast side = k (8) centroids per round (assignment phase)",
+      "semdedup_scaled" -> "broadcast side = ⌈N/64⌉ centroids per round — bounded cluster SIZE, same plan shape as semdedup",
       "doc_sim_sparse" -> "broadcast side = single-row corpus doc count",
       "zorder_layout" -> "broadcast side = single-row key-range bounds",
       "events_gap_stats" -> "broadcast side = single-row gap count",
