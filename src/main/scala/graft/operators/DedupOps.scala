@@ -570,17 +570,24 @@ object DedupOps {
     *    shallow cliques that converge in 2-3 one-shuffle rounds, and
     *    only a still-unconverged deep component pays the two-phase
     *    price;
-    *  - convergence = an exact Long COUNT of changed labels per round
-    *    (a narrow join — both sides on `part`), where the previous
-    *    Σ-labels Double fixpoint could round a real decrease to
-    *    "unchanged" once ids aggregate past 2⁵³ (round-2 advice);
-    *  - labels persist per round, previous round unpersisted; the
-    *    shuffle files truncate recomputation (an earlier DataFrame
-    *    version cloned the whole upstream pair-generation subtree
-    *    2^rounds times and froze the planner).
+    *  - convergence = an exact Long COUNT of changed labels (a narrow
+    *    join — both sides on `part`), where the previous Σ-labels
+    *    Double fixpoint could round a real decrease to "unchanged"
+    *    once ids aggregate past 2⁵³ (round-2 advice). The count is a
+    *    driver round-trip, so it runs every round only for the first
+    *    two rounds (shallow near-dup graphs exit there), then every
+    *    `checkEvery` rounds — BATCHING STAYS EXACT because labels are
+    *    monotone non-increasing: zero diffs against the labels of the
+    *    last check ⟺ no round in between changed anything (round-3
+    *    advice #6);
+    *  - labels persist per round; rounds between checks stay persisted
+    *    until the next count materializes them, then release in one
+    *    batch. The shuffle files truncate recomputation (an earlier
+    *    DataFrame version cloned the whole upstream pair-generation
+    *    subtree 2^rounds times and froze the planner).
     */
   def resolveDupClusters(pairs: DataFrame, maxIters: Int = 50,
-      shortcutAfter: Int = 4): DataFrame = {
+      shortcutAfter: Int = 4, checkEvery: Int = 2): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -596,6 +603,8 @@ object DedupOps {
       .mapPartitions(_.map { case (n, mn) => (n, math.min(n, mn)) },
         preservesPartitioning = true)
       .persist()
+    var lastChecked = labels
+    var toRelease = List.empty[org.apache.spark.rdd.RDD[(Long, Long)]]
     var round = 1
     var converged = false
     while (round < maxIters && !converged) {
@@ -617,13 +626,25 @@ object DedupOps {
           (n, math.min(own, up.getOrElse(own))) },
           preservesPartitioning = true)
         .persist()
-      val changed = next.join(labels)
-        .filter { case (_, (a, b)) => a != b }.count()
-      labels.unpersist(blocking = false)
+      // batched convergence: diff against the labels of the LAST CHECK
+      // (exact under monotone labels — see scaladoc); everything older
+      // than `next` is releasable only after this count materializes it
+      val check = round <= 2 || (round - 2) % checkEvery == 0 ||
+        round + 1 >= maxIters
+      if (check) {
+        val changed = next.join(lastChecked)
+          .filter { case (_, (a, b)) => a != b }.count()
+        converged = changed == 0L
+        (labels :: toRelease).foreach(_.unpersist(blocking = false))
+        toRelease = Nil
+        lastChecked = next
+      } else {
+        toRelease = labels :: toRelease
+      }
       labels = next
-      converged = changed == 0L
       round += 1
     }
+    toRelease.foreach(_.unpersist(blocking = false))
     edgesByDst.unpersist(blocking = false)
     // materialize through an eager checkpoint so the final round's
     // persisted RDD can be RELEASED here — returning the lazy toDF
