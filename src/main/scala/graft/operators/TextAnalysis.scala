@@ -186,18 +186,21 @@ object TextAnalysis {
     * Scale: trigram doc-frequency is one distinct-agg over exploded
     * trigrams; the boilerplate set joins back UNHINTED (vocab³-bounded
     * — AQE broadcasts only if measured small); the per-doc ratio is an
-    * integer-ppm DIV. */
+    * integer-ppm DIV. The trigram KEY is the chained-xxhash64 of the
+    * token triple ([[DedupOps.shingleHashes64]], the decontaminate /
+    * dedup_minhash idiom): the occurrence stream shuffles twice (DF
+    * agg + join-back), so an 8-byte long key instead of a rebuilt
+    * trigram STRING cuts both shuffles' volume ~3× and drops the
+    * arrays_zip/slice/concat allocation chain; collision-free at
+    * corpus trigram cardinalities (P ≈ n²/2⁶⁵), so counts equal the
+    * string-keyed DuckDB oracle's exactly. */
   def boilerplateRatio(spark: SparkSession, dir: String,
       minDocs: Long = 20L): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
     val occ = toks.filter(size(col("ts")) >= 3)
-      .select(col("doc_id"), explode(arrays_zip(
-        slice(col("ts"), lit(1), size(col("ts")) - 2).as("w1"),
-        slice(col("ts"), lit(2), size(col("ts")) - 2).as("w2"),
-        slice(col("ts"), lit(3), size(col("ts")) - 2).as("w3"))).as("g"))
       .select(col("doc_id"),
-        concat_ws(" ", col("g.w1"), col("g.w2"), col("g.w3")).as("tri"))
+        explode(DedupOps.shingleHashes64(col("ts"))).as("tri"))
     val boiler = occ.select(col("doc_id"), col("tri")).distinct()
       .groupBy(col("tri")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
