@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     "dedup_passage" -> ((s: SparkSession, d: String) =>
       DedupOps.passageDedup(s, d)),
+    "para_dedup" -> (DedupOps.paraDedup _),
     "near_dup_clean" -> (DedupOps.nearDupClean _),
     "dedup_simhash" -> (DedupOps.dedupSimhash _),
     "lang_id" -> (TextAnalysis.langId _),
@@ -199,6 +200,7 @@ object SparkEntry {
     "dedup_simhash" -> DedupOps.dedupSimhashSql,
     "dedup_clusters" -> DedupOps.dedupClustersSql,
     "dedup_passage" -> DedupOps.passageDedupSql,
+    "para_dedup" -> DedupOps.paraDedupSql,
     "near_dup_clean" -> DedupOps.nearDupCleanSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,

@@ -690,6 +690,80 @@ object DedupOps {
       |GROUP BY a
       |ORDER BY doc_id""".stripMargin
 
+  // ------------- Paragraph-level (chunk) dedup -------------
+
+  /** Paragraph-chunk width in tokens — the corpus has no newline
+    * paragraph markers, so fixed token windows stand in (the rag_chunk
+    * convention, non-overlapping here). */
+  val ParaW = 16
+
+  /** CCNet-style paragraph dedup: dedup at SUB-document granularity —
+    * split every doc into consecutive [[ParaW]]-token chunks, keep a
+    * chunk only at its FIRST corpus occurrence (min (doc_id, idx)),
+    * rebuild each doc from its surviving chunks. This is the standard
+    * web-corpus cleaning pass (CCNet; RefinedWeb runs the same shape):
+    * whole-doc dedup misses boilerplate paragraphs shared across
+    * otherwise-distinct pages, and passage dedup only FLAGS shared
+    * windows — this one materializes the cleaned corpus.
+    *
+    * Output: (doc_id, n_chunks, n_kept, clean_text).
+    *
+    * Scale: explode is ∝ corpus tokens; first-occurrence is one
+    * row_number window partitioned by the 64-bit chunk hash (the
+    * boilerplate/decontaminate key idiom — 8-byte shuffle key,
+    * collision-free at corpus chunk cardinalities so the string-keyed
+    * DuckDB oracle matches exactly; WindowGroupLimit cannot prune rn=1
+    * here because every row carries its verdict back, but the window
+    * state per key is one counter); the rebuild is one groupBy doc_id.
+    * Two shuffles total, both linear. */
+  def paraDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ck")).orderBy(col("doc_id"), col("idx"))
+    val chunks = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")).cast("long"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0L),
+          expr(s"(n + ${ParaW - 1}) DIV $ParaW - 1"))).as("idx"))
+      .select(col("doc_id"), col("idx"),
+        array_join(slice(col("ts"),
+          (col("idx") * ParaW + 1).cast("int"), lit(ParaW)), " ").as("chunk"))
+      .withColumn("ck", xxhash64(col("chunk")))
+      .withColumn("kept", row_number().over(w) === 1)
+    chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("idx"), col("chunk"))))),
+          s => s.getField("chunk"))).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val paraDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |ix AS (
+       |  SELECT doc_id, ts,
+       |    unnest(range(0, (len(ts) + ${ParaW - 1}) // $ParaW)) AS idx
+       |  FROM d),
+       |c AS (
+       |  SELECT doc_id, idx,
+       |    array_to_string(ts[(idx*$ParaW+1):(idx*$ParaW+$ParaW)], ' ') AS chunk
+       |  FROM ix),
+       |r AS (
+       |  SELECT doc_id, idx, chunk,
+       |    row_number() OVER (PARTITION BY chunk
+       |      ORDER BY doc_id, idx) AS rn
+       |  FROM c)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+       |    ORDER BY idx), '') AS clean_text
+       |FROM r
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ------------- Exact-substring (passage) dedup -------------
 
   /** 64-bit hash per length-`w` token window (stride 1) of a
