@@ -94,9 +94,12 @@ object Bench {
       // grow linearly). semdedup is deliberately NOT probed at its
       // registered K: with cluster COUNT pinned at 8 for the unrolled
       // oracle SQL, Σ|cluster|² grows quadratically in corpus size —
-      // the honest scale configuration grows K with N (bounded
-      // cluster SIZE), which the ClusterOps scaladoc states
-      "kmeans_assign", "doc_sim_sparse", "pagerank")
+      // the honest scale configuration is semdedup_scaled (k = ⌈N/64⌉,
+      // bounded cluster SIZE), probed below INSTEAD since round 4.
+      "kmeans_assign", "doc_sim_sparse", "pagerank",
+      // round-4 additions: the k ∝ N SemDeDup executable and the
+      // two-linear-shuffle paragraph dedup
+      "semdedup_scaled", "para_dedup")
       .filter(n => only.forall(_.contains(n)))
     val blowDir = if (probeNames.nonEmpty)
       graft.sources.Blowup.ensure(spark, sfDir, factor = 10) else sfDir
