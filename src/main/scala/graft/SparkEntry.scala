@@ -98,6 +98,7 @@ object SparkEntry {
     "token_count" -> (TextAnalysis.tokenCount _),
     "decontaminate" -> ((s: SparkSession, d: String) =>
       TextAnalysis.decontaminate(s, d)),
+    "source_overlap" -> (TextAnalysis.sourceOverlap _),
     "repetition_filter" -> (TextAnalysis.repetitionFilter _),
     "domain_mix" -> (TextAnalysis.domainMix _),
     "mix_sample" -> ((s: SparkSession, d: String) =>
@@ -143,6 +144,7 @@ object SparkEntry {
     "semdedup" -> ((s: SparkSession, d: String) => ClusterOps.semDedup(s, d)),
     "semdedup_scaled" -> ((s: SparkSession, d: String) =>
       ClusterOps.semDedupScaled(s, d)),
+    "prototype_prune" -> (ClusterOps.prototypePrune _),
     "multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "text_classifier" -> (TextClassifier.classify _),
     "phone_to_url" -> (PhoneToUrl.phoneToUrl _),
@@ -209,6 +211,7 @@ object SparkEntry {
     "boilerplate_ratio" -> TextAnalysis.boilerplateRatioSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "decontaminate" -> TextAnalysis.decontaminateSql,
+    "source_overlap" -> TextAnalysis.sourceOverlapSql,
     "repetition_filter" -> TextAnalysis.repetitionFilterSql,
     "domain_mix" -> TextAnalysis.domainMixSql,
     "mix_sample" -> TextAnalysis.mixSampleSql,
@@ -241,6 +244,7 @@ object SparkEntry {
     "pagerank" -> GraphOps.pageRankSql,
     "kmeans_assign" -> ClusterOps.kmeansAssignSql,
     "semdedup" -> ClusterOps.semDedupSql,
+    "prototype_prune" -> ClusterOps.prototypePruneSql,
     "text_classifier" -> TextClassifier.classifySql,
     "phone_to_url" -> PhoneToUrl.phoneToUrlSql,
     "multimodal_features" -> MultimodalOps.multimodalFeaturesSql,

@@ -231,6 +231,92 @@ object ClusterOps {
     semDedup(spark, dir, threshold, k)
   }
 
+  /** Prototypicality-based data pruning (Sorscher et al., "Beyond
+    * neural scaling laws": rank examples by cosine to their class
+    * prototype; prune the most-prototypical for big data, the
+    * least-prototypical for small) — here each embedding is scored
+    * against ITS OWN label's centroid and ranked within the label, so
+    * the downstream policy (drop easy / drop hard / drop a quantile)
+    * is one filter on `proto_rank`.
+    *
+    * Exactness: vectors are [[VectorOps.quantize]]d UNSHIFTED (cosine
+    * is not shift-invariant, unlike the kmeans distances), the
+    * centroid mean is `s DIV cnt` on both engines — per-dim sums CAN
+    * be negative, but DuckDB's `//` TRUNCATES toward zero for integer
+    * operands (it floors only for doubles; measured: `-7 // 2 = -3`),
+    * which is exactly Spark DIV's semantics — and the score is
+    * the signed squared cosine in ppm — `sign(dot)·(dot²·10⁶ DIV
+    * (‖v‖²·‖c‖²))` — computed entirely in DECIMAL(38,0)/HUGEINT
+    * integer algebra (the doc_sim_sparse idiom: monotone in cosine,
+    * no sqrt, no float divergence; DIV operands kept non-negative via
+    * abs so truncate == floor).
+    *
+    * Scale shape: one posexplode + partial-agg shuffle for the
+    * centroids (N·D rows, linear — the kmeans update shape), then one
+    * BROADCAST join of the label-cardinality centroid table back onto
+    * the corpus and a codegen'd integer dot per row; the within-label
+    * rank is one window shuffle on the label key. No pair scan
+    * anywhere. */
+  def prototypePrune(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("label"),
+        VectorOps.quantize(col("embedding")).as("v"))
+      .withColumn("n2", VectorOps.norm2Q(col("v")))
+    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("d", "qv")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("cnt"))
+      .select(col("label"), col("d"), expr("s DIV cnt").as("qm"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("qm")))),
+        s => s.getField("qm")).as("cv"))
+      .withColumn("cn", VectorOps.norm2Q(col("cv")))
+    e.join(broadcast(cents), Seq("label"))
+      .withColumn("dot", VectorOps.dotQ(col("v"), col("cv")))
+      .withColumn("q", expr(
+        "(CAST(abs(dot) AS DECIMAL(38,0)) * abs(dot) * 1000000) DIV " +
+          "NULLIF(CAST(n2 AS DECIMAL(38,0)) * cn, 0)"))
+      .select(col("vec_id"), col("label"),
+        expr("CASE WHEN dot < 0 THEN -q ELSE q END").as("proto_sq_ppm"))
+      .withColumn("proto_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label"))
+          .orderBy(col("proto_sq_ppm").asc_nulls_first, col("vec_id")))
+          .cast("long"))
+      .orderBy(col("vec_id"))
+  }
+
+  val prototypePruneSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, label, ${VectorOps.QuantizeSql} AS v
+       |  FROM embeddings),
+       |ee AS (
+       |  SELECT vec_id, label, d, v[CAST(d AS INT)] AS qv
+       |  FROM q CROSS JOIN range(1, ${Dim + 1}) t(d)),
+       |cent AS (
+       |  SELECT label, list(qm ORDER BY d) AS cv FROM (
+       |    SELECT label, d, CAST(SUM(qv) AS BIGINT) // COUNT(*) AS qm
+       |    FROM ee GROUP BY label, d) m
+       |  GROUP BY label),
+       |sc AS (
+       |  SELECT q.vec_id, q.label,
+       |    CAST(list_sum(list_transform(list_zip(q.v, c.cv),
+       |      z -> CAST(z[1] AS HUGEINT) * z[2])) AS HUGEINT) AS dot,
+       |    CAST(list_sum(list_transform(q.v,
+       |      x -> CAST(x AS HUGEINT) * x)) AS HUGEINT) AS n2,
+       |    CAST(list_sum(list_transform(c.cv,
+       |      x -> CAST(x AS HUGEINT) * x)) AS HUGEINT) AS cn
+       |  FROM q JOIN cent c USING (label)),
+       |pp AS (
+       |  SELECT vec_id, label,
+       |    CASE WHEN dot < 0
+       |      THEN -(abs(dot) * abs(dot) * 1000000 // NULLIF(n2 * cn, 0))
+       |      ELSE abs(dot) * abs(dot) * 1000000 // NULLIF(n2 * cn, 0)
+       |    END AS ppm
+       |  FROM sc)
+       |SELECT vec_id, label, CAST(ppm AS BIGINT) AS proto_sq_ppm,
+       |  CAST(row_number() OVER (PARTITION BY label
+       |    ORDER BY ppm ASC NULLS FIRST, vec_id) AS BIGINT) AS proto_rank
+       |FROM pp ORDER BY vec_id""".stripMargin
+
   val semDedupSql: String = {
     // strip the trailing projection off the kmeans chain, keep the CTEs
     val ctes = kmeansAssignSql.substring(0,

@@ -626,12 +626,13 @@ object EventQueries {
       // milli sum goes through BIGINT BEFORE the integral divide:
       // DuckDB's `//` on a DECIMAL operand divides in decimal and the
       // final BIGINT cast ROUNDS the quotient, while Spark's DIV
-      // truncates. On integers the engines STILL differ in sign
-      // handling — Spark DIV truncates toward zero, DuckDB `//`
-      // floors — so the oracle computes sign-safe truncating division
-      // explicitly ((a - a % b) // b; DuckDB % is C-style truncated
-      // modulo, so the difference is exactly divisible and floor ==
-      // trunc) rather than resting on a non-negative value domain.
+      // truncates. On INTEGER operands DuckDB `//` truncates toward
+      // zero exactly like Spark DIV (measured: -7 // 2 = -3; it
+      // floors only for DOUBLE operands), so a plain BIGINT `//`
+      // would already agree — the oracle still spells out sign-safe
+      // truncating division ((a - a % b) // b, exactly divisible so
+      // the operand type cannot change the result) to stay correct
+      // if the operand ever drifts back to DECIMAL/DOUBLE.
       .withColumn("avg_value_milli",
         expr("CAST(sv * 1000 AS BIGINT) DIV n_in_window"))
       .select(col("user_id"), col("event_id"), col("n_in_window"),

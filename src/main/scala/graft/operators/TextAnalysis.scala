@@ -664,6 +664,76 @@ object TextAnalysis {
       |SELECT doc_id, n_hits FROM hit WHERE n_hits >= 3
       |ORDER BY doc_id""".stripMargin
 
+  /** Cross-SOURCE contamination matrix — for every pair of sources,
+    * how many distinct 3-shingles they share and the shingle-set
+    * Jaccard (ppm): the corpus-audit a mixture designer runs before
+    * trusting per-source weights ([[domainMixWeights]]), since two
+    * "different" sources that mirror each other double-count their
+    * mass. Same shingle definition as [[decontaminate]] (chained
+    * xxhash64 triples, whole-text fallback for <3-token docs) so the
+    * DuckDB string-shingle oracle matches exactly.
+    *
+    * Scale shape: distinct (source, shingle-hash) — one explode + one
+    * distinct shuffle, corpus-linear — then a self-equi-join on the
+    * hash with `src_a < src_b`. Join fan-out is Σ_h C(s_h, 2) ≤
+    * |distinct shingles| · S²/2: linear in corpus size with an
+    * S²-bounded constant, where S is the source taxonomy (a mixture
+    * vocabulary — tens, like [[domainMixWeights]]'s — not an unbounded
+    * key space). Per-source totals are one more partial agg; the
+    * Jaccard is an integer-ppm DIV on non-negative counts (floor ==
+    * truncate, so DuckDB `//` and Spark `DIV` agree without the
+    * sign-safe rewrite events_moving_avg needs). Only pairs with ≥1
+    * shared shingle appear — the inner-join contract, matching the
+    * dedup pair-list convention. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("ts"))
+      .select(col("source"),
+        explode(array_distinct(DedupOps.shingleHashes64(col("ts"))))
+          .as("g"))
+      .distinct()
+    val per = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter_shingles"))
+    pairs
+      .join(per.select(col("source").as("src_a"), col("n").as("na")),
+        Seq("src_a"))
+      .join(per.select(col("source").as("src_b"), col("n").as("nb")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter_shingles"),
+        expr("1000000 * inter_shingles DIV (na + nb - inter_shingles)")
+          .as("jaccard_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH d AS (
+      |  SELECT source, string_split(text, ' ') AS ts, text FROM documents),
+      |s AS (
+      |  SELECT source,
+      |    CASE WHEN len(ts) < 3 THEN [text]
+      |         ELSE list_transform(range(1, len(ts) - 1),
+      |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS sh
+      |  FROM d),
+      |occ AS (
+      |  SELECT DISTINCT source, unnest(sh) AS g FROM s),
+      |per AS (
+      |  SELECT source, COUNT(*) AS n FROM occ GROUP BY source),
+      |pr AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    COUNT(*) AS inter_shingles
+      |  FROM occ a JOIN occ b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT pr.src_a, pr.src_b, pr.inter_shingles,
+      |  1000000 * pr.inter_shingles // (pa.n + pb.n - pr.inter_shingles)
+      |    AS jaccard_ppm
+      |FROM pr
+      |JOIN per pa ON pr.src_a = pa.source
+      |JOIN per pb ON pr.src_b = pb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   /** Deterministic seeded train/val/test split (90/5/5) with per-
     * (source, split) doc and token totals — the assignment step every
     * training pipeline runs before writing shards.

@@ -9,6 +9,7 @@ sorts columns by name and rows by value, and reports exact-match /
 mismatch per query. Dev-only tool (driver-side python libs).
 """
 import json
+import os
 import sys
 import glob
 import duckdb
@@ -37,6 +38,12 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # dev subset: mirror Verify's SPARK_GRAFT_ONLY so a filtered dump
+    # isn't reported as 92 missing-output failures
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        keep = set(only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
