@@ -72,11 +72,15 @@ object JarStep {
   /** Execute the step: `java -cp jar mainClass args...` (explicit
     * main) or `java -jar jar args...` (manifest main), inheriting the
     * parent JVM's `java` binary. Child stdout+stderr are merged and
-    * written to `logPath` when given (the runner keeps per-step logs
-    * the way mrjob preserves step log dirs), and the tail is included
-    * in the failure exception — a nonzero exit throws, mirroring
-    * StepFailedException, instead of letting a half-written output dir
-    * masquerade as success. Returns the child's combined output. */
+    * STREAMED by the OS into `logPath` (or a temp file) — never
+    * buffered on the driver heap, so a per-record-verbose jar over a
+    * large input cannot OOM the driver; the runner keeps per-step
+    * logs the way mrjob preserves step log dirs. stdin is /dev/null:
+    * a filter-style binary that falls back to reading stdin gets
+    * immediate EOF instead of hanging forever on a silent open pipe.
+    * A nonzero exit throws (mirroring StepFailedException) with the
+    * log TAIL in the message, instead of letting a half-written
+    * output dir masquerade as success. Returns the log file path. */
   def run(step: JarStep, inputPaths: Seq[String], outputDir: String,
       logPath: Option[String] = None): String = {
     require(Files.isRegularFile(Paths.get(step.jar)),
@@ -87,20 +91,35 @@ object JarStep {
       case None     => Seq(javaBin, "-jar", step.jar)
     }
     val cmd = argv ++ step.interpolatedArgs(inputPaths, outputDir)
-    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
-    val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(),
-      StandardCharsets.UTF_8)
-    val rc = proc.waitFor()
-    logPath.foreach { p =>
-      Files.createDirectories(Paths.get(p).getParent)
-      Files.write(Paths.get(p), out.getBytes(StandardCharsets.UTF_8))
-    }
+    val log = logPath.map(Paths.get(_)).getOrElse(
+      Files.createTempFile("graft-jarstep-", ".log"))
+    // a bare-filename logPath has a null parent — nothing to create
+    Option(log.toAbsolutePath.getParent)
+      .foreach(Files.createDirectories(_))
+    val pb = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectInput(new java.io.File("/dev/null"))
+      .redirectOutput(log.toFile)
+    val rc = pb.start().waitFor()
     if (rc != 0) {
-      val tail = out.linesIterator.toSeq.takeRight(20).mkString("\n")
       throw new JarStepFailedException(
-        s"jar step failed (rc=$rc): ${cmd.mkString(" ")}\n$tail")
+        s"jar step failed (rc=$rc): ${cmd.mkString(" ")}\n${logTail(log)}")
     }
-    out
+    log.toString
+  }
+
+  /** Last ≤20 lines of the last ≤64 KiB of the log — bounded work no
+    * matter how large the child's output grew. */
+  private def logTail(log: java.nio.file.Path): String = {
+    val size = Files.size(log)
+    val from = math.max(0L, size - 65536L)
+    val ch = Files.newByteChannel(log)
+    try {
+      ch.position(from)
+      val buf = java.nio.ByteBuffer.allocate((size - from).toInt)
+      while (buf.hasRemaining && ch.read(buf) >= 0) {}
+      new String(buf.array(), 0, buf.position(), StandardCharsets.UTF_8)
+        .linesIterator.toSeq.takeRight(20).mkString("\n")
+    } finally ch.close()
   }
 }

@@ -243,8 +243,10 @@ object ClusterOps {
     * is not shift-invariant, unlike the kmeans distances), the
     * centroid mean is `s DIV cnt` on both engines — per-dim sums CAN
     * be negative, but DuckDB's `//` TRUNCATES toward zero for integer
-    * operands (it floors only for doubles; measured: `-7 // 2 = -3`),
-    * which is exactly Spark DIV's semantics — and the score is
+    * operands (measured: `-7 // 2 = -3`; on DOUBLE/DECIMAL operands
+    * `//` is PLAIN division in the pinned DuckDB — `-7.0 // 2 =
+    * -3.5` — so never use it on non-integers), which is exactly
+    * Spark DIV's semantics — and the score is
     * the signed squared cosine in ppm — `sign(dot)·(dot²·10⁶ DIV
     * (‖v‖²·‖c‖²))` — computed entirely in DECIMAL(38,0)/HUGEINT
     * integer algebra (the doc_sim_sparse idiom: monotone in cosine,

@@ -624,15 +624,15 @@ object EventQueries {
       .withColumn("n_in_window", count(lit(1)).over(w))
       .withColumn("sv", sum(col("v")).over(w))
       // milli sum goes through BIGINT BEFORE the integral divide:
-      // DuckDB's `//` on a DECIMAL operand divides in decimal and the
-      // final BIGINT cast ROUNDS the quotient, while Spark's DIV
-      // truncates. On INTEGER operands DuckDB `//` truncates toward
-      // zero exactly like Spark DIV (measured: -7 // 2 = -3; it
-      // floors only for DOUBLE operands), so a plain BIGINT `//`
-      // would already agree — the oracle still spells out sign-safe
-      // truncating division ((a - a % b) // b, exactly divisible so
-      // the operand type cannot change the result) to stay correct
-      // if the operand ever drifts back to DECIMAL/DOUBLE.
+      // DuckDB's `//` is integral ONLY for integer operands — on
+      // DECIMAL/DOUBLE it is PLAIN division in the pinned DuckDB
+      // (measured: -7.0 // 2 = -3.5), and the final BIGINT cast
+      // would then ROUND the quotient where Spark's DIV truncates.
+      // On INTEGER operands `//` truncates toward zero exactly like
+      // Spark DIV (measured: -7 // 2 = -3), so a plain BIGINT `//`
+      // would already agree — the oracle still spells out
+      // ((a - a % b) // b): exactly divisible, so no operand-type
+      // drift back to DECIMAL/DOUBLE can change the result.
       .withColumn("avg_value_milli",
         expr("CAST(sv * 1000 AS BIGINT) DIV n_in_window"))
       .select(col("user_id"), col("event_id"), col("n_in_window"),

@@ -168,6 +168,37 @@ class JarStepSpec extends AnyFunSuite {
     assert(e.getMessage.contains("output exists"))
   }
 
+  test("a stdin-reading jar gets immediate EOF instead of hanging") {
+    val dir = tmp("graft-jar-stdin")
+    val src = dir.resolve("StdinCount.java")
+    Files.write(src,
+      """public class StdinCount {
+        |  public static void main(String[] a) throws Exception {
+        |    int n = 0;
+        |    while (System.in.read() >= 0) n++;
+        |    System.out.println("stdin bytes: " + n);
+        |  }
+        |}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    assert(javax.tools.ToolProvider.getSystemJavaCompiler
+      .run(null, null, null, src.toString) == 0)
+    val jarPath = dir.resolve("stdin.jar")
+    val mf = new JarManifest()
+    mf.getMainAttributes.putValue("Manifest-Version", "1.0")
+    mf.getMainAttributes.putValue("Main-Class", "StdinCount")
+    val jos = new JarOutputStream(Files.newOutputStream(jarPath), mf)
+    try {
+      jos.putNextEntry(new JarEntry("StdinCount.class"))
+      jos.write(Files.readAllBytes(dir.resolve("StdinCount.class")))
+      jos.closeEntry()
+    } finally jos.close()
+    // no timeout machinery needed: /dev/null stdin means EOF at once
+    val log = JarStep.run(JarStep(jarPath.toString), Nil, "/tmp/unused")
+    val logged = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8)
+    assert(logged.contains("stdin bytes: 0"))
+  }
+
   test("mr_jar_step_example chain: jar wordcount -> typed MR frequency-of-frequencies") {
     import spark.implicits._
     val in = writeInput(Seq("the quick the lazy the", "quick lazy dog"))

@@ -266,6 +266,23 @@ class PlanSpec extends AnyFunSuite {
       s"expected 1 candidate join + 2 rerank joins, got $joins:\n$p")
   }
 
+  test("source_overlap: shingle self-join is a hash equi-join on the " +
+      "64-bit hash; totals aggregate partial+final") {
+    val p = plan(operators.TextAnalysis.sourceOverlap(spark, dir))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"shingle join is not an equi-join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation:\n$p")
+  }
+
+  test("prototype_prune: label-cardinality centroid table broadcasts; " +
+      "no shuffle of the corpus for the join") {
+    val p = plan(operators.ClusterOps.prototypePrune(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroids not broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the word_freq pipeline") {
     val cg = operators.TextQueries.wordFreq(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
