@@ -70,11 +70,13 @@ object GraphOps {
       ranks = nodes.join(inMass, nodes("w") === inMass("dst"), "left")
         .select(col("w"),
           expr("150000 + (850 * COALESCE(m, 0)) DIV 1000").as("r"))
-      // eager checkpoint EVERY OTHER round (and on the last): each
-      // localCheckpoint is a full materialize-and-cache job, and two
-      // rounds of lineage keep analysis cheap while halving those
-      // jobs — measured 5.6 → ~4.4 s at sf0.1 vs per-round
-      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
+      // eager checkpoint every THIRD round (and on the last): each
+      // localCheckpoint is a full materialize-and-cache job; three
+      // rounds of lineage still analyze fast while cutting those
+      // jobs — measured at sf0.1: 5.6 s per-round, 3.9 every 2nd,
+      // 3.5 every 3rd, 3.7 every 4th (analysis depth wins back the
+      // saved job) — every 3rd is the floor of this trade
+      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     edges.unpersist()
     nodes.unpersist()
