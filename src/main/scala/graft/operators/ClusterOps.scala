@@ -70,13 +70,11 @@ object ClusterOps {
     * round. Fixed round count ⇒ statically bounded DAG. */
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = K,
       iters: Int = Iters): DataFrame = {
-    val (a, b) = TextQueries.sampleHashConstants(ClusterSeed)
-    val p = TextQueries.SamplePrime
     val e = emb(spark, dir)
       .select(col("vec_id"), quantizeShift(col("embedding")).as("v"))
       .withColumn("n2", VectorOps.norm2Q(col("v")))
       .persist()
-    val hk = pmod(pmod(col("vec_id"), lit(p)) * a + b, lit(p))
+    val hk = TextQueries.seededHashCol(col("vec_id"), ClusterSeed)
     var cents = e.select(col("vec_id"), col("v"), hk.as("hk"))
       .orderBy(col("hk"), col("vec_id")).limit(k)
       .select(col("v").as("cv"),
@@ -116,9 +114,7 @@ object ClusterOps {
     * per-dim relation for centroid means, list-algebra distances for
     * assignment, one CTE pair (a_i, c_i) per round. */
   val kmeansAssignSql: String = {
-    val (a, b) = TextQueries.sampleHashConstants(ClusterSeed)
-    val p = TextQueries.SamplePrime
-    val hkSql = s"(vec_id % $p * $a + $b) % $p"
+    val hkSql = TextQueries.seededHashSqlExpr("vec_id", ClusterSeed)
     val distSql = "CAST(list_sum(list_transform(list_zip(e.v, c.cv), " +
       "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
     val rounds = (1 to Iters).map { i =>

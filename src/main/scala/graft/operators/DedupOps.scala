@@ -452,17 +452,15 @@ object DedupOps {
     * (h·h mod P)·a₂ < 2⁶². */
   private def quadHash(vid: Column, seed: Long): Column = {
     val p = TextQueries.SamplePrime
-    val (a1, b1) = TextQueries.sampleHashConstants(seed)
     val (a2, b2) = TextQueries.sampleHashConstants(seed + 77)
-    val h = pmod(pmod(vid, lit(p)) * a1 + b1, lit(p))
+    val h = TextQueries.seededHashCol(vid, seed)
     pmod(pmod(h * h, lit(p)) * a2 + b2 + h, lit(p))
   }
 
   private def quadHashSql(vidExpr: String, seed: Long): String = {
     val p = TextQueries.SamplePrime
-    val (a1, b1) = TextQueries.sampleHashConstants(seed)
     val (a2, b2) = TextQueries.sampleHashConstants(seed + 77)
-    val h = s"(($vidExpr) % $p * $a1 + $b1) % $p"
+    val h = TextQueries.seededHashSqlExpr(vidExpr, seed)
     s"((($h) * ($h) % $p) * $a2 + $b2 + ($h)) % $p"
   }
 

@@ -23,16 +23,15 @@ object PipelineOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
-  private def seededHash(idCol: Column, seed: Long): Column = {
-    val (a, b) = TextQueries.sampleHashConstants(seed)
-    pmod(pmod(idCol, lit(TextQueries.SamplePrime)) * a + b,
-      lit(TextQueries.SamplePrime))
-  }
+  // the seeded affine hash lives in ONE place (TextQueries) — this
+  // file's previous private SQL twin spelled a plain `%` where the
+  // Column twin used pmod, a sign divergence that would bite on the
+  // negative doc_id namespace corpusMerge mints below
+  private def seededHash(idCol: Column, seed: Long): Column =
+    TextQueries.seededHashCol(idCol, seed)
 
-  private def seededHashSql(idExpr: String, seed: Long): String = {
-    val (a, b) = TextQueries.sampleHashConstants(seed)
-    s"($idExpr % ${TextQueries.SamplePrime} * $a + $b) % ${TextQueries.SamplePrime}"
-  }
+  private def seededHashSql(idExpr: String, seed: Long): String =
+    TextQueries.seededHashSqlExpr(idExpr, seed)
 
   // ---------------- per-group seeded sample ----------------
 

@@ -57,26 +57,37 @@ object SketchOps {
     Tables.load(spark, dir, "documents")
 
   /** Heavy hitters over any single string column: MG candidates →
-    * exact verify. Returns exactly {key | cnt·(k+1) > N}. */
+    * exact verify. Returns exactly {key | cnt·(k+1) > N}. Null items
+    * are ignored (they could never survive the equi-join verify pass
+    * anyway; stating it makes N's definition explicit).
+    *
+    * Exactly TWO passes over the data: the sketch pass emits each
+    * task's MG summary AND its item count (previously the exact N was
+    * a third full scan), and the verify pass counts only candidate
+    * keys. The ≤ partitions×(k+1) summary rows come back to the
+    * driver — the classic mergeable-summaries merge topology (Agarwal
+    * et al. 2012), and no more data than `broadcast(cand)` was
+    * already hauling through the driver to build the broadcast. */
   def heavyHittersOver(items: DataFrame, k: Int): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
     val ds = items.select(col(items.columns.head).as("w")).as[String]
+      .filter((w: String) => w != null)
     val partials = ds.mapPartitions { it =>
       val mg = new MisraGries(k)
-      it.foreach(mg.add)
-      mg.result
-    }.toDF("w", "est")
-    // ≤ partitions×k rows; the ONLY wide agg over an unbounded key
-    // space is avoided — candidates are a broadcastable set
-    val cand = partials.groupBy(col("w")).agg(sum(col("est")).as("est"))
-      .select(col("w"))
-    val tot = ds.toDF("w").agg(count(lit(1)).as("n"))
+      var n = 0L
+      it.foreach { w => mg.add(w); n += 1 }
+      // keys are non-null (filtered above), so None marks exactly the
+      // one per-task count row
+      mg.result.map { case (w, c) => (Option(w), c) } ++
+        Iterator((Option.empty[String], n))
+    }.collect()
+    val n = partials.collect { case (None, c) => c }.sum
+    val cand = partials.collect { case (Some(w), _) => w }.distinct.toSeq
     ds.toDF("w")
-      .join(broadcast(cand), Seq("w")) // semi-join bound, then combine
+      .join(broadcast(cand.toDF("w")), Seq("w")) // semi-join bound
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(tot))
-      .filter(col("cnt") * (k + 1) > col("n"))
+      .filter(col("cnt") * (k + 1) > n)
       .select(col("w").as("word"), col("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)
   }

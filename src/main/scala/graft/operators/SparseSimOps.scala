@@ -62,6 +62,11 @@ object SparseSimOps {
     val n = d.select(count(lit(1)).as("n"))
     val terms = d.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
+      // consecutive spaces yield "" tokens — without this filter the
+      // empty string becomes a real indexable term that manufactures
+      // similarity between docs sharing zero vocabulary (the same
+      // guard wordEdges and heavyHitters apply)
+      .filter(length(col("term")) > 0)
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = terms.groupBy(col("term"))
@@ -114,7 +119,10 @@ object SparseSimOps {
 
   val docSimSparseSql: String =
     s"""WITH terms AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents) t
+       |  WHERE len(term) > 0),
        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
        |df AS (
        |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1

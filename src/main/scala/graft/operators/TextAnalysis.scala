@@ -503,7 +503,6 @@ object TextAnalysis {
     * hash-uniform within every source). */
   def mixSample(spark: SparkSession, dir: String,
       seed: Long = 7L): DataFrame = {
-    val (a, b) = TextQueries.sampleHashConstants(seed)
     val per = docs(spark, dir)
       .select(col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -518,15 +517,13 @@ object TextAnalysis {
           .as("rate_ppm"))
     docs(spark, dir)
       .join(broadcast(rates), Seq("source"))
-      .filter(pmod(pmod(col("doc_id"), lit(TextQueries.SamplePrime)) * a + b,
-        lit(TextQueries.SamplePrime)) % 1000000L < col("rate_ppm"))
+      .filter(TextQueries.seededHashCol(col("doc_id"), seed) % 1000000L <
+        col("rate_ppm"))
       .select(col("doc_id"), col("source"), col("lang"), col("rate_ppm"))
       .orderBy(col("doc_id"))
   }
 
   val mixSampleSql: String = {
-    val (a, b) = TextQueries.sampleHashConstants(7L)
-    val p = TextQueries.SamplePrime
     s"""WITH s AS (
        |  SELECT source,
        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -539,7 +536,8 @@ object TextAnalysis {
        |  FROM s CROSS JOIN m)
        |SELECT d.doc_id, d.source, d.lang, r.rate_ppm
        |FROM documents d JOIN r USING (source)
-       |WHERE (d.doc_id % $p * $a + $b) % $p % 1000000 < rate_ppm
+       |WHERE ${TextQueries.seededHashSqlExpr("d.doc_id", 7L)} % 1000000
+       |  < rate_ppm
        |ORDER BY d.doc_id""".stripMargin
   }
 
@@ -752,11 +750,9 @@ object TextAnalysis {
     * on write (partitionBy("split")) with zero extra shuffles. */
   def trainValSplit(spark: SparkSession, dir: String,
       seed: Long = 11L): DataFrame = {
-    val (a, b) = TextQueries.sampleHashConstants(seed)
-    val p = TextQueries.SamplePrime
     docs(spark, dir)
       .select(col("source"),
-        (pmod(pmod(col("doc_id"), lit(p)) * a + b, lit(p)) % 1000000L)
+        (TextQueries.seededHashCol(col("doc_id"), seed) % 1000000L)
           .as("h"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .select(col("source"),
@@ -769,21 +765,19 @@ object TextAnalysis {
       .orderBy(col("source"), col("split"))
   }
 
-  val trainValSplitSql: String = {
-    val (a, b) = TextQueries.sampleHashConstants(11L)
-    val p = TextQueries.SamplePrime
+  val trainValSplitSql: String =
     s"""SELECT source,
        |  CASE WHEN h < 900000 THEN 'train'
        |       WHEN h < 950000 THEN 'val' ELSE 'test' END AS split,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
        |FROM (
-       |  SELECT source, (doc_id % $p * $a + $b) % $p % 1000000 AS h,
+       |  SELECT source,
+       |    ${TextQueries.seededHashSqlExpr("doc_id", 11L)} % 1000000 AS h,
        |    len(string_split(text, ' ')) AS n_tok
        |  FROM documents) t
        |GROUP BY source, split
        |ORDER BY source, split""".stripMargin
-  }
 
   /** CCNet-style perplexity filtering: keep the 75% most-fluent docs
     * under the corpus bigram LM (docPerplexity scores), i.e. docs with

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -249,28 +249,47 @@ object TextQueries {
       math.abs(rng.nextLong() % SamplePrime))
   }
 
+  /** The seeded affine permutation as ONE shared Column helper:
+    * `pmod(pmod(id, P)·a + b, P)` — non-negative for ANY id sign.
+    * Every seeded-hash consumer (samples, splits, mixtures, k-means
+    * init, SimHash's first layer) must build the hash HERE so the
+    * Scala and SQL twins cannot drift apart site by site. */
+  def seededHashCol(idCol: Column, seed: Long): Column = {
+    val (a, b) = sampleHashConstants(seed)
+    pmod(pmod(idCol, lit(SamplePrime)) * a + b, lit(SamplePrime))
+  }
+
+  /** The DuckDB twin of [[seededHashCol]]. The inner
+    * `((id % P) + P) % P` mirrors Spark's pmod exactly: DuckDB `%` is
+    * C-style (sign of the dividend), so a plain `id % P` diverges
+    * from pmod on negative ids — a live regime, since corpusMerge /
+    * tableDiff mint a NEGATIVE doc_id insert namespace. For
+    * non-negative ids this reduces to the historical plain-% form,
+    * so existing oracles are value-identical. */
+  def seededHashSqlExpr(idExpr: String, seed: Long): String = {
+    val (a, b) = sampleHashConstants(seed)
+    s"((($idExpr) % $SamplePrime + $SamplePrime) % $SamplePrime" +
+      s" * $a + $b) % $SamplePrime"
+  }
+
   def seededSample(spark: SparkSession, dir: String, n: Int = 25,
       seed: Long = 42L): DataFrame = {
-    val (a, b) = sampleHashConstants(seed)
     docs(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        pmod(pmod(col("doc_id"), lit(SamplePrime)) * a + b,
-          lit(SamplePrime)).as("__h"))
+        seededHashCol(col("doc_id"), seed).as("__h"))
       .orderBy(col("__h"), col("doc_id"))
       .limit(n)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
   }
 
-  val seededSampleSql: String = {
-    val (a, b) = sampleHashConstants(42L)
+  val seededSampleSql: String =
     s"""SELECT doc_id, lang, source FROM (
        |  SELECT doc_id, lang, source
        |  FROM documents
-       |  ORDER BY (doc_id % $SamplePrime * $a + $b) % $SamplePrime, doc_id
+       |  ORDER BY ${seededHashSqlExpr("doc_id", 42L)}, doc_id
        |  LIMIT 25) t
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** words_containing_u (mr_words_containing_u_freq_count.py:24-34):
     * word freq restricted to words containing 'u'. The reference does

@@ -122,7 +122,6 @@ class PlanSpec extends AnyFunSuite {
       "sample" -> "single-row count",
       "next_word_stats" -> "single-row total",
       "ppl_filter" -> "broadcast sides = single-row corpus count + single-row p75 threshold",
-      "heavy_hitters" -> "broadcast side = single-row occurrence total",
       "triangle_count" -> "broadcast sides = single-row edge/node totals",
       "kmeans_assign" -> "broadcast side = k (8) centroids per round",
       "semdedup" -> "broadcast side = k (8) centroids per round (assignment phase)",
