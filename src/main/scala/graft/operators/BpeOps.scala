@@ -49,6 +49,20 @@ object BpeOps {
   /** Learn `merges` BPE merges from any (text) frame; returns the
     * merge table (rank, left, right, merged, pair_count). */
   def learnMerges(d: DataFrame, merges: Int): Seq[(Int, String, String, Long)] = {
+    val (table, words) = learnLoop(d, merges)
+    words.unpersist(blocking = false)
+    table
+  }
+
+  /** The learner loop, also yielding the final per-word segmentation
+    * it just materialized — (merge table, checkpointed (w, seg, freq)
+    * vocab). bpeEncode consumes the vocab directly instead of
+    * re-deriving it (a review catch: the old path re-exploded the
+    * corpus, re-distinct'd the vocab, and re-applied every merge as
+    * 16 vocab-wide regex passes of pure duplicated work). The caller
+    * OWNS the returned DataFrame's cache and must unpersist it. */
+  private def learnLoop(d: DataFrame, merges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val spark = d.sparkSession
     // distinct-word frequency table; initial segmentation = one
     // symbol per character, space-delimited, with an end-of-word
@@ -57,11 +71,18 @@ object BpeOps {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      // "(.)" -> "$1 " spaces every char (split(w, "") leaves a
-      // trailing empty element under Spark's limit=-1); end-of-word
-      // marker keeps prefix and full-word subwords distinct
-      .select(concat(regexp_replace(col("w"), "(.)", "$1 "), lit("</w>"))
-        .as("seg"), col("freq"))
+      // "(?s)(.)" -> "$1 " spaces every char (split(w, "") leaves a
+      // trailing empty element under Spark's limit=-1; DOTALL so a
+      // token carrying an embedded line terminator still segments
+      // per char — without (?s) "a\nb" became ["a","\nb"], diverging
+      // from the per-char reference the spec pins); end-of-word
+      // marker keeps prefix and full-word subwords distinct.
+      // Contract note: `.` matches a CODE POINT, so non-BMP chars
+      // are one symbol here vs two UTF-16 chars in a naive
+      // per-Char split — the spec's reference iterates code points.
+      .select(col("w"),
+        concat(regexp_replace(col("w"), "(?s)(.)", "$1 "), lit("</w>"))
+          .as("seg"), col("freq"))
       .localCheckpoint()
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var k = 0
@@ -88,7 +109,7 @@ object BpeOps {
         val pat = "(?<= )" + Pattern.quote(a) + " " + Pattern.quote(b) +
           "(?= )"
         val next = words
-          .select(trim(regexp_replace(
+          .select(col("w"), trim(regexp_replace(
             concat(lit(" "), col("seg"), lit(" ")),
             pat, java.util.regex.Matcher.quoteReplacement(a + b)))
             .as("seg"), col("freq"))
@@ -100,8 +121,7 @@ object BpeOps {
       if (dbg) System.err.println(
         f"[bpe] round $k: ${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
-    words.unpersist(blocking = false)
-    out.result()
+    (out.result(), words)
   }
 
   /** Registered query: the merge table as a DataFrame. */
@@ -124,7 +144,8 @@ object BpeOps {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0).distinct()
       .select(col("w"),
-        concat(regexp_replace(col("w"), "(.)", "$1 "), lit("</w>"))
+        // (?s): same embedded-line-terminator contract as learnMerges
+        concat(regexp_replace(col("w"), "(?s)(.)", "$1 "), lit("</w>"))
           .as("seg"))
     for ((_, a, b, _) <- table.sortBy(_._1)) {
       val pat = "(?<= )" + Pattern.quote(a) + " " + Pattern.quote(b) +
@@ -140,20 +161,25 @@ object BpeOps {
     * per-doc word and subword-token counts plus the milli token/word
     * fertility ratio (the number a tokenizer team actually watches).
     *
-    * Scale shape: merges apply to the DISTINCT-word table only
-    * (vocab-bounded work, same argument as learnMerges), then ONE
-    * equi-join maps corpus occurrences to subword counts (word-keyed
-    * shuffle; the vocab side is ~10⁷ rows at 100 TB — too big to
-    * broadcast, fine to hash-join), one per-doc agg. Rows-only:
-    * the merge regex needs lookbehind (no RE2/DuckDB analog); the
-    * spec pins segmentation against the pure-Scala reference encoder. */
+    * Scale shape: the final segmentation comes straight out of the
+    * learner loop's last checkpoint (vocab-bounded; re-deriving it
+    * via segmentWords was pure duplicated work), then ONE equi-join
+    * maps corpus occurrences to subword counts (word-keyed shuffle;
+    * the vocab side is ~10⁷ rows at 100 TB — too big to broadcast,
+    * fine to hash-join), one per-doc agg. The result checkpoints
+    * before the vocab cache drops (the kmeansAssign pattern).
+    * Rows-only: the merge regex needs lookbehind (no RE2/DuckDB
+    * analog); the spec pins segmentation against the pure-Scala
+    * reference encoder. */
   def bpeEncode(spark: SparkSession, dir: String,
       merges: Int = 16): DataFrame = {
     val d = docs(spark, dir)
-    val wtok = segmentWords(d, learnMerges(d, merges))
+    val (_, words) = learnLoop(d, merges)
+    val wtok = words
       .select(col("w"), size(split(col("seg"), " ")).cast("long")
         .as("n_sub"))
-    d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val res = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .join(wtok, Seq("w"))
       .groupBy(col("doc_id"))
@@ -162,5 +188,8 @@ object BpeOps {
       .select(col("doc_id"), col("n_words"), col("n_subword_tokens"),
         expr("1000 * n_subword_tokens DIV n_words").as("fertility_milli"))
       .orderBy(col("doc_id"))
+      .localCheckpoint()
+    words.unpersist(blocking = false)
+    res
   }
 }

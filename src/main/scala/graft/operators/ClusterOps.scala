@@ -70,6 +70,7 @@ object ClusterOps {
     * round. Fixed round count ⇒ statically bounded DAG. */
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = K,
       iters: Int = Iters): DataFrame = {
+    require(iters >= 1, s"kmeansAssign needs >= 1 round, got $iters")
     val e = emb(spark, dir)
       .select(col("vec_id"), quantizeShift(col("embedding")).as("v"))
       .withColumn("n2", VectorOps.norm2Q(col("v")))
@@ -110,10 +111,13 @@ object ClusterOps {
     out.orderBy(col("vec_id"))
   }
 
-  /** The identical integer recurrence unrolled in SQL: one exploded
-    * per-dim relation for centroid means, list-algebra distances for
-    * assignment, one CTE pair (a_i, c_i) per round. */
-  val kmeansAssignSql: String = {
+  /** The identical integer recurrence unrolled as a shared CTE chain
+    * (q, ee, c0, one (a_i, c_i) pair per round, ending at a$Iters) —
+    * a separate val so [[semDedupSql]] COMPOSES it instead of doing
+    * string surgery on [[kmeansAssignSql]] (the previous lastIndexOf
+    * anchor would have crashed object init on any rewording of the
+    * final projection). */
+  private val kmeansCtesSql: String = {
     val hkSql = TextQueries.seededHashSqlExpr("vec_id", ClusterSeed)
     val distSql = "CAST(list_sum(list_transform(list_zip(e.v, c.cv), " +
       "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
@@ -143,10 +147,13 @@ object ClusterOps {
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY $hkSql, vec_id) - 1 AS cl, v AS cv
        |  FROM (SELECT vec_id, v FROM q ORDER BY $hkSql, vec_id LIMIT $K) s),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val kmeansAssignSql: String =
+    s"""$kmeansCtesSql
        |SELECT vec_id, cl AS cluster, dist AS dist_q FROM a$Iters
        |ORDER BY vec_id""".stripMargin
-  }
 
   /** SemDeDup: near-dup pairs at quantized cosine ≥ τ, searched only
     * WITHIN each final k-means cluster — Σ cluster² candidate work with
@@ -316,10 +323,7 @@ object ClusterOps {
        |FROM pp ORDER BY vec_id""".stripMargin
 
   val semDedupSql: String = {
-    // strip the trailing projection off the kmeans chain, keep the CTEs
-    val ctes = kmeansAssignSql.substring(0,
-      kmeansAssignSql.lastIndexOf("SELECT vec_id, cl AS cluster")).trim
-    s"""$ctes,
+    s"""$kmeansCtesSql,
        |ev AS (
        |  SELECT vec_id, ${VectorOps.QuantizeSql} AS v FROM embeddings),
        |x AS (

@@ -324,32 +324,56 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
 
   /** Text scrubbing (PII-shaped normalization pass): redact digit runs
-    * and '@'-containing tokens, collapse repeated words — the cleanup
-    * stage of a training-data pipeline as pure codegen'd regex ops
-    * (patterns are RE2-compatible so the oracle matches byte-for-byte). */
+    * and '@'-containing tokens, then collapse ADJACENT repeated
+    * tokens — the cleanup stage of a training-data pipeline as pure
+    * codegen'd regex + array ops (regex patterns are RE2-compatible;
+    * the collapse is an indexed array filter on BOTH engines, because
+    * the regex form `(\w+) \1` needs backreferences RE2 refuses).
+    * Collapsing AFTER redaction is deliberate: "call 555 or 556"
+    * becomes "call <num> or <num>" (no collapse — not adjacent) while
+    * "555 556" unifies to one "<num>", exactly the dedup a redaction
+    * pass is for. token_delta counts the collapsed tokens (the two
+    * regex substitutions are token-count-preserving by construction
+    * — neither pattern nor replacement can add or remove a space, a
+    * review catch: the previous delta was identically zero). */
   def textScrub(spark: SparkSession, dir: String): DataFrame = {
     val scrubbed = regexp_replace(
       regexp_replace(col("text"), "[0-9]+", "<num>"),
       "[^ ]*@[^ ]*", "<email>")
-    docs(spark, dir).select(
-      col("doc_id"),
-      scrubbed.as("scrubbed"),
-      (size(split(col("text"), " ")) -
-        size(split(scrubbed, " "))).cast("long").as("token_delta"),
-      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
-        .cast("long").as("n_num_runs"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"), split(scrubbed, " ").as("ts"))
+      // keep token i (0-based) iff first or different from predecessor
+      // (element_at is 1-based, so element_at(ts, i) IS the predecessor)
+      .select(col("doc_id"),
+        array_join(filter(col("ts"),
+          (t, i) => i === 0 || t =!= element_at(col("ts"), i)), " ")
+          .as("scrubbed"),
+        col("text"), col("ts"))
+      .select(col("doc_id"), col("scrubbed"),
+        (size(col("ts")) - size(split(col("scrubbed"), " ")))
+          .cast("long").as("token_delta"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_num_runs"))
       .orderBy(col("doc_id"))
   }
 
   val textScrubSql: String =
-    """SELECT doc_id,
-      |  regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
-      |    '[^ ]*@[^ ]*', '<email>', 'g') AS scrubbed,
-      |  CAST(len(string_split(text, ' ')) -
-      |    len(string_split(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
-      |      '[^ ]*@[^ ]*', '<email>', 'g'), ' ')) AS BIGINT) AS token_delta,
+    """WITH s AS (
+      |  SELECT doc_id, text,
+      |    string_split(regexp_replace(regexp_replace(text,
+      |      '[0-9]+', '<num>', 'g'), '[^ ]*@[^ ]*', '<email>', 'g'),
+      |      ' ') AS ts
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, text, ts,
+      |    array_to_string(list_filter(ts,
+      |      (t, i) -> i = 1 OR t <> ts[i-1]), ' ') AS scrubbed
+      |  FROM s)
+      |SELECT doc_id, scrubbed,
+      |  CAST(len(ts) - len(string_split(scrubbed, ' ')) AS BIGINT)
+      |    AS token_delta,
       |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_runs
-      |FROM documents
+      |FROM c
       |ORDER BY doc_id""".stripMargin
 
   /** Word co-occurrence with PMI: pairs of words appearing in the same

@@ -11,13 +11,20 @@ import graft.operators.BpeOps
 class BpeSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
 
+  /** Per-CODE-POINT split — the engine's `(?s)(.)` regex matches a
+    * code point (a surrogate pair is ONE symbol), so the reference
+    * must not split on UTF-16 chars. */
+  private def charSyms(w: String): Vector[String] =
+    w.codePoints().toArray.toVector
+      .map(cp => new String(Character.toChars(cp)))
+
   /** Reference learner (driver-side, exponential-free, small data). */
   private def refBpe(corpus: Seq[String], merges: Int): Seq[(String, String, Long)] = {
     var vocab: Map[Vector[String], Long] = corpus
       .flatMap(_.split(" ")).filter(_.nonEmpty)
       .groupBy(identity)
       .map { case (w, ws) =>
-        (w.map(_.toString).toVector :+ "</w>") -> ws.size.toLong
+        (charSyms(w) :+ "</w>") -> ws.size.toLong
       }
     val out = Seq.newBuilder[(String, String, Long)]
     var k = 0
@@ -76,11 +83,18 @@ class BpeSpec extends AnyFunSuite {
     check(Seq("ab ab cd"), 50)
   }
 
+  test("bpe segments embedded line terminators and non-BMP chars " +
+      "per code point (the (?s) DOTALL + code-point contract)") {
+    // "a\nb" must segment as [a, \n, b], not [a, \nb] (pre-(?s) bug);
+    // the emoji (U+1F600, a surrogate pair) must be ONE symbol
+    check(Seq("a\nb a\nb a\nb xéy", "😀z 😀z"), 6)
+  }
+
   /** Reference encoder: apply merges in rank order, left-to-right
     * non-overlapping (Sennrich apply_bpe on a single word). */
   private def refEncode(w: String,
       table: Seq[(String, String, Long)]): Seq[String] = {
-    var syms = w.map(_.toString).toVector :+ "</w>"
+    var syms = charSyms(w) :+ "</w>"
     for ((a, b, _) <- table) {
       val nb = Vector.newBuilder[String]
       var i = 0
