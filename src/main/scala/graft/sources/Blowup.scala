@@ -28,11 +28,34 @@ import org.apache.spark.sql.functions._
   */
 object Blowup {
 
+  /** Per-copy id shift. The replication invariant REQUIRES base ids
+    * below this (and labels below the 1000 block shift) — violated
+    * silently, copies would collide and corrupt the probe, so
+    * [[ensure]] checks it before writing. */
+  private val IdShift = 10000000L
+  private val LabelShift = 1000
+
   def ensure(spark: SparkSession, sfDir: String, factor: Int = 10): String = {
-    val out = GraftFs.scratchDir(spark, s"graft_blowup${factor}x_v2_" +
-      sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    // cache key: sanitized path for readability PLUS a hash of the
+    // RAW path — sanitization alone mapped '/a/sf0.1' and '/a_sf0.1'
+    // to the same scratch dir, serving one corpus's cached blow-up
+    // for the other
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      f"_${sfDir.hashCode & 0x7fffffff}%08x"
+    val out = GraftFs.scratchDir(spark, s"graft_blowup${factor}x_v2_$key")
     val fs = GraftFs(spark)
     if (!fs.exists(s"$out/_MARKER")) {
+      // replication-invariant preconditions (one tiny agg per table)
+      val dmax = spark.read.parquet(s"$sfDir/documents.parquet")
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val Array(vmax, lmax) = spark.read
+        .parquet(s"$sfDir/embeddings.parquet")
+        .agg(max(col("vec_id")), max(col("label"))).head() match {
+          case r => Array(r.getLong(0), r.getInt(1).toLong)
+        }
+      require(dmax < IdShift && vmax < IdShift && lmax < LabelShift,
+        s"Blowup id/label shifts would collide: max doc_id=$dmax, " +
+          s"vec_id=$vmax (shift $IdShift), label=$lmax (shift $LabelShift)")
       // File-count parity with real growth: the sf tables are single
       // small parquet files, so a same-layout blow-up would be ONE
       // file → ONE scan task, and every probe query would single-
@@ -44,7 +67,7 @@ object Blowup {
       spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           copies)
-        .select((col("doc_id") + col("k") * 10000000L).as("doc_id"),
+        .select((col("doc_id") + col("k") * IdShift).as("doc_id"),
           array_join(transform(split(col("text"), " "),
             x => concat(lit("c"), col("k"), lit("_"), x)), " ").as("text"),
           col("lang"), col("source"))
@@ -53,9 +76,9 @@ object Blowup {
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"), col("label"), copies)
-        .select((col("vec_id") + col("k") * 10000000L).as("vec_id"),
+        .select((col("vec_id") + col("k") * IdShift).as("vec_id"),
           col("embedding"),
-          (col("label") + col("k") * 1000).cast("int").as("label"))
+          (col("label") + col("k") * LabelShift).cast("int").as("label"))
         .repartition(factor, col("vec_id"))
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       fs.touchz(s"$out/_MARKER")

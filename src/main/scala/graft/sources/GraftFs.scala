@@ -107,10 +107,29 @@ final class GraftFs(conf: Configuration) {
     fs.create(p, true).close()
   }
 
-  /** md5 of a file's bytes (fs/base.py:148). */
+  /** md5 of ONE file's bytes (fs/base.py:148), streamed in 64 KiB
+    * chunks — the previous cat()-based form buffered the whole object
+    * on the driver (OOM / 2 GB array cap on big files) and, because
+    * cat accepts globs, would silently hash a multi-file
+    * CONCATENATION: a digest matching no actual file. A glob matching
+    * several files is refused instead. */
   def md5sum(path: String): String = {
+    val fs = fsFor(path)
+    val matches = Option(fs.globStatus(new Path(path)))
+      .getOrElse(Array.empty).filter(st => st.isFile)
+    require(matches.length == 1,
+      s"md5sum needs exactly one file, got ${matches.length} for $path")
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(cat(path)).map(b => f"$b%02x").mkString
+    val in = fs.open(matches(0).getPath)
+    try {
+      val buf = new Array[Byte](65536)
+      var r = in.read(buf)
+      while (r >= 0) {
+        if (r > 0) md.update(buf, 0, r)
+        r = in.read(buf)
+      }
+    } finally in.close()
+    md.digest().map(b => f"$b%02x").mkString
   }
 
   /** URI-aware path join (fs/base.py:97-109): posixpath.join
@@ -161,6 +180,20 @@ object GraftFs {
     * output file count. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession,
       dir: String, targetBytes: Long = 128L << 20): Int = {
+    val conf0 = spark.sparkContext.hadoopConfiguration
+    val dirPath = new Path(dir)
+    val dirFs = dirPath.getFileSystem(conf0)
+    // REFUSE hive-partitioned layouts: the flat glob below would size
+    // them at 0 bytes → repartition(1) funnels the dataset through
+    // one task, AND the rewrite would flatten key=value dirs into
+    // data columns — the opposite of maintenance. Partitioned
+    // compaction is per-partition-dir by design (call per leaf dir).
+    val children = dirFs.listStatus(dirPath)
+    val partitioned = children.exists(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+    require(!partitioned,
+      s"compactParquet: $dir is hive-partitioned (key=value subdirs); " +
+        "compact each leaf partition dir instead")
     val fs = apply(spark)
     val n = math.max(1, math.ceil(
       fs.du(s"$dir/*.parquet").max(fs.du(s"$dir/part-*")).toDouble /

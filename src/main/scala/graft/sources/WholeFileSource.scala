@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   * sc.hadoopFile, mrjob/spark/harness.py:242-252).
   *
   * Spark-first: `binaryFile` is a real DataSource (column pruning on
-  * metadata, `pathGlobFilter` pushdown, one file per row with content
-  * streamed) — no manifest files needed. At 100 TB the payload column
-  * is only materialized for rows the query keeps.
+  * metadata, `pathGlobFilter` pushdown, one file per row) — no
+  * manifest files needed. The payload column is only read for rows
+  * the query keeps, but a kept file's content is MATERIALIZED as one
+  * Array[Byte] row (the source's structural cap: files above
+  * Int.MaxValue bytes fail the scan with Spark's "can't read binary
+  * file bigger than 2147483647" error — same per-task whole-file
+  * memory shape as the reference's mapper_raw local-file copy,
+  * mrjob/runner.py:1093-1124). Archives beyond 2 GB belong on the
+  * [[hadoopTextFile]] split path or a chunked reader, not mapRaw.
   */
 object WholeFileSource {
 

@@ -77,7 +77,11 @@ object EventStreaming {
         GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, java.time.Instant, Long)],
          state: GroupState[SessionState]) =>
-          if (rows.isEmpty) {
+          // hasTimedOut is the CONTRACTUAL timeout signal — an empty
+          // iterator happens to coincide today, but the GroupState API
+          // does not promise it (a state-visiting pass without a
+          // timeout would have closed live sessions early)
+          if (state.hasTimedOut) {
             // event-time timeout: watermark passed end + gap → close
             val closed = state.getOption.map(s =>
               ClosedSession(user, s.start_us, s.end_us, s.n_events))
@@ -103,8 +107,12 @@ object EventStreaming {
                   cur = SessionState(t, t, 1)
               }
             }
-            state.update(cur)
-            state.setTimeoutTimestamp(cur.end_us / 1000 + gapUs / 1000)
+            // cur is null only on a no-timeout call with no rows and
+            // no prior state — nothing to track, nothing to time out
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.end_us / 1000 + gapUs / 1000)
+            }
             sessions.reverse.iterator.map(s =>
               ClosedSession(user, s.start_us, s.end_us, s.n_events))
           }
@@ -127,17 +135,24 @@ object EventStreaming {
       .withWatermark("event_ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
-  case class HeavyHitterEst(word: String, est: Long)
+  case class HeavyHitterEst(shard: Int, word: String, est: Long)
 
   /** Streaming Misra-Gries heavy hitters: the batch SketchOps kernel
     * carried as mapGroupsWithState state, one MG summary per state
     * shard. Memory is k counters per shard FOREVER — the property a
     * streaming top-k needs (a plain streaming groupBy(word).count()
-    * holds the whole vocabulary in state). Shards merge downstream by
-    * union-sum exactly like batch partials (mergeable-summaries
-    * bound), so candidates-then-exact-verify works incrementally too.
-    * Spec checks the stream's merged estimates against the batch
-    * truth under the N/(k+1) undercount bound. */
+    * holds the whole vocabulary in state).
+    *
+    * CONSUMPTION CONTRACT (Update mode): each micro-batch re-emits
+    * the shard's full CUMULATIVE snapshot, so rows are re-emissions,
+    * not deltas — union-summing across batches double-counts. A
+    * consumer keeps the LATEST row per (shard, word) (the shard id is
+    * in the schema precisely so re-emissions are identifiable), and
+    * only then union-sums ACROSS shards of one snapshot generation —
+    * that cross-shard sum is the batch-partials merge (mergeable-
+    * summaries bound), so candidates-then-exact-verify works
+    * incrementally. Spec consumes exactly this way and checks the
+    * merged estimates against batch truth under N/(k+1). */
   def heavyHitterStream(spark: SparkSession, docsDir: String,
       k: Int = 32, shards: Int = 8): Dataset[HeavyHitterEst] = {
     import spark.implicits._
@@ -152,14 +167,14 @@ object EventStreaming {
     words.groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.NoTimeout()) {
-        (_: Int, rows: Iterator[(String, Int)],
+        (shard: Int, rows: Iterator[(String, Int)],
          state: GroupState[Map[String, Long]]) =>
           val mg = new graft.operators.SketchOps.MisraGries(k)
           state.getOption.foreach(mg.seed)
           rows.foreach { case (w, _) => mg.add(w) }
           val snap = mg.result.toMap
           state.update(snap)
-          snap.iterator.map { case (w, c) => HeavyHitterEst(w, c) }
+          snap.iterator.map { case (w, c) => HeavyHitterEst(shard, w, c) }
       }
   }
 
@@ -259,16 +274,19 @@ object EventStreaming {
         if (!hfs0.exists(p0) && hfs0.exists(old0))
           require(hfs0.rename(old0, p0),
             s"upsert recovery: rename($old0, $p0) failed")
+        // EVERY EventSchema column rides the merge — an earlier
+        // version projected props away, silently dropping it from
+        // the target on the first merged batch
         val incoming = batch.select(col("event_id"), col("ts"),
-          col("user_id"), col("event_type"), col("value"))
+          col("user_id"), col("event_type"), col("value"), col("props"))
         val merged = (if (fs.exists(s"$targetDir/part-*"))
           s.read.parquet(targetDir).unionByName(incoming)
         else incoming)
           .groupBy(col("event_id"))
           .agg(max(struct(col("ts"), col("user_id"), col("event_type"),
-            col("value"))).as("m"))
+            col("value"), col("props"))).as("m"))
           .select(col("event_id"), col("m.ts"), col("m.user_id"),
-            col("m.event_type"), col("m.value"))
+            col("m.event_type"), col("m.value"), col("m.props"))
         val tmp = targetDir.stripSuffix("/") + "_merge_tmp"
         merged.write.mode("overwrite").parquet(tmp)
         val conf = s.sparkContext.hadoopConfiguration

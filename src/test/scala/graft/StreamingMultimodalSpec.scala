@@ -116,6 +116,14 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       val (gs, es) = (got.agg(dsum).head().getDecimal(0),
         expect.agg(dsum).head().getDecimal(0))
       assert(gs == es, "merged payloads drifted from the source")
+      // EVERY schema column must survive the merge — a review catch:
+      // props was once projected away by the upsert body
+      assert(got.columns.sorted.toSeq == expect.columns.sorted.toSeq,
+        s"upsert dropped columns: ${got.columns.toSeq}")
+      val psum = sum(length(col("props")).cast("decimal(38,0)"))
+      assert(got.agg(psum).head().getDecimal(0) ==
+        expect.agg(psum).head().getDecimal(0),
+        "props payload drifted through the merge")
     } finally q.stop()
   }
 
@@ -234,9 +242,13 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
-      // last update per (shard emission) — single batch here, so the
-      // table IS the per-shard summaries; merge by union-sum
-      val est = spark.table("hh_out")
+      // the consumption contract: latest row per (shard, word), THEN
+      // union-sum across shards — with a single batch the table holds
+      // exactly one snapshot generation, so the dedup is a no-op and
+      // the cross-shard sum is the mergeable-summaries merge
+      val snap = spark.table("hh_out")
+        .groupBy("shard", "word").agg(last("est").as("est"))
+      val est = snap
         .groupBy("word").agg(sum("est").as("est"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val truth = graft.sources.Tables.load(spark, dir, "documents")
