@@ -31,11 +31,13 @@ object GraftCli {
     val fn = SparkEntry.queries.getOrElse(name,
       throw new IllegalArgumentException(
         s"unknown query '$name' — run with --list for the catalog"))
-    // only stop a session this invocation created — embedded callers
-    // (tests, notebooks) keep theirs alive
-    val preexisting = SparkSession.getActiveSession
-      .orElse(SparkSession.getDefaultSession).isDefined
-    val spark = SparkSession.builder()
+    // an embedded caller's live session is used AS-IS and kept alive:
+    // running builder configs through getOrCreate would APPLY them to
+    // the existing session (Spark semantics), silently switching e.g.
+    // a notebook's timezone to UTC for everything it renders after
+    val existing = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    val spark = existing.getOrElse(SparkSession.builder()
       .appName(s"graft.$name")
       // spark-submit supplies spark.master as a system property; bare
       // `java -cp`/runMain invocations fall back to local[*]
@@ -43,9 +45,9 @@ object GraftCli {
         sys.props.getOrElse("spark.master", "local[*]"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+      .getOrCreate())
     try fn(spark, tablesDir).write.mode("overwrite").format(format)
       .save(outDir)
-    finally if (!preexisting) spark.stop()
+    finally if (existing.isEmpty) spark.stop()
   }
 }

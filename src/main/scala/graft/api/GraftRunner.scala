@@ -42,24 +42,52 @@ final class GraftRunner(val spark: SparkSession, label: String,
   def defaultOutputDir: String = s"$tmpDir/output"
 
   /** cleanup (runner.py:617-657): "TMP" removes the job's scratch
-    * space; "NONE" keeps everything for debugging. */
+    * space but PRESERVES `output/` — unlike mrjob nothing streams the
+    * results out before cleanup, so deleting the documented default
+    * output location on success would end every run with no output
+    * and no error (a review catch); "ALL" removes everything
+    * including output; "NONE" keeps everything for debugging.
+    *
+    * Deletion goes through a literal (non-glob) Hadoop delete: the
+    * job key embeds caller-supplied label/owner, and handing that to
+    * the glob-interpreting GraftFs.rm would turn `agg[v2]` into a
+    * character class that deletes OTHER runs' dirs while leaking
+    * this one (makeJobKey also sanitizes, as defense in depth). */
   def cleanup(mode: String = cleanupMode): Unit =
     // only if the scratch dir was ever materialized — referencing the
     // lazy tmpDir here would mkdir it just to rm it (two remote fs
     // calls per no-scratch run on hdfs/s3a)
-    if (tmpMade &&
-      (mode.equalsIgnoreCase("TMP") || mode.equalsIgnoreCase("ALL"))) {
-      fs.rm(tmpDir)
+    if (tmpMade) {
+      val p = new org.apache.hadoop.fs.Path(tmpDir)
+      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (mode.equalsIgnoreCase("ALL")) hfs.delete(p, true)
+      else if (mode.equalsIgnoreCase("TMP") && hfs.exists(p)) {
+        hfs.listStatus(p).foreach { st =>
+          if (st.getPath.getName != "output") hfs.delete(st.getPath, true)
+        }
+        // no output written ⇒ nothing to preserve — remove the job
+        // dir itself (the historical TMP behavior for scratch-only
+        // runs)
+        if (hfs.listStatus(p).isEmpty) hfs.delete(p, true)
+      }
     }
 }
 
 object GraftRunner {
 
+  /** Job-key charset: glob/path metacharacters in label/owner are
+    * mapped to '_' (mrjob's _job_key uses the same alnum-and-dots
+    * shape, runner.py:740-756) — a literal `agg[v2]` label would
+    * otherwise reach filesystem APIs that treat `[...]` as a
+    * character class. */
+  private def sanitize(s: String): String =
+    s.replaceAll("[^A-Za-z0-9_.-]", "_")
+
   def makeJobKey(label: String, owner: String): String = {
     val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
     val stamp = now.format(
       java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd.HHmmss"))
-    f"$label.$owner.$stamp.${now.getNano / 1000}%06d"
+    f"${sanitize(label)}.${sanitize(owner)}.$stamp.${now.getNano / 1000}%06d"
   }
 
   /** Load and STACK java-properties conf files into [[JobArgs]] with
@@ -79,7 +107,11 @@ object GraftRunner {
     var files = Map.empty[String, String]
     paths.foreach { path =>
       val props = new java.util.Properties()
-      val in = new java.io.FileInputStream(path)
+      // Reader, not InputStream: Properties.load(InputStream) decodes
+      // ISO-8859-1 by spec, mojibake-ing UTF-8 conf values
+      val in = new java.io.InputStreamReader(
+        new java.io.FileInputStream(path),
+        java.nio.charset.StandardCharsets.UTF_8)
       try props.load(in) finally in.close()
       props.asScala.toSeq.sortBy(_._1).foreach {
         case (k, v) if k.startsWith("file.") =>

@@ -168,8 +168,17 @@ final class MrPipeline[K, V](val ds: Dataset[(K, V)]) extends Serializable {
     val r = s.reducer
     val rInit = s.reducerInit
     val rFinal = s.reducerFinal
-    val n = s.numReducers.getOrElse(
-      ds.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    // numReducers pins the partition count (the output-file contract);
+    // otherwise repartition WITHOUT a count so AQE may coalesce — an
+    // explicit repartition(defaultParallelism, key) is a
+    // REPARTITION_BY_NUM shuffle AQE refuses to shrink, which the
+    // class doc promises not to do (a review catch: a 1 MB step was
+    // pinned to 200 reduce tasks)
+    def byKey[A, B](d: Dataset[(A, B)]): Dataset[(A, B)] =
+      s.numReducers match {
+        case Some(n) => d.repartition(n, d.col("_1"))
+        case None => d.repartition(d.col("_1"))
+      }
     // rawBytes SORT_VALUES (SURVEY §7.3): partition by key, then sort
     // each reduce partition's ENCODED lines by UTF-8 bytes and group
     // adjacent encoded keys — the reference's own whole-line in-memory
@@ -180,7 +189,7 @@ final class MrPipeline[K, V](val ds: Dataset[(K, V)]) extends Serializable {
     // default typed mode below stays on the Tungsten external sort.
     if (s.sortValuesRaw) {
       val c = s.cmdProtocols.get
-      val sortedLines = preCombined.repartition(n, col("_1")).rdd
+      val sortedLines = byKey(preCombined).rdd
         .mapPartitions { it =>
           val utf8 = java.nio.charset.StandardCharsets.UTF_8
           it.map { case (k, v) => c.internal.write(k, v) }
@@ -217,8 +226,7 @@ final class MrPipeline[K, V](val ds: Dataset[(K, V)]) extends Serializable {
 
     val sortCols = if (s.sortValues) Seq(col("_1"), col("_2"))
                    else Seq(col("_1"))
-    val arranged = preCombined
-      .repartition(n, col("_1"))
+    val arranged = byKey(preCombined)
       .sortWithinPartitions(sortCols: _*)
     // reducer-position shell wiring: the command (and/or pre_filter)
     // streams each reduce partition's key-sorted encoded lines — the
@@ -300,9 +308,10 @@ final class MrPipeline[K, V](val ds: Dataset[(K, V)]) extends Serializable {
   def reduceCmd(cmd: String, encode: ((K, V)) => String,
       decode: String => (K, V), numPartitions: Option[Int] = None)(
       implicit e: Encoder[(K, V)]): MrPipeline[K, V] = {
-    val n = numPartitions.getOrElse(
-      ds.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
-    val arranged = ds.repartition(n, col("_1"))
+    // pin the count only when asked; a bare key repartition stays
+    // AQE-coalescible (same contract as the step reducer shuffle)
+    val arranged = numPartitions
+      .fold(ds.repartition(col("_1")))(n => ds.repartition(n, col("_1")))
       .sortWithinPartitions(col("_1"))
     val spark = ds.sparkSession
     val piped = arranged.rdd.map(encode)
@@ -338,14 +347,30 @@ private[graft] final class MapSideCombine[K, V](
   import MapSideCombine._
   import scala.collection.mutable
 
-  private val buf = mutable.LinkedHashMap.empty[K, mutable.ArrayBuffer[V]]
+  // buffer keyed by a CONTENT-normalized key: Array[Byte] hashes by
+  // identity and boxed NaN != NaN under Scala ==, so keying the map
+  // on raw K silently degraded byte/NaN-keyed combining to a
+  // pass-through (correct under the 0..n-runs contract, but the
+  // map-side reduction never happened); the original K rides along
+  // for combine calls and emission
+  private object NanKey
+  private def norm(k: K): Any = k match {
+    case a: Array[Byte] =>
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    case d: Double if d.isNaN => NanKey
+    case f: Float if f.isNaN => NanKey
+    case x => x
+  }
+
+  private val buf =
+    mutable.LinkedHashMap.empty[Any, (K, mutable.ArrayBuffer[V])]
   private var out: Iterator[(K, V)] = Iterator.empty
 
   private def combineRun(k: K, vs: mutable.ArrayBuffer[V]): Iterator[V] =
     c(k, vs.iterator).iterator
 
   private def drainBuf(): Iterator[(K, V)] = {
-    val entries = buf.toVector
+    val entries = buf.valuesIterator.toVector
     buf.clear()
     entries.iterator.flatMap { case (k, vs) =>
       combineRun(k, vs).map(k -> _)
@@ -355,10 +380,11 @@ private[graft] final class MapSideCombine[K, V](
   private def fill(): Unit = {
     while (!out.hasNext && input.hasNext) {
       val (k, v) = input.next()
-      val vs = buf.getOrElseUpdate(k, mutable.ArrayBuffer.empty[V])
+      val nk = norm(k)
+      val (k0, vs) = buf.getOrElseUpdate(nk, (k, mutable.ArrayBuffer.empty[V]))
       vs += v
       if (vs.length >= FlushAt) {
-        val combined = combineRun(k, vs).to(mutable.ArrayBuffer)
+        val combined = combineRun(k0, vs).to(mutable.ArrayBuffer)
         if (combined.length >= FlushAt) {
           // incompressible run (e.g. a distinct-union combiner on a
           // hot key): EMIT the partial downstream instead of storing
@@ -366,9 +392,9 @@ private[graft] final class MapSideCombine[K, V](
           // EVERY subsequent value of the key (O(n·FlushAt) per key).
           // Legal under the combiner-runs-0..n-times contract; the
           // reducer re-merges partials.
-          buf.remove(k)
-          out = combined.iterator.map(k -> _)
-        } else buf.update(k, combined)
+          buf.remove(nk)
+          out = combined.iterator.map(k0 -> _)
+        } else buf.update(nk, (k0, combined))
       }
       // append, don't assign: `out` may already hold an emitted
       // incompressible-run partial from this same iteration
@@ -394,6 +420,24 @@ private[graft] object MapSideCombine {
   * advancing to the next group; unconsumed values are drained
   * automatically on advance. Constant memory per group. */
 object AdjacentGroups {
+
+  /** Key equality matching how the SORT placed keys adjacent, not
+    * universal `==` (a review catch — `==` is reference equality for
+    * Array[Byte], so byte-keyed groups silently degenerated to one
+    * row each): binary keys compare by content (Spark sorts BinaryType
+    * lexicographically, so equal contents ARE adjacent), and NaN
+    * equals NaN (Spark sorts all NaN adjacent; the reference groups
+    * NaN keys too, because it groups on the ENCODED line and
+    * `json.dumps(float('nan'))` is the stable token `NaN`). */
+  private[graft] def keyEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+    case (x: Double, y: Double) =>
+      java.lang.Double.compare(x, y) == 0 || (x.isNaN && y.isNaN)
+    case (x: Float, y: Float) =>
+      java.lang.Float.compare(x, y) == 0 || (x.isNaN && y.isNaN)
+    case _ => a == b
+  }
+
   def apply[K, V](it: Iterator[(K, V)]): Iterator[(K, Iterator[V])] =
     new Iterator[(K, Iterator[V])] {
       private val buf = it.buffered
@@ -406,7 +450,7 @@ object AdjacentGroups {
         if (!hasNext) throw new NoSuchElementException
         val k = buf.head._1
         val inner = new Iterator[V] {
-          def hasNext: Boolean = buf.hasNext && buf.head._1 == k
+          def hasNext: Boolean = buf.hasNext && keyEq(buf.head._1, k)
           def next(): V =
             if (hasNext) buf.next()._2 else throw new NoSuchElementException
         }

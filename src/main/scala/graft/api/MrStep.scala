@@ -23,13 +23,13 @@ package graft.api
 final case class MrStep[K1, V1, K2, V2, K3, V3](
     mapper: (K1, V1) => IterableOnce[(K2, V2)],
     reducer: (K2, Iterator[V2]) => IterableOnce[(K3, V3)],
-    mapperInit: () => IterableOnce[(K2, V2)] = MrStep.emptyInit[K2, V2] _,
-    mapperFinal: () => IterableOnce[(K2, V2)] = MrStep.emptyInit[K2, V2] _,
+    mapperInit: () => IterableOnce[(K2, V2)] = MrStep.emptyInit[K2, V2],
+    mapperFinal: () => IterableOnce[(K2, V2)] = MrStep.emptyInit[K2, V2],
     combiner: Option[(K2, Iterator[V2]) => IterableOnce[V2]] = None,
-    combinerInit: () => IterableOnce[(K2, V2)] = MrStep.emptyInit[K2, V2] _,
-    combinerFinal: () => IterableOnce[(K2, V2)] = MrStep.emptyInit[K2, V2] _,
-    reducerInit: () => IterableOnce[(K3, V3)] = MrStep.emptyInit[K3, V3] _,
-    reducerFinal: () => IterableOnce[(K3, V3)] = MrStep.emptyInit[K3, V3] _,
+    combinerInit: () => IterableOnce[(K2, V2)] = MrStep.emptyInit[K2, V2],
+    combinerFinal: () => IterableOnce[(K2, V2)] = MrStep.emptyInit[K2, V2],
+    reducerInit: () => IterableOnce[(K3, V3)] = MrStep.emptyInit[K3, V3],
+    reducerFinal: () => IterableOnce[(K3, V3)] = MrStep.emptyInit[K3, V3],
     sortValues: Boolean = false,
     /** SORT_VALUES in the reference's ENCODED-BYTE order: reducer
       * input lines (internal-protocol encoded) are sorted by their
@@ -59,6 +59,20 @@ final case class MrStep[K1, V1, K2, V2, K3, V3](
     cmdProtocols: Option[CmdProtocols[K1, V1, K2, V2, K3, V3]] = None) {
   require(combinerCmd.isEmpty || combiner.isEmpty,
     "combiner and combiner_cmd are mutually exclusive (mrjob/job.py:401-412)")
+  // a *_cmd REPLACES its whole substep, so init/final brackets on the
+  // same position can never run — mrjob errors on the combination
+  // (job.py: cannot combine function and command substeps); silently
+  // dropping declared emissions produced incomplete output instead
+  require(mapperCmd.isEmpty ||
+      ((mapperInit eq MrStep.emptyInit) && (mapperFinal eq MrStep.emptyInit)),
+    "mapper_cmd cannot be combined with mapper_init/mapper_final")
+  require(combinerCmd.isEmpty ||
+      ((combinerInit eq MrStep.emptyInit) &&
+        (combinerFinal eq MrStep.emptyInit)),
+    "combiner_cmd cannot be combined with combiner_init/combiner_final")
+  require(reducerCmd.isEmpty ||
+      ((reducerInit eq MrStep.emptyInit) && (reducerFinal eq MrStep.emptyInit)),
+    "reducer_cmd cannot be combined with reducer_init/reducer_final")
   require(Seq(mapperCmd, combinerCmd, reducerCmd, mapperPreFilter,
       combinerPreFilter, reducerPreFilter).forall(_.isEmpty) ||
       cmdProtocols.isDefined,
@@ -78,7 +92,15 @@ final case class CmdProtocols[K1, V1, K2, V2, K3, V3](
     output: LineProtocol[K3, V3])
 
 object MrStep {
-  def emptyInit[K, V](): IterableOnce[(K, V)] = Iterator.empty
+  /** THE default init/final bracket — one shared singleton function,
+    * so the case-class requires below can DETECT "left at default"
+    * by reference (an eta-expanded `emptyInit _` default minted a
+    * fresh object per construction, making the cmd+bracket
+    * misconfiguration undetectable). */
+  private val EmptyInitFn: () => IterableOnce[Nothing] =
+    () => Iterator.empty
+  def emptyInit[K, V]: () => IterableOnce[(K, V)] =
+    EmptyInitFn.asInstanceOf[() => IterableOnce[(K, V)]]
 
   /** Map-only step (no reducer — mrjob inserts an identity reducer /
     * elides the reduce phase, mrjob/step.py:79-86). */

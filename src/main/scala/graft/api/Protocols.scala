@@ -102,24 +102,33 @@ object PyJson {
   }
 }
 
+/** The ONE json parse entry for every JSON protocol: its initializer
+  * configures jackson to accept the NaN/Infinity tokens PyJson.dumps
+  * emits (CPython json.dumps allow_nan default) — jackson REJECTS
+  * them otherwise, so read(write(NaN)) would crash mid-chain. Living
+  * on the shared parse path (not in one protocol's initializer, a
+  * review catch: JsonValueProtocol.read crashed on its own write's
+  * output unless the UNRELATED JsonPairProtocol object happened to
+  * be class-loaded first) guarantees the configure runs before any
+  * protocol parses. */
+private[api] object PyJsonParse {
+  JsonMethods.mapper.configure(
+    com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS,
+    true)
+  def parse(s: String): JValue = JsonMethods.parse(s)
+}
+
 /** Dynamic JSON values (the mrjob default internal/output encoding).
   * Keys/values are json4s JValues — the Scala stand-in for "arbitrary
   * JSON-encodable Python value" (mrjob/job.py:274-275). Output bytes
   * match the reference's stdlib-JSON lines exactly (see [[PyJson]];
   * golden-bytes gate in ParityGoldenSpec). */
 object JsonPairProtocol extends LineProtocol[JValue, JValue] {
-  // PyJson.dumps emits NaN/Infinity tokens (CPython json.dumps
-  // allow_nan default); jackson REJECTS them unless told otherwise,
-  // so read(write(NaN)) would crash mid-chain without this
-  JsonMethods.mapper.configure(
-    com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS,
-    true)
-
   def read(line: String): (JValue, JValue) = {
     val i = line.indexOf('\t')
     require(i >= 0, s"no tab in JSON pair line: $line")
-    (JsonMethods.parse(line.substring(0, i)),
-      JsonMethods.parse(line.substring(i + 1)))
+    (PyJsonParse.parse(line.substring(0, i)),
+      PyJsonParse.parse(line.substring(i + 1)))
   }
   def write(k: JValue, v: JValue): String =
     PyJson.dumps(k) + "\t" + PyJson.dumps(v)
@@ -129,7 +138,7 @@ object JsonPairProtocol extends LineProtocol[JValue, JValue] {
   * (JSONValueProtocol, mrjob/protocol.py:272-281). */
 object JsonValueProtocol extends LineProtocol[JValue, JValue] {
   def read(line: String): (JValue, JValue) =
-    (JNull, JsonMethods.parse(line))
+    (JNull, PyJsonParse.parse(line))
   def write(k: JValue, v: JValue): String = PyJson.dumps(v)
 }
 
@@ -233,9 +242,22 @@ object PyLiteral {
     case JArray(xs) => xs.map(render).mkString("[", ", ", "]")
     case JSet(xs) => xs.map(render).mkString("{", ", ", "}")
     case JObject(fields) =>
-      fields.map { case (k, fv) => quoteRepr(k) + ": " + render(fv) }
+      fields.map { case (k, fv) => renderKey(k) + ": " + render(fv) }
         .mkString("{", ", ", "}")
   }
+
+  /** json4s JObject keys are Strings, so a parsed NON-string Python
+    * dict key ({1: 'a'}, {True: 2}) is carried as its rendered form
+    * behind a NUL-prefixed marker (no genuine Python str contains the
+    * marker — repr would escape the NUL) and re-emitted RAW here:
+    * without this, one repr hop rewrote {1: 'a'} as {'1': 'a'},
+    * silently retyping the key (the reference's ReprProtocol
+    * preserves int keys; its JSON protocols are the ones that
+    * stringify). */
+  private[api] val NonStrKeyMarker = "\u0000py\u0000"
+  private def renderKey(k: String): String =
+    if (k.startsWith(NonStrKeyMarker)) k.substring(NonStrKeyMarker.length)
+    else quoteRepr(k)
 
   private def quoteRepr(s: String): String = {
     val q = if (s.contains('\'') && !s.contains('"')) '"' else '\''
@@ -325,7 +347,9 @@ object PyLiteral {
 
     private def key(v: JValue): String = v match {
       case JString(k) => k
-      case other => render(other)
+      // non-string dict key: marker-wrapped rendered form, emitted
+      // raw (unquoted) on the way back out — see renderKey
+      case other => NonStrKeyMarker + render(other)
     }
 
     private def string(): String = {
