@@ -52,6 +52,7 @@ object SparkEntry {
     "inverted_index" -> (TextQueries.invertedIndex _),
     "keyword_tag" -> (TextQueries.keywordTag _),
     "doc_sim_sparse" -> (SparseSimOps.docSimSparse _),
+    "bm25_topk" -> (SparseSimOps.bm25TopK _),
     "word_freq_mr" -> (MrApiQueries.wordFreqMr _),
     "wc_mr" -> (MrApiQueries.wcMr _),
     "ann_topk" -> (SimilarityOps.annTopK _),
@@ -111,11 +112,13 @@ object SparkEntry {
     "train_val_split" -> ((s: SparkSession, d: String) =>
       TextAnalysis.trainValSplit(s, d)),
     "ppl_filter" -> (TextAnalysis.pplFilter _),
+    "length_curriculum" -> (TextAnalysis.lengthCurriculum _),
     "heavy_hitters" -> ((s: SparkSession, d: String) =>
       SketchOps.heavyHitters(s, d)),
     "group_sample" -> ((s: SparkSession, d: String) =>
       PipelineOps.groupSample(s, d)),
     "seq_pack" -> (PipelineOps.seqPack _),
+    "global_shuffle" -> (PipelineOps.globalShuffle _),
     "rag_chunk" -> (PipelineOps.ragChunk _),
     "corpus_merge" -> (PipelineOps.corpusMerge _),
     "table_diff" -> (PipelineOps.tableDiff _),
@@ -185,6 +188,7 @@ object SparkEntry {
     "inverted_index" -> TextQueries.invertedIndexSql,
     "keyword_tag" -> TextQueries.keywordTagSql,
     "doc_sim_sparse" -> SparseSimOps.docSimSparseSql,
+    "bm25_topk" -> SparseSimOps.bm25TopKSql,
     "word_freq_mr" -> TextQueries.wordFreqSql,
     "wc_mr" -> MrApiQueries.wcMrSql,
     "ann_topk" -> SimilarityOps.annTopKSql,
@@ -218,9 +222,11 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "train_val_split" -> TextAnalysis.trainValSplitSql,
     "ppl_filter" -> TextAnalysis.pplFilterSql,
+    "length_curriculum" -> TextAnalysis.lengthCurriculumSql,
     "heavy_hitters" -> SketchOps.heavyHittersSql,
     "group_sample" -> PipelineOps.groupSampleSql,
     "seq_pack" -> PipelineOps.seqPackSql,
+    "global_shuffle" -> PipelineOps.globalShuffleSql,
     "rag_chunk" -> PipelineOps.ragChunkSql,
     "corpus_merge" -> PipelineOps.corpusMergeSql,
     "table_diff" -> PipelineOps.tableDiffSql,

@@ -324,4 +324,58 @@ object PipelineOps {
       |FROM (SELECT doc_id, version, source, text FROM existing
       |      UNION ALL SELECT doc_id, version, source, text FROM ins_kept) r
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------- deterministic global shuffle ----------------
+
+  /** Shard count for the registered row. Production sets this to
+    * corpus_bytes / target_shard_bytes — the shape below is
+    * shard-count-agnostic. */
+  val ShuffleShards = 8L
+
+  val ShuffleSeed = 77L
+
+  /** Deterministic global corpus shuffle into training shards — the
+    * data-ordering step before writing a pre-training corpus:
+    * examples must reach the trainer in a fixed pseudo-random order
+    * that (a) never correlates with crawl/source order and (b) is
+    * byte-identical on re-runs, or a resumed run trains on a
+    * different stream.
+    *
+    * Order is the seeded affine permutation over Z_P (the
+    * seeded_sample machinery — both engines compute it exactly, so
+    * the row is fully oracled, unlike an engine-defined rand/shuffle):
+    * shard = h mod [[ShuffleShards]], position = rank of h within the
+    * shard.
+    *
+    * Scale shape: ONE hash shuffle on shard, then each shard sorts
+    * locally (the row_number window partitioned by shard IS the
+    * per-shard sort a shard-file writer runs); no global sort ever
+    * happens, and shards are independent — 1000 executors write 1000
+    * shard groups concurrently. A doc's (shard, pos) depends only on
+    * its id and the corpus membership of its shard, so adding a new
+    * source reshuffles only the shards its ids land in. */
+  def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        seededHash(col("doc_id"), ShuffleSeed).as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(ShuffleShards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val globalShuffleSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |    ${seededHashSql("doc_id", ShuffleSeed)} AS hh
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, source, hh, hh % $ShuffleShards AS shard FROM h)
+       |SELECT doc_id, source, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY hh, doc_id) AS BIGINT) AS pos
+       |FROM sh
+       |ORDER BY shard, pos""".stripMargin
 }

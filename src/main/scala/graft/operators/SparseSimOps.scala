@@ -160,4 +160,112 @@ object SparseSimOps {
        |SELECT i, j, rank, cos2_ppm FROM ranked
        |WHERE rank <= $TopK
        |ORDER BY i, rank""".stripMargin
+
+  // ---------------- BM25 ranked retrieval ----------------
+
+  /** Query terms for the registered bm25_topk row — a fixed small
+    * keyword set (the keyword_tag pattern): in production the terms
+    * arrive as a broadcast-sized query relation. */
+  val Bm25Terms: Seq[String] =
+    Seq("customer", "spark", "table", "vector", "window")
+
+  /** Documents reported per query term. */
+  val Bm25K = 10
+
+  /** BM25 ranked retrieval: top-[[Bm25K]] documents per query term
+    * under Okapi BM25 (Robertson et al., TREC-3) with k1 = 1.2,
+    * b = 0.75, idf = ln((N − df + ½)/(df + ½) + 1).
+    *
+    * All scoring is integer-exact cross-engine: idf is quantized ONCE
+    * per term to micro-nats (the tf_idf trick — transcendentals never
+    * touch per-row math), and the tf normalization is RATIONAL, so
+    * k1 = 6/5 and b = 3/4 clear through the common denominator
+    * 20·Σdl to
+    *   bm25_micro = idf_micro·44·tf·Σdl
+    *                  DIV (20·tf·Σdl + 6·Σdl + 18·dl·N)
+    * — integral products on both engines (DECIMAL(38,0) / HUGEINT
+    * widening, the docSimSparse posture: Σdl is corpus-scale, so LONG
+    * products would wrap at 100 TB).
+    *
+    * Scale shape: the term filter lands BEFORE the tf/df aggregations
+    * (only query-term postings ever shuffle — |terms|·docs-matching
+    * rows, not the corpus vocabulary); N/Σdl is a single-row broadcast
+    * scalar; the per-term top-k rides InferWindowGroupLimit so only
+    * each partition's top [[Bm25K]] reach the rank shuffle. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(spark, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => length(t) > 0).as("ts"))
+    val dl = d0.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val terms = d0.select(col("doc_id"), explode(col("ts")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("term"), round(log(
+        (col("n").cast("double") - col("df").cast("double") + lit(0.5d)) /
+          (col("df").cast("double") + lit(0.5d)) + lit(1.0d)) * 1000000d)
+        .cast("long").as("idf_micro"))
+    val scored = tf
+      .join(idf, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25_micro", expr(
+        "CAST(CAST(idf_micro AS DECIMAL(38,0)) * 44 * tf * sumdl " +
+          "DIV (CAST(20 AS DECIMAL(38,0)) * tf * sumdl " +
+          "+ CAST(6 AS DECIMAL(38,0)) * sumdl " +
+          "+ CAST(18 AS DECIMAL(38,0)) * dl * n) AS BIGINT)"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("term"))
+        .orderBy(col("bm25_micro").desc, col("doc_id"))))
+      .filter(col("rank") <= Bm25K)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("bm25_micro"), col("rank").cast("long").as("rank"))
+      .orderBy(col("term"), col("rank"))
+  }
+
+  val bm25TopKSql: String = {
+    val termsIn = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH d0 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM d0),
+       |stats AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+       |toks AS (SELECT doc_id, unnest(ts) AS term FROM d0),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       |  WHERE term IN $termsIn GROUP BY 1, 2),
+       |df AS (
+       |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+       |  WHERE term IN $termsIn GROUP BY 1),
+       |idf AS (
+       |  SELECT df.term,
+       |    CAST(round(ln((CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+       |      / (CAST(df.df AS DOUBLE) + 0.5) + 1.0) * 1000000) AS BIGINT)
+       |      AS idf_micro
+       |  FROM df CROSS JOIN stats s),
+       |scored AS (
+       |  SELECT tf.term, tf.doc_id, tf.tf, d.dl,
+       |    CAST((CAST(i.idf_micro AS HUGEINT) * 44 * tf.tf * s.sumdl)
+       |      // (CAST(20 AS HUGEINT) * tf.tf * s.sumdl
+       |         + CAST(6 AS HUGEINT) * s.sumdl
+       |         + CAST(18 AS HUGEINT) * d.dl * s.n) AS BIGINT) AS bm25_micro
+       |  FROM tf
+       |  JOIN idf i ON i.term = tf.term
+       |  JOIN dl d ON d.doc_id = tf.doc_id
+       |  CROSS JOIN stats s),
+       |ranked AS (
+       |  SELECT term, doc_id, tf, dl, bm25_micro,
+       |    CAST(row_number() OVER (PARTITION BY term
+       |      ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT term, doc_id, tf, dl, bm25_micro, rank FROM ranked
+       |WHERE rank <= $Bm25K
+       |ORDER BY term, rank""".stripMargin
+  }
 }

@@ -865,4 +865,90 @@ object TextAnalysis {
       |SELECT doc_id, avg_nll_micro FROM ppl, t
       |WHERE avg_nll_micro <= thr
       |ORDER BY doc_id""".stripMargin
+
+  /** Curriculum assignment: length bucket (fixed token-count
+    * boundaries — the batch-packing bins a trainer groups sequences
+    * into) plus quality-quartile curriculum stage (stage 1 = lowest
+    * quality quartile, trained first in an easy-to-hard curriculum;
+    * quality_ppm is the [[qualityScore]] formula).
+    *
+    * The stage is EXACT NTILE(4) over (quality_ppm, doc_id) — but
+    * computed the scalable way: a global NTILE window is a
+    * one-reducer corpus sort, so the engine instead derives each
+    * row's global rank from the pplFilter value histogram (cumulative
+    * counts over ≤10⁶ distinct ppm values — the only global-order
+    * window runs over HISTOGRAM rows) plus a row_number within its
+    * ppm value (bounded groups), then replays SQL NTILE's bucket
+    * arithmetic (first N mod 4 buckets take ⌈N/4⌉ rows) in integer
+    * math. The DuckDB oracle runs the naive NTILE spelling, so the
+    * equivalence is hash-checked end-to-end, and NtileSpec pins it
+    * against Spark's own ntile on small data.
+    *
+    * Scale shape: one scan; histogram agg (bounded), broadcast cum
+    * table, one shuffle on quality_ppm for the within-value rank;
+    * never a corpus-wide sort. */
+  def lengthCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n"),
+        size(array_distinct(toks)).cast("long").as("d"),
+        hits(toks, TextQueries.StopWords).as("s"),
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("c"))
+      .select(col("doc_id"), col("n"),
+        expr("(50 * d + 30 * (n - s) + least(2 * c, 20 * n)) * 1000000 DIV (100 * n)")
+          .as("quality_ppm"))
+    val hist = scored.groupBy(col("quality_ppm")).agg(count(lit(1)).as("hc"))
+    val cum = hist.select(col("quality_ppm"),
+      coalesce(sum(col("hc")).over(Window.orderBy(col("quality_ppm"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("cum_before"))
+    val total = scored.agg(count(lit(1)).as("nn"))
+    scored
+      .withColumn("rw", row_number().over(
+        Window.partitionBy(col("quality_ppm")).orderBy(col("doc_id"))))
+      .join(cum, Seq("quality_ppm"))
+      .crossJoin(broadcast(total))
+      // rank0 = 0-based global rank in (quality_ppm, doc_id) order;
+      // NTILE(4): the first nn%4 buckets hold nn DIV 4 + 1 rows, the
+      // rest nn DIV 4 (greatest guards the nn<4 fixture case, where
+      // the ELSE branch is never taken but is still evaluated)
+      .withColumn("rank0", col("cum_before") + col("rw") - 1)
+      .withColumn("stage", expr(
+        "CAST(CASE WHEN rank0 < (nn % 4) * (nn DIV 4 + 1) " +
+          "THEN rank0 DIV (nn DIV 4 + 1) " +
+          "ELSE (nn % 4) + (rank0 - (nn % 4) * (nn DIV 4 + 1)) " +
+          "DIV greatest(nn DIV 4, 1) END + 1 AS BIGINT)"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr("CAST(CASE WHEN n < 40 THEN 0 WHEN n < 56 THEN 1 " +
+          "WHEN n < 72 THEN 2 ELSE 3 END AS BIGINT)").as("len_bucket"),
+        col("quality_ppm"), col("stage"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lengthCurriculumSql: String = {
+    val stopIn = TextQueries.StopWords.map(w => s"'$w'")
+      .mkString("(", ", ", ")")
+    s"""WITH q AS (
+       |  SELECT doc_id, n,
+       |    (50 * d + 30 * (n - s) + least(2 * c, 20 * n)) * 1000000
+       |      // (100 * n) AS quality_ppm
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(ts) AS BIGINT) AS n,
+       |      CAST(len(list_distinct(ts)) AS BIGINT) AS d,
+       |      CAST(len(list_filter(ts, t -> t IN $stopIn)) AS BIGINT) AS s,
+       |      CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS c
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS ts
+       |          FROM documents) x) t)
+       |SELECT doc_id, n AS n_tokens,
+       |  CAST(CASE WHEN n < 40 THEN 0 WHEN n < 56 THEN 1
+       |       WHEN n < 72 THEN 2 ELSE 3 END AS BIGINT) AS len_bucket,
+       |  quality_ppm,
+       |  CAST(NTILE(4) OVER (ORDER BY quality_ppm, doc_id) AS BIGINT) AS stage
+       |FROM q
+       |ORDER BY doc_id""".stripMargin
+  }
 }

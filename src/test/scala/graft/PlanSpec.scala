@@ -127,6 +127,8 @@ class PlanSpec extends AnyFunSuite {
       "semdedup" -> "broadcast side = k (8) centroids per round (assignment phase)",
       "semdedup_scaled" -> "broadcast side = ⌈N/64⌉ centroids per round — bounded cluster SIZE, same plan shape as semdedup",
       "doc_sim_sparse" -> "broadcast side = single-row corpus doc count",
+      "bm25_topk" -> "broadcast side = single-row N/Σdl stats (twice: idf and scoring)",
+      "length_curriculum" -> "broadcast side = single-row corpus count for the NTILE arithmetic",
       "zorder_layout" -> "broadcast side = single-row key-range bounds",
       "events_gap_stats" -> "broadcast side = single-row gap count",
     )
@@ -138,6 +140,19 @@ class PlanSpec extends AnyFunSuite {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BNLJ over a side not in the bounded allowlist:\n$p")
     }
+  }
+
+  test("bm25_topk: per-term top-k gets WindowGroupLimit pruning and the " +
+    "query-term filter reaches below the aggregations") {
+    val p = plan(graft.operators.SparseSimOps.bm25TopK(spark, dir))
+    // a single Final-mode limit (no Partial pair): the scoring stream
+    // reaches the window already term-partitioned via the tf agg's
+    // exchange + broadcast joins, so there is no pre-shuffle stage to
+    // prune — the limit still bounds the per-term sort to k rows
+    assert(p.contains("WindowGroupLimit"),
+      s"bm25 rank filter not pushed into a window group limit:\n$p")
+    assert(p.contains("Filter term#") && p.contains(" IN (customer,"),
+      s"query-term IN filter not below the aggregations:\n$p")
   }
 
   test("dedup_jaccard: LSH candidates, no block×block product join") {

@@ -434,4 +434,91 @@ class QueriesSpec extends AnyFunSuite {
     assert(qty.getLong(4) == qmin && qty.getLong(5) == qmax)
     assert(qty.isNullAt(6) && qty.isNullAt(7))
   }
+
+  test("bm25_topk equals a pure-Scala BigInt replay of the integer " +
+    "rational contract") {
+    import operators.SparseSimOps
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[String](1).filter(_.nonEmpty).toVector)
+    val n = BigInt(docs.length)
+    val dl = docs.map { case (id, ts) => id -> BigInt(ts.length) }.toMap
+    val sumdl = dl.values.sum
+    val expected = SparseSimOps.Bm25Terms.flatMap { term =>
+      val tfs = docs.flatMap { case (id, ts) =>
+        val tf = ts.count(_ == term)
+        if (tf > 0) Some(id -> BigInt(tf)) else None
+      }
+      val df = BigInt(tfs.length)
+      val idfMicro = BigInt(math.round(math.log(
+        (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+        * 1000000d))
+      tfs.map { case (id, tf) =>
+        val num = idfMicro * 44 * tf * sumdl
+        val den = BigInt(20) * tf * sumdl + BigInt(6) * sumdl +
+          BigInt(18) * dl(id) * n
+        (term, id) -> (num / den).toLong
+      }
+    }.toMap
+    val got = SparseSimOps.bm25TopK(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      assert(expected(key) == r.getLong(4),
+        s"bm25 mismatch at $key: engine ${r.getLong(4)} vs replay ${expected(key)}")
+    }
+    // and the per-term ranking is the top-k of the replayed scores
+    got.groupBy(_.getString(0)).foreach { case (term, rows) =>
+      val full = expected.collect { case ((t, id), s) if t == term => (id, s) }
+        .toSeq.sortBy { case (id, s) => (-s, id) }
+      val want = full.take(math.min(SparseSimOps.Bm25K, full.size))
+      val have = rows.sortBy(_.getLong(5))
+        .map(r => (r.getLong(1), r.getLong(4))).toSeq
+      assert(have == want, s"bm25 top-k order differs for '$term'")
+    }
+  }
+
+  test("global_shuffle: gapless per-shard positions over a full " +
+    "permutation of the corpus, deterministic across runs") {
+    import operators.PipelineOps
+    val a = PipelineOps.globalShuffle(spark, dir).collect()
+    val nDocs = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(a.length == nDocs)
+    assert(a.map(_.getLong(0)).distinct.length == nDocs,
+      "shuffle dropped or duplicated doc_ids")
+    a.groupBy(_.getLong(2)).foreach { case (shard, rows) =>
+      val pos = rows.map(_.getLong(3)).sorted
+      assert(pos.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not gapless 1..${rows.length}")
+    }
+    val b = PipelineOps.globalShuffle(spark, dir).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq,
+      "global_shuffle is not deterministic across invocations")
+  }
+
+  test("length_curriculum stage equals Spark's own global NTILE(4); " +
+    "stages are balanced to within one row") {
+    import org.apache.spark.sql.expressions.Window
+    import operators.TextAnalysis
+    val got = TextAnalysis.lengthCurriculum(spark, dir)
+    val naive = got.select(col("doc_id"), col("quality_ppm"))
+      .withColumn("want_stage",
+        ntile(4).over(Window.orderBy(col("quality_ppm"), col("doc_id")))
+          .cast("long"))
+    val joined = got.join(naive.select(col("doc_id"), col("want_stage")),
+      Seq("doc_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(4) == r.getAs[Long]("want_stage"),
+        s"doc ${r.getLong(0)}: histogram stage ${r.getLong(4)} != " +
+          s"ntile ${r.getAs[Long]("want_stage")}")
+    }
+    val sizes = joined.groupBy(_.getLong(4)).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(1L, 2L, 3L, 4L))
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"stage sizes unbalanced: $sizes")
+  }
 }
