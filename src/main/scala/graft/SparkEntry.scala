@@ -56,6 +56,7 @@ object SparkEntry {
     "word_freq_mr" -> (MrApiQueries.wordFreqMr _),
     "wc_mr" -> (MrApiQueries.wcMr _),
     "ann_topk" -> (SimilarityOps.annTopK _),
+    "pq_topk" -> ((s: SparkSession, d: String) => PqOps.pqTopK(s, d)),
     // bits == 0: every vector lands in bucket 0 of the single table, so
     // the candidate set is provably complete and the rerank IS exact
     // brute-force top-k — fully oracled against the exact top-k SQL
@@ -192,6 +193,7 @@ object SparkEntry {
     "word_freq_mr" -> TextQueries.wordFreqSql,
     "wc_mr" -> MrApiQueries.wcMrSql,
     "ann_topk" -> SimilarityOps.annTopKSql,
+    "pq_topk" -> PqOps.pqTopKSql,
     "ann_ivf_topk" -> SimilarityOps.annTopKSql,
     // bits=0 LSH: candidate set provably complete ⇒ result ≡ exact top-k
     "ann_lsh_topk" -> SimilarityOps.annTopKSql,

@@ -127,6 +127,7 @@ class PlanSpec extends AnyFunSuite {
       "semdedup" -> "broadcast side = k (8) centroids per round (assignment phase)",
       "semdedup_scaled" -> "broadcast side = ⌈N/64⌉ centroids per round — bounded cluster SIZE, same plan shape as semdedup",
       "doc_sim_sparse" -> "broadcast side = single-row corpus doc count",
+      "pq_topk" -> "broadcast sides = ks (16) sub-codebook centroids per Lloyd round, the Q·M·Ks ADC LUT, and the Q·Shortlist re-rank shortlist",
       "bm25_topk" -> "broadcast side = single-row N/Σdl stats (twice: idf and scoring)",
       "length_curriculum" -> "broadcast side = single-row corpus count for the NTILE arithmetic",
       "zorder_layout" -> "broadcast side = single-row key-range bounds",
