@@ -84,6 +84,7 @@ object SparkEntry {
     "dedup_fingerprint" -> (DedupOps.dedupFingerprint _),
     "dedup_jaccard" -> (DedupOps.dedupJaccard _),
     "dedup_minhash" -> (DedupOps.dedupMinhash _),
+    "dedup_ingest" -> (DedupOps.dedupIngest _),
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     "dedup_passage" -> ((s: SparkSession, d: String) =>
       DedupOps.passageDedup(s, d)),
@@ -199,6 +200,7 @@ object SparkEntry {
     "ann_lsh_topk" -> SimilarityOps.annTopKSql,
     "input_file_counts" -> TextQueries.inputFileCountsSql,
     "dedup_minhash" -> DedupOps.dedupMinhashSql,
+    "dedup_ingest" -> DedupOps.dedupIngestSql,
     "dedup_embedding" -> SimilarityOps.dedupEmbeddingSql,
     "dedup_exact" -> DedupOps.dedupExactSql,
     "dedup_keep" -> DedupOps.dedupKeepSql,

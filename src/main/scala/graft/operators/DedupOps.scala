@@ -889,4 +889,81 @@ object DedupOps {
       |SELECT doc_id, lang, source, n_chars FROM documents
       |WHERE doc_id NOT IN (SELECT doc_id FROM drop)
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------- incremental ingest near-dup ---------------------
+
+  /** Batch derivation for the registered row: doc_id % 10 == 7 is the
+    * "arriving" ingest batch (~10% of the corpus), the rest is the
+    * live corpus — deterministic, so the row is fully oracled (the
+    * corpus_merge fixture trick). */
+  val IngestMod = 10L
+  val IngestRem = 7L
+
+  /** Incremental near-dup at INGEST time: the pair list (new doc,
+    * live doc, jaccard) at 3-shingle J ≥ 0.5 between an arriving batch
+    * and the live corpus — the operator an ingest pipeline runs per
+    * batch so it never re-pairs the corpus against itself (that
+    * corpus-wide pass is [[dedupMinhash]]; a batch pipeline runs it
+    * once, then this per arrival).
+    *
+    * Same exactness contract as dedupMinhash: rows-per-band = 1
+    * (bands = k = 32) means a true pair at J ≥ 0.5 escapes every band
+    * with probability ≤ 2⁻³², and exact shingle-Jaccard verification
+    * makes precision 1 — so the output equals the all-pairs new×live
+    * ground truth the DuckDB oracle computes (and the spec pins).
+    *
+    * Scale shape: the live corpus' band table is the persistent INDEX
+    * — at 100 TB it is computed once and stored bucketed by (band,
+    * bh); each arriving batch computes bands for ITS rows only and
+    * probes by equi-join, so per-ingest shuffle volume is
+    * O(batch + matched buckets) and candidate work is
+    * Σ_bucket |new_b|·|live_b| — proportional to the batch, never to
+    * corpus². Exact verify then touches only candidate shingle sets
+    * via two equi-joins. */
+  def dedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isNew = col("doc_id") % IngestMod === IngestRem
+    val newDocs = d.filter(isNew)
+    val liveDocs = d.filter(!isNew)
+    val nb = lshBands(minhashSignatures(newDocs, 32), 32, 32)
+    val lb = lshBands(minhashSignatures(liveDocs, 32), 32, 32)
+    val cands = nb.as("x").join(lb.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("live_id"))
+      .distinct()
+    val shN = shingleSets(newDocs)
+    val shL = shingleSets(liveDocs)
+    val inter = graft.functions.SortedIntersectCount.count(
+      col("si"), col("sj"))
+    val uni = size(col("si")) + size(col("sj")) - inter
+    cands
+      .join(shN.select(col("doc_id").as("new_id"), col("shs").as("si")),
+        Seq("new_id"))
+      .join(shL.select(col("doc_id").as("live_id"), col("shs").as("sj")),
+        Seq("live_id"))
+      .select(col("new_id"), col("live_id"),
+        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("new_id"), col("live_id"))
+  }
+
+  val dedupIngestSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts, text FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ts) < 3 THEN [text]
+       |         ELSE list_transform(range(1, len(ts) - 1),
+       |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS sh
+       |  FROM d),
+       |u AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+       |p AS (
+       |  SELECT a.doc_id AS new_id, b.doc_id AS live_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+       |  FROM u a JOIN u b
+       |    ON a.doc_id % $IngestMod = $IngestRem
+       |    AND b.doc_id % $IngestMod <> $IngestRem)
+       |SELECT new_id, live_id, jaccard FROM p WHERE jaccard >= 0.5
+       |ORDER BY new_id, live_id""".stripMargin
 }

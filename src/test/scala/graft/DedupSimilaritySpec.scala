@@ -139,6 +139,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"LSH path diverged: missing=${brute -- lsh}, extra=${lsh -- brute}")
   }
 
+  test("dedup_ingest equals the new-x-live slice of all-pairs shingle-" +
+    "Jaccard truth") {
+    val dir = SparkFixture.Sf0001
+    def isNew(id: Long): Boolean =
+      id % DedupOps.IngestMod == DedupOps.IngestRem
+    val got = DedupOps.dedupIngest(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: all-pairs J >= 0.5 restricted to pairs with exactly
+    // one side in the ingest batch, oriented (new, live); both-new
+    // pairs are intra-batch (a batch-internal dedup's job, not this op)
+    val brute = DedupOps.shingleJaccardAllPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (i, j, _) => isNew(i) ^ isNew(j) }
+      .map { case (i, j, jac) =>
+        if (isNew(i)) (i, j, jac) else (j, i, jac)
+      }.toSet
+    assert(brute.nonEmpty, "fixture should contain new-x-live dup pairs")
+    assert(got == brute,
+      s"ingest path diverged: missing=${brute -- got}, extra=${got -- brute}")
+  }
+
   test("dedupEmbeddingLsh finds planted high-cosine dups exactly") {
     import spark.implicits._
     val e = graft.sources.Tables.load(spark, SparkFixture.Sf0001, "embeddings")
