@@ -115,6 +115,8 @@ object SparkEntry {
       TextAnalysis.trainValSplit(s, d)),
     "ppl_filter" -> (TextAnalysis.pplFilter _),
     "length_curriculum" -> (TextAnalysis.lengthCurriculum _),
+    "novelty_score" -> (TextAnalysis.noveltyScore _),
+    "char_classes" -> (TextAnalysis.charClasses _),
     "heavy_hitters" -> ((s: SparkSession, d: String) =>
       SketchOps.heavyHitters(s, d)),
     "group_sample" -> ((s: SparkSession, d: String) =>
@@ -227,6 +229,8 @@ object SparkEntry {
     "train_val_split" -> TextAnalysis.trainValSplitSql,
     "ppl_filter" -> TextAnalysis.pplFilterSql,
     "length_curriculum" -> TextAnalysis.lengthCurriculumSql,
+    "novelty_score" -> TextAnalysis.noveltyScoreSql,
+    "char_classes" -> TextAnalysis.charClassesSql,
     "heavy_hitters" -> SketchOps.heavyHittersSql,
     "group_sample" -> PipelineOps.groupSampleSql,
     "seq_pack" -> PipelineOps.seqPackSql,

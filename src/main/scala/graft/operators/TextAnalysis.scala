@@ -951,4 +951,113 @@ object TextAnalysis {
        |FROM q
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Corpus novelty score: for each doc, the fraction of its distinct
+    * 3-shingles whose FIRST occurrence (min doc_id) in the corpus is
+    * this doc — "how much new content does this doc add", the
+    * dedup-aware signal a corpus-ordering / pruning pass ranks by
+    * (a doc of entirely already-seen shingles is redundant even when
+    * no single pair clears a Jaccard threshold).
+    *
+    * Engine shingles are chained-xxhash64 over the token array (the
+    * DedupOps idiom — hashes never surface in the output, the oracle
+    * replays the same semantics on shingle STRINGS); first-seen is a
+    * window MIN over the shingle partition, so the exploded stream
+    * shuffles ONCE on shingle hash (vs groupBy-then-join-back, which
+    * shuffles it twice), then the per-doc aggregation is the second,
+    * doc-keyed shuffle. All linear in corpus shingles.
+    */
+  def noveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    val occ = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"),
+        explode(array_distinct(DedupOps.shingleHashes64(col("ts"))))
+          .as("sh"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    occ.withColumn("first_doc", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("1000000 * n_novel DIV n_shingles").as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val noveltyScoreSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts, text FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ts) < 3 THEN [text]
+      |         ELSE list_transform(range(1, len(ts) - 1),
+      |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS sh
+      |  FROM d),
+      |u AS (SELECT doc_id, unnest(list_distinct(sh)) AS sh FROM s),
+      |f AS (SELECT sh, MIN(doc_id) AS first_doc FROM u GROUP BY sh)
+      |SELECT u.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN f.first_doc = u.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  CAST(1000000 * SUM(CASE WHEN f.first_doc = u.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS novelty_ppm
+      |FROM u JOIN f USING (sh)
+      |GROUP BY u.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Character-class composition per doc — the charset-QA pass a
+    * corpus pipeline runs to catch mojibake, binary spill, and
+    * markup-heavy documents before tokenization: ppm of lowercase /
+    * uppercase / digit / whitespace characters (remainder = other,
+    * i.e. punctuation and symbols) plus the dominant class under a
+    * fixed precedence tie-break. One scan, all codegen'd
+    * length(regexp_replace) counters — no explode, no shuffle except
+    * the final sort. */
+  def charClasses(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+          .as("n_lower"),
+        length(regexp_replace(col("text"), "[^A-Z]", "")).cast("long")
+          .as("n_upper"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
+          .as("n_digit"),
+        length(regexp_replace(col("text"), "[^ ]", "")).cast("long")
+          .as("n_space"))
+      .select(col("doc_id"), col("n_chars"),
+        expr("1000000 * n_lower DIV greatest(n_chars, 1)").as("lower_ppm"),
+        expr("1000000 * n_upper DIV greatest(n_chars, 1)").as("upper_ppm"),
+        expr("1000000 * n_digit DIV greatest(n_chars, 1)").as("digit_ppm"),
+        expr("1000000 * n_space DIV greatest(n_chars, 1)").as("space_ppm"),
+        expr("1000000 * (n_chars - n_lower - n_upper - n_digit - n_space) " +
+          "DIV greatest(n_chars, 1)").as("other_ppm"),
+        expr("CASE WHEN n_lower >= n_upper AND n_lower >= n_digit AND " +
+          "n_lower >= n_space THEN 'lower' " +
+          "WHEN n_upper >= n_digit AND n_upper >= n_space THEN 'upper' " +
+          "WHEN n_digit >= n_space THEN 'digit' ELSE 'space' END")
+          .as("dominant"))
+      .orderBy(col("doc_id"))
+
+  val charClassesSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_lower,
+      |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space
+      |  FROM documents)
+      |SELECT doc_id, n_chars,
+      |  1000000 * n_lower // greatest(n_chars, 1) AS lower_ppm,
+      |  1000000 * n_upper // greatest(n_chars, 1) AS upper_ppm,
+      |  1000000 * n_digit // greatest(n_chars, 1) AS digit_ppm,
+      |  1000000 * n_space // greatest(n_chars, 1) AS space_ppm,
+      |  1000000 * (n_chars - n_lower - n_upper - n_digit - n_space)
+      |    // greatest(n_chars, 1) AS other_ppm,
+      |  CASE WHEN n_lower >= n_upper AND n_lower >= n_digit AND
+      |    n_lower >= n_space THEN 'lower'
+      |    WHEN n_upper >= n_digit AND n_upper >= n_space THEN 'upper'
+      |    WHEN n_digit >= n_space THEN 'digit' ELSE 'space' END AS dominant
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
 }

@@ -521,4 +521,73 @@ class QueriesSpec extends AnyFunSuite {
     assert(sizes.values.max - sizes.values.min <= 1,
       s"stage sizes unbalanced: $sizes")
   }
+
+  test("novelty_score equals a pure-Scala string-shingle replay; exact " +
+    "re-of-earlier-doc has novelty 0") {
+    import operators.TextAnalysis
+    val raw = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    def shingles(t: String): Set[String] = {
+      val ts = t.split(" ")
+      if (ts.length < 3) Set(t)
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = raw.map { case (id, t) => id -> shingles(t) }
+    val first = scala.collection.mutable.Map[String, Long]()
+    sh.foreach { case (id, ss) =>
+      ss.foreach(s => if (!first.contains(s) || first(s) > id)
+        first(s) = id)
+    }
+    val want = sh.map { case (id, ss) =>
+      val novel = ss.count(s => first(s) == id).toLong
+      id -> (ss.size.toLong, novel, 1000000L * novel / ss.size)
+    }.toMap
+    val got = TextAnalysis.noveltyScore(spark, dir).collect()
+    assert(got.length == raw.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == want(id),
+        s"novelty mismatch at doc $id")
+    }
+    // exact duplicates of an earlier doc must score 0
+    val dupOfEarlier = raw.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(_.map(_._1).sorted.tail).toSet
+    if (dupOfEarlier.nonEmpty)
+      got.filter(r => dupOfEarlier(r.getLong(0)))
+        .foreach(r => assert(r.getLong(3) == 0L,
+          s"duplicate doc ${r.getLong(0)} has nonzero novelty"))
+  }
+
+  test("char_classes equals a pure-Scala replay; ppm components bounded") {
+    import operators.TextAnalysis
+    val raw = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.charClasses(spark, dir).collect()
+    assert(got.length == raw.size)
+    got.foreach { r =>
+      val t = raw(r.getLong(0))
+      val n = t.length.toLong max 1L
+      val lo = t.count(c => c >= 'a' && c <= 'z').toLong
+      val up = t.count(c => c >= 'A' && c <= 'Z').toLong
+      val di = t.count(c => c >= '0' && c <= '9').toLong
+      val sp = t.count(_ == ' ').toLong
+      val ot = t.length - lo - up - di - sp
+      assert(r.getLong(1) == t.length.toLong)
+      assert(r.getLong(2) == 1000000L * lo / n)
+      assert(r.getLong(3) == 1000000L * up / n)
+      assert(r.getLong(4) == 1000000L * di / n)
+      assert(r.getLong(5) == 1000000L * sp / n)
+      assert(r.getLong(6) == 1000000L * ot / n)
+      val want =
+        if (lo >= up && lo >= di && lo >= sp) "lower"
+        else if (up >= di && up >= sp) "upper"
+        else if (di >= sp) "digit" else "space"
+      assert(r.getString(7) == want)
+      val total = r.getLong(2) + r.getLong(3) + r.getLong(4) +
+        r.getLong(5) + r.getLong(6)
+      assert(total <= 1000000L && total >= 1000000L - 5L)
+    }
+  }
 }
