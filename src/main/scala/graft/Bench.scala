@@ -121,7 +121,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","blowup10x":$probe}"""
-    Files.write(Paths.get("bench_out.json"),
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) are dev probes — they must
+    // NOT clobber the committed full-catalog artifact that BASELINE.md
+    // §C cites (the r3→r4 drift was exactly that: three single-query
+    // probes overwrote the 105-query record).
+    val outFile =
+      if (only.isDefined) "bench_subset_out.json" else "bench_out.json"
+    Files.write(Paths.get(outFile),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)
     spark.stop()

@@ -32,12 +32,15 @@ object ClusterOps {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
-  /** Quantized-and-shifted vector: array<float> → positive array<long>. */
-  private def quantizeShift(v: Column): Column =
+  /** Quantized-and-shifted vector: array<float> → positive array<long>.
+    * Shared with [[PqOps]] (package-private, with the SQL twin below)
+    * so the quantization contract has exactly one definition per
+    * engine side — a site-local copy is how twins drift. */
+  private[operators] def quantizeShift(v: Column): Column =
     transform(v,
       x => round(x.cast("double") * lit(1000000d)).cast("long") + lit(Shift))
 
-  private val quantizeShiftSql: String =
+  private[operators] val quantizeShiftSql: String =
     s"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + $Shift)"
 
   /** Argmin assignment of every vector to the nearest centroid.

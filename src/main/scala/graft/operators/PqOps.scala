@@ -74,13 +74,10 @@ object PqOps {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
-  /** Quantized-and-shifted vector (ClusterOps.scala contract):
-    * array<float> → positive array<long>, so centroid-mean integer
-    * division agrees across engines. */
+  /** Quantized-and-shifted vector — the shared [[ClusterOps]]
+    * contract, one definition per engine side. */
   private def quantizeShift(v: Column): Column =
-    transform(v, x =>
-      round(x.cast("double") * lit(1000000d)).cast("long") +
-        lit(ClusterOps.Shift))
+    ClusterOps.quantizeShift(v)
 
   /** Train + encode + ADC-shortlist + exact re-rank: top-[[K]] per
     * query vector (vec_id < [[QueryCount]], self excluded). Output:
@@ -205,8 +202,7 @@ object PqOps {
     * LUT → ADC sum → per-query rank. */
   val pqTopKSql: String = {
     val hkSql = TextQueries.seededHashSqlExpr("vec_id", Seed)
-    val qsh = "list_transform(embedding, x -> " +
-      s"CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + ${ClusterOps.Shift})"
+    val qsh = ClusterOps.quantizeShiftSql
     val distSql = "CAST(list_sum(list_transform(list_zip(e.sv, c.cv), " +
       "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
     val perSub = (0 until M).map { sub =>

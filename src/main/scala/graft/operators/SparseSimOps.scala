@@ -202,8 +202,11 @@ object SparseSimOps {
       .filter(col("term").isin(Bm25Terms: _*))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // tf already holds one row per (doc_id, term) with tf > 0, so df
+    // is a plain count over it — not a second corpus-wide
+    // explode + distinct pass over `terms`
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
     val idf = df.crossJoin(broadcast(stats))
       .select(col("term"), round(log(
         (col("n").cast("double") - col("df").cast("double") + lit(0.5d)) /
@@ -241,8 +244,7 @@ object SparseSimOps {
        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
        |  WHERE term IN $termsIn GROUP BY 1, 2),
        |df AS (
-       |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
-       |  WHERE term IN $termsIn GROUP BY 1),
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
        |idf AS (
        |  SELECT df.term,
        |    CAST(round(ln((CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)

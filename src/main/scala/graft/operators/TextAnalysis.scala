@@ -30,6 +30,38 @@ object TextAnalysis {
   private def hits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers: _*))).cast("long")
 
+  /** The (n, d, s, c) quality counters shared by [[qualityScore]],
+    * [[corpusClean]] and [[lengthCurriculum]]: token count, distinct
+    * token count, stopword hits, summed token length. ONE definition
+    * (plus the SQL twin below) so the three call sites cannot drift —
+    * the cross-engine-twin rule from [[TextQueries.seededHashCol]]. */
+  private def qualityPartCols(toks: Column): Seq[Column] = Seq(
+    size(toks).cast("long").as("n"),
+    size(array_distinct(toks)).cast("long").as("d"),
+    hits(toks, TextQueries.StopWords).as("s"),
+    aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x).as("c"))
+
+  /** DuckDB twin of [[qualityPartCols]] — the four counter exprs over a
+    * `ts` token-list column, for embedding in an inner SELECT. */
+  private val QualityPartsSql: String = {
+    val stopIn = TextQueries.StopWords.map(w => s"'$w'")
+      .mkString("(", ", ", ")")
+    s"""CAST(len(ts) AS BIGINT) AS n,
+       |      CAST(len(list_distinct(ts)) AS BIGINT) AS d,
+       |      CAST(len(list_filter(ts, t -> t IN $stopIn)) AS BIGINT) AS s,
+       |      CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS c""".stripMargin
+  }
+
+  /** The quality formula over (n, d, s, c), integer ppm — the single
+    * source of truth for the weights; Spark spelling (DIV). */
+  private val QualityPpmExpr: String =
+    "(50 * d + 30 * (n - s) + least(2 * c, 20 * n)) * 1000000 DIV (100 * n)"
+
+  /** DuckDB twin of [[QualityPpmExpr]] (`//` truncates on BIGINT). */
+  private val QualityPpmSqlExpr: String =
+    "(50 * d + 30 * (n - s) + least(2 * c, 20 * n)) * 1000000 // (100 * n)"
+
   /** Language ID: count marker-word hits per language, pick the argmax
     * with a fixed priority tie-break (en > es > fr > de), 'und' when
     * nothing hits. */
@@ -82,13 +114,7 @@ object TextAnalysis {
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     docs(spark, dir)
-      .select(
-        col("doc_id"),
-        size(toks).cast("long").as("n"),
-        size(array_distinct(toks)).cast("long").as("d"),
-        hits(toks, TextQueries.StopWords).as("s"),
-        aggregate(transform(toks, t => length(t).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("c"))
+      .select(col("doc_id") +: qualityPartCols(toks): _*)
       .select(
         col("doc_id"),
         col("n").as("n_tokens"),
@@ -97,29 +123,22 @@ object TextAnalysis {
         expr("1000000 * d DIV n").as("ttr_ppm"),
         expr("1000000 * s DIV n").as("stop_ppm"),
         expr("1000 * c DIV n").as("avg_len_milli"),
-        expr("(50 * d + 30 * (n - s) + least(2 * c, 20 * n)) * 1000000 DIV (100 * n)")
-          .as("quality_ppm"))
+        expr(QualityPpmExpr).as("quality_ppm"))
       .orderBy(col("doc_id"))
   }
 
-  val qualityScoreSql: String = {
-    val stopIn = TextQueries.StopWords.map(w => s"'$w'")
-      .mkString("(", ", ", ")")
+  val qualityScoreSql: String =
     s"""SELECT doc_id,
        |  n AS n_tokens, d AS n_distinct, s AS stop_hits,
        |  1000000 * d // n AS ttr_ppm,
        |  1000000 * s // n AS stop_ppm,
        |  1000 * c // n AS avg_len_milli,
-       |  (50 * d + 30 * (n - s) + least(2 * c, 20 * n)) * 1000000 // (100 * n) AS quality_ppm
+       |  $QualityPpmSqlExpr AS quality_ppm
        |FROM (
        |  SELECT doc_id,
-       |    CAST(len(ts) AS BIGINT) AS n,
-       |    CAST(len(list_distinct(ts)) AS BIGINT) AS d,
-       |    CAST(len(list_filter(ts, t -> t IN $stopIn)) AS BIGINT) AS s,
-       |    CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS c
+       |      $QualityPartsSql
        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) x) t
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** The end-to-end corpus-cleaning job — the composition a real
     * training-data pipeline runs as ONE query: quality-score filter
@@ -132,14 +151,9 @@ object TextAnalysis {
       keepLangs: Seq[String] = Seq("en", "de", "fr", "es")): DataFrame = {
     val toks = split(col("text"), " ")
     val scored = docs(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"),
-        size(toks).cast("long").as("n"),
-        size(array_distinct(toks)).cast("long").as("d"),
-        hits(toks, TextQueries.StopWords).as("s"),
-        aggregate(transform(toks, t => length(t).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("c"))
-      .withColumn("quality_ppm", expr(
-        "(50 * d + 30 * (n - s) + least(2 * c, 20 * n)) * 1000000 DIV (100 * n)"))
+      .select(Seq(col("doc_id"), col("lang"), col("text")) ++
+        qualityPartCols(toks): _*)
+      .withColumn("quality_ppm", expr(QualityPpmExpr))
       .filter(col("quality_ppm") >= minQualityPpm &&
         col("lang").isInCollection(keepLangs))
     val w = Window.partitionBy(col("text")).orderBy(col("doc_id").asc)
@@ -151,19 +165,14 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val corpusCleanSql: String = {
-    val stopIn = TextQueries.StopWords.map(w => s"'$w'")
-      .mkString("(", ", ", ")")
+  val corpusCleanSql: String =
     s"""WITH scored AS (
        |  SELECT doc_id, lang, text, n, quality_ppm FROM (
        |    SELECT doc_id, lang, text, n, d, s, c,
-       |      (50 * d + 30 * (n - s) + least(2 * c, 20 * n)) * 1000000 // (100 * n) AS quality_ppm
+       |      $QualityPpmSqlExpr AS quality_ppm
        |    FROM (
        |      SELECT doc_id, lang, text,
-       |        CAST(len(ts) AS BIGINT) AS n,
-       |        CAST(len(list_distinct(ts)) AS BIGINT) AS d,
-       |        CAST(len(list_filter(ts, t -> t IN $stopIn)) AS BIGINT) AS s,
-       |        CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS c
+       |      $QualityPartsSql
        |      FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS ts
        |            FROM documents) x) y) z
        |  WHERE quality_ppm >= 600000
@@ -175,7 +184,6 @@ object TextAnalysis {
        |SELECT doc_id, lang, n_tokens, quality_ppm
        |FROM deduped WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Boilerplate ratio — the C4-style cleaning signal: a word trigram
     * appearing in ≥ `minDocs` distinct documents is boilerplate
@@ -874,53 +882,59 @@ object TextAnalysis {
     *
     * The stage is EXACT NTILE(4) over (quality_ppm, doc_id) — but
     * computed the scalable way: a global NTILE window is a
-    * one-reducer corpus sort, so the engine instead derives each
-    * row's global rank from the pplFilter value histogram (cumulative
-    * counts over ≤10⁶ distinct ppm values — the only global-order
-    * window runs over HISTOGRAM rows) plus a row_number within its
-    * ppm value (bounded groups), then replays SQL NTILE's bucket
-    * arithmetic (first N mod 4 buckets take ⌈N/4⌉ rows) in integer
-    * math. The DuckDB oracle runs the naive NTILE spelling, so the
+    * one-reducer corpus sort, so the engine instead uses the
+    * distributed exact-rank idiom: range-partition on the COMPOSITE
+    * key (quality_ppm, doc_id) — doc_id is unique, so partitions stay
+    * balanced even when the whole corpus shares one quality_ppm value
+    * (equal composite keys can't pile into one range) — sort within
+    * partitions, then add per-partition row offsets (one lightweight
+    * count job over the sorted shuffle output, whose files are reused
+    * by the main pass as a skipped stage). rank0 is the exact global
+    * rank; NTILE's bucket arithmetic (first N mod 4 buckets take
+    * ⌈N/4⌉ rows) replays in integer math with N from the same offsets
+    * job. The DuckDB oracle runs the naive NTILE spelling, so the
     * equivalence is hash-checked end-to-end, and NtileSpec pins it
     * against Spark's own ntile on small data.
     *
-    * Scale shape: one scan; histogram agg (bounded), broadcast cum
-    * table, one shuffle on quality_ppm for the within-value rank;
-    * never a corpus-wide sort. */
+    * Scale shape: one corpus scan into the range shuffle (plus the
+    * range partitioner's sampling pass); every partition bounded by
+    * the range split regardless of quality_ppm skew; never a
+    * one-reducer sort, never an unbounded window group. */
   def lengthCurriculum(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val scored = docs(spark, dir)
-      .select(
-        col("doc_id"),
-        size(toks).cast("long").as("n"),
-        size(array_distinct(toks)).cast("long").as("d"),
-        hits(toks, TextQueries.StopWords).as("s"),
-        aggregate(transform(toks, t => length(t).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("c"))
+      .select(col("doc_id") +: qualityPartCols(toks): _*)
       .select(col("doc_id"), col("n"),
-        expr("(50 * d + 30 * (n - s) + least(2 * c, 20 * n)) * 1000000 DIV (100 * n)")
-          .as("quality_ppm"))
-    val hist = scored.groupBy(col("quality_ppm")).agg(count(lit(1)).as("hc"))
-    val cum = hist.select(col("quality_ppm"),
-      coalesce(sum(col("hc")).over(Window.orderBy(col("quality_ppm"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-        .as("cum_before"))
-    val total = scored.agg(count(lit(1)).as("nn"))
-    scored
-      .withColumn("rw", row_number().over(
-        Window.partitionBy(col("quality_ppm")).orderBy(col("doc_id"))))
-      .join(cum, Seq("quality_ppm"))
-      .crossJoin(broadcast(total))
-      // rank0 = 0-based global rank in (quality_ppm, doc_id) order;
-      // NTILE(4): the first nn%4 buckets hold nn DIV 4 + 1 rows, the
-      // rest nn DIV 4 (greatest guards the nn<4 fixture case, where
-      // the ELSE branch is never taken but is still evaluated)
-      .withColumn("rank0", col("cum_before") + col("rw") - 1)
+        expr(QualityPpmExpr).as("quality_ppm"))
+    val parts = scored
+      .repartitionByRange(col("quality_ppm"), col("doc_id"))
+      .sortWithinPartitions(col("quality_ppm"), col("doc_id"))
+    val rdd = parts.rdd
+    val counts = rdd.mapPartitions(it => Iterator(it.size.toLong),
+      preservesPartitioning = true).collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val nn = offsets.last
+    val ranked = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var r = offsets(pi)
+      it.map { row =>
+        val out = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
+        r += 1
+        out
+      }
+    }
+    val withRank = spark.createDataFrame(ranked, parts.schema
+      .add("rank0", org.apache.spark.sql.types.LongType, nullable = false))
+    // NTILE(4): the first nn%4 buckets hold nn DIV 4 + 1 rows, the
+    // rest nn DIV 4 (max(...,1) guards the nn<4 fixture case, where
+    // the ELSE branch is never taken but is still evaluated)
+    val big = nn / 4 + 1
+    val small = math.max(nn / 4, 1L)
+    val boundary = (nn % 4) * big
+    withRank
       .withColumn("stage", expr(
-        "CAST(CASE WHEN rank0 < (nn % 4) * (nn DIV 4 + 1) " +
-          "THEN rank0 DIV (nn DIV 4 + 1) " +
-          "ELSE (nn % 4) + (rank0 - (nn % 4) * (nn DIV 4 + 1)) " +
-          "DIV greatest(nn DIV 4, 1) END + 1 AS BIGINT)"))
+        s"CAST(CASE WHEN rank0 < $boundary THEN rank0 DIV $big " +
+          s"ELSE ${nn % 4} + (rank0 - $boundary) DIV $small " +
+          "END + 1 AS BIGINT)"))
       .select(col("doc_id"), col("n").as("n_tokens"),
         expr("CAST(CASE WHEN n < 40 THEN 0 WHEN n < 56 THEN 1 " +
           "WHEN n < 72 THEN 2 ELSE 3 END AS BIGINT)").as("len_bucket"),
@@ -929,18 +943,12 @@ object TextAnalysis {
   }
 
   val lengthCurriculumSql: String = {
-    val stopIn = TextQueries.StopWords.map(w => s"'$w'")
-      .mkString("(", ", ", ")")
     s"""WITH q AS (
        |  SELECT doc_id, n,
-       |    (50 * d + 30 * (n - s) + least(2 * c, 20 * n)) * 1000000
-       |      // (100 * n) AS quality_ppm
+       |    $QualityPpmSqlExpr AS quality_ppm
        |  FROM (
        |    SELECT doc_id,
-       |      CAST(len(ts) AS BIGINT) AS n,
-       |      CAST(len(list_distinct(ts)) AS BIGINT) AS d,
-       |      CAST(len(list_filter(ts, t -> t IN $stopIn)) AS BIGINT) AS s,
-       |      CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS c
+       |      $QualityPartsSql
        |    FROM (SELECT doc_id, string_split(text, ' ') AS ts
        |          FROM documents) x) t)
        |SELECT doc_id, n AS n_tokens,
@@ -1007,14 +1015,22 @@ object TextAnalysis {
   /** Character-class composition per doc — the charset-QA pass a
     * corpus pipeline runs to catch mojibake, binary spill, and
     * markup-heavy documents before tokenization: ppm of lowercase /
-    * uppercase / digit / whitespace characters (remainder = other,
-    * i.e. punctuation and symbols) plus the dominant class under a
-    * fixed precedence tie-break. One scan, all codegen'd
-    * length(regexp_replace) counters — no explode, no shuffle except
-    * the final sort. */
+    * uppercase / digit / whitespace (space, tab, CR, LF) characters
+    * (remainder = other, i.e. punctuation, symbols, and non-ASCII —
+    * the mojibake/binary signal) plus the dominant class over ALL
+    * FIVE counters under a fixed precedence tie-break
+    * (lower > upper > digit > space > other), so a pure-mojibake doc
+    * reports dominant='other', not a spurious ASCII class. One scan,
+    * all codegen'd length(regexp_replace) counters — no explode, no
+    * shuffle except the final sort. */
   def charClasses(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"),
+    charClassesOf(docs(spark, dir))
+
+  /** [[charClasses]] over any (doc_id, text) frame — split out so the
+    * spec can pin the dominant='other' (mojibake/binary) branch on a
+    * synthetic doc the fixture corpus may not contain. */
+  private[graft] def charClassesOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
           .as("n_lower"),
@@ -1022,19 +1038,22 @@ object TextAnalysis {
           .as("n_upper"),
         length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
           .as("n_digit"),
-        length(regexp_replace(col("text"), "[^ ]", "")).cast("long")
+        length(regexp_replace(col("text"), "[^ \\t\\n\\r]", "")).cast("long")
           .as("n_space"))
+      .withColumn("n_other",
+        expr("n_chars - n_lower - n_upper - n_digit - n_space"))
       .select(col("doc_id"), col("n_chars"),
         expr("1000000 * n_lower DIV greatest(n_chars, 1)").as("lower_ppm"),
         expr("1000000 * n_upper DIV greatest(n_chars, 1)").as("upper_ppm"),
         expr("1000000 * n_digit DIV greatest(n_chars, 1)").as("digit_ppm"),
         expr("1000000 * n_space DIV greatest(n_chars, 1)").as("space_ppm"),
-        expr("1000000 * (n_chars - n_lower - n_upper - n_digit - n_space) " +
-          "DIV greatest(n_chars, 1)").as("other_ppm"),
+        expr("1000000 * n_other DIV greatest(n_chars, 1)").as("other_ppm"),
         expr("CASE WHEN n_lower >= n_upper AND n_lower >= n_digit AND " +
-          "n_lower >= n_space THEN 'lower' " +
-          "WHEN n_upper >= n_digit AND n_upper >= n_space THEN 'upper' " +
-          "WHEN n_digit >= n_space THEN 'digit' ELSE 'space' END")
+          "n_lower >= n_space AND n_lower >= n_other THEN 'lower' " +
+          "WHEN n_upper >= n_digit AND n_upper >= n_space AND " +
+          "n_upper >= n_other THEN 'upper' " +
+          "WHEN n_digit >= n_space AND n_digit >= n_other THEN 'digit' " +
+          "WHEN n_space >= n_other THEN 'space' ELSE 'other' END")
           .as("dominant"))
       .orderBy(col("doc_id"))
 
@@ -1045,19 +1064,23 @@ object TextAnalysis {
       |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_lower,
       |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
       |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
-      |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space
-      |  FROM documents)
+      |    CAST(length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS BIGINT) AS n_space
+      |  FROM documents),
+      |c2 AS (
+      |  SELECT *, n_chars - n_lower - n_upper - n_digit - n_space AS n_other
+      |  FROM c)
       |SELECT doc_id, n_chars,
       |  1000000 * n_lower // greatest(n_chars, 1) AS lower_ppm,
       |  1000000 * n_upper // greatest(n_chars, 1) AS upper_ppm,
       |  1000000 * n_digit // greatest(n_chars, 1) AS digit_ppm,
       |  1000000 * n_space // greatest(n_chars, 1) AS space_ppm,
-      |  1000000 * (n_chars - n_lower - n_upper - n_digit - n_space)
-      |    // greatest(n_chars, 1) AS other_ppm,
+      |  1000000 * n_other // greatest(n_chars, 1) AS other_ppm,
       |  CASE WHEN n_lower >= n_upper AND n_lower >= n_digit AND
-      |    n_lower >= n_space THEN 'lower'
-      |    WHEN n_upper >= n_digit AND n_upper >= n_space THEN 'upper'
-      |    WHEN n_digit >= n_space THEN 'digit' ELSE 'space' END AS dominant
-      |FROM c
+      |    n_lower >= n_space AND n_lower >= n_other THEN 'lower'
+      |    WHEN n_upper >= n_digit AND n_upper >= n_space AND
+      |      n_upper >= n_other THEN 'upper'
+      |    WHEN n_digit >= n_space AND n_digit >= n_other THEN 'digit'
+      |    WHEN n_space >= n_other THEN 'space' ELSE 'other' END AS dominant
+      |FROM c2
       |ORDER BY doc_id""".stripMargin
 }

@@ -129,7 +129,8 @@ class PlanSpec extends AnyFunSuite {
       "doc_sim_sparse" -> "broadcast side = single-row corpus doc count",
       "pq_topk" -> "broadcast sides = ks (16) sub-codebook centroids per Lloyd round, the Q·M·Ks ADC LUT, and the Q·Shortlist re-rank shortlist",
       "bm25_topk" -> "broadcast side = single-row N/Σdl stats (twice: idf and scoring)",
-      "length_curriculum" -> "broadcast side = single-row corpus count for the NTILE arithmetic",
+      // length_curriculum left the list in round 4: its corpus count
+      // now rides the rank-offsets job, so no broadcast join remains
       "zorder_layout" -> "broadcast side = single-row key-range bounds",
       "events_gap_stats" -> "broadcast side = single-row gap count",
     )

@@ -572,7 +572,8 @@ class QueriesSpec extends AnyFunSuite {
       val lo = t.count(c => c >= 'a' && c <= 'z').toLong
       val up = t.count(c => c >= 'A' && c <= 'Z').toLong
       val di = t.count(c => c >= '0' && c <= '9').toLong
-      val sp = t.count(_ == ' ').toLong
+      val sp = t.count(c => c == ' ' || c == '\t' || c == '\n' || c == '\r')
+        .toLong
       val ot = t.length - lo - up - di - sp
       assert(r.getLong(1) == t.length.toLong)
       assert(r.getLong(2) == 1000000L * lo / n)
@@ -581,13 +582,33 @@ class QueriesSpec extends AnyFunSuite {
       assert(r.getLong(5) == 1000000L * sp / n)
       assert(r.getLong(6) == 1000000L * ot / n)
       val want =
-        if (lo >= up && lo >= di && lo >= sp) "lower"
-        else if (up >= di && up >= sp) "upper"
-        else if (di >= sp) "digit" else "space"
+        if (lo >= up && lo >= di && lo >= sp && lo >= ot) "lower"
+        else if (up >= di && up >= sp && up >= ot) "upper"
+        else if (di >= sp && di >= ot) "digit"
+        else if (sp >= ot) "space" else "other"
       assert(r.getString(7) == want)
       val total = r.getLong(2) + r.getLong(3) + r.getLong(4) +
         r.getLong(5) + r.getLong(6)
       assert(total <= 1000000L && total >= 1000000L - 5L)
     }
+  }
+
+  test("char_classes flags mojibake/markup docs as dominant='other' " +
+    "and counts tab/newline as whitespace") {
+    import operators.TextAnalysis
+    val d = spark.createDataFrame(Seq(
+      (1L, "<<<###>>>!!!"),        // pure symbols: must be 'other'
+      (2L, "a\tb\nc\rd e"),        // 4 whitespace vs 5 lower
+      (3L, "\t\n\r \t\n\r "),      // pure whitespace
+      (4L, "ab!?")))               // tie lower==other: precedence
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charClassesOf(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(7) == "other")
+    assert(got(1L).getLong(6) == 1000000L)
+    assert(got(2L).getString(7) == "lower")
+    assert(got(2L).getLong(5) == 1000000L * 4 / 9)
+    assert(got(3L).getString(7) == "space")
+    assert(got(4L).getString(7) == "lower")
   }
 }
