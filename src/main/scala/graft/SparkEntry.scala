@@ -56,6 +56,8 @@ object SparkEntry {
     "word_freq_mr" -> (MrApiQueries.wordFreqMr _),
     "wc_mr" -> (MrApiQueries.wcMr _),
     "ann_topk" -> (SimilarityOps.annTopK _),
+    "hard_negatives" -> ((s: SparkSession, d: String) =>
+      SimilarityOps.hardNegatives(s, d)),
     "pq_topk" -> ((s: SparkSession, d: String) => PqOps.pqTopK(s, d)),
     // bits == 0: every vector lands in bucket 0 of the single table, so
     // the candidate set is provably complete and the rerank IS exact
@@ -116,6 +118,8 @@ object SparkEntry {
     "ppl_filter" -> (TextAnalysis.pplFilter _),
     "length_curriculum" -> (TextAnalysis.lengthCurriculum _),
     "novelty_score" -> (TextAnalysis.noveltyScore _),
+    "dsir_select" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.dsirSelect(s, d)),
     "char_classes" -> (TextAnalysis.charClasses _),
     "heavy_hitters" -> ((s: SparkSession, d: String) =>
       SketchOps.heavyHitters(s, d)),
@@ -196,6 +200,7 @@ object SparkEntry {
     "word_freq_mr" -> TextQueries.wordFreqSql,
     "wc_mr" -> MrApiQueries.wcMrSql,
     "ann_topk" -> SimilarityOps.annTopKSql,
+    "hard_negatives" -> SimilarityOps.hardNegativesSql,
     "pq_topk" -> PqOps.pqTopKSql,
     "ann_ivf_topk" -> SimilarityOps.annTopKSql,
     // bits=0 LSH: candidate set provably complete ⇒ result ≡ exact top-k
@@ -230,6 +235,7 @@ object SparkEntry {
     "ppl_filter" -> TextAnalysis.pplFilterSql,
     "length_curriculum" -> TextAnalysis.lengthCurriculumSql,
     "novelty_score" -> TextAnalysis.noveltyScoreSql,
+    "dsir_select" -> TextAnalysis.dsirSelectSql,
     "char_classes" -> TextAnalysis.charClassesSql,
     "heavy_hitters" -> SketchOps.heavyHittersSql,
     "group_sample" -> PipelineOps.groupSampleSql,

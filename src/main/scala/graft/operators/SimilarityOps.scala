@@ -78,6 +78,74 @@ object SimilarityOps {
        |WHERE rank <= $K
        |ORDER BY q_vec_id, rank""".stripMargin
 
+  /** Negatives per query for [[hardNegatives]]. */
+  val NegK = 5
+
+  /** Hard-negative mining for contrastive training — for each query
+    * vector, the [[NegK]] most cosine-similar vectors whose `label`
+    * DIFFERS from the query's. In-batch random negatives are easy;
+    * retrieval/embedding training wants the nearest wrong-label
+    * examples (Karpukhin et al. 2020 DPR §5.2 "hard negatives";
+    * Xiong et al. 2021 ANCE mines them with a global ANN index).
+    *
+    * Same scale contract as [[annTopK]]: the fixed-cardinality query
+    * set is broadcast, candidates stream through one codegen'd integer
+    * dot per row, and the per-query top-k window is WindowGroupLimit-
+    * pruned map-side before the rank shuffle. The label-inequality
+    * predicate rides the broadcast join (label differs ⇒ vec differs,
+    * so no self-pair check is needed). At 100 TB the candidate stream
+    * comes from the bucketed ANN paths ([[annLshTopK]] / [[annIvfTopK]])
+    * instead of the full scan; this exact form is that composition's
+    * oracle. Reference analog: none (no vector data model in mrjob). */
+  def hardNegatives(spark: SparkSession, dir: String,
+      k: Int = NegK): DataFrame = {
+    val e = emb(spark, dir)
+    val cand = e.select(col("vec_id").as("c_vec_id"),
+        col("label").as("c_label"),
+        VectorOps.quantize(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.norm2Q(col("cv")))
+    val queries = e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_vec_id"), col("label").as("q_label"),
+        VectorOps.quantize(col("embedding")).as("qv"))
+      .withColumn("qn", VectorOps.norm2Q(col("qv")))
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("cos").desc, col("c_vec_id").asc)
+    broadcast(queries)
+      .join(cand, col("q_label") =!= col("c_label"))
+      .select(col("q_vec_id"), col("q_label"), col("c_vec_id"),
+        col("c_label"),
+        VectorOps.cosineFrom(VectorOps.dotQ(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_vec_id"), col("q_label"), col("c_vec_id"),
+        col("c_label"), col("rank"), col("cos"))
+      .orderBy(col("q_vec_id"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_vec_id, label AS q_label,
+       |    ${VectorOps.QuantizeSql} AS qv
+       |  FROM embeddings WHERE vec_id < $QueryCount),
+       |c AS (
+       |  SELECT vec_id AS c_vec_id, label AS c_label,
+       |    ${VectorOps.QuantizeSql} AS cv
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q_vec_id, q_label, c_vec_id, c_label,
+       |    CAST(list_sum(list_transform(list_zip(qv, cv), z -> z[1] * z[2])) AS DOUBLE) /
+       |    (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) *
+       |     sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE))) AS cos
+       |  FROM q, c WHERE q_label <> c_label),
+       |r AS (
+       |  SELECT q_vec_id, q_label, c_vec_id, c_label, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, c_vec_id ASC) AS rank
+       |  FROM p)
+       |SELECT q_vec_id, q_label, c_vec_id, c_label, rank, cos FROM r
+       |WHERE rank <= $NegK
+       |ORDER BY q_vec_id, rank""".stripMargin
+
   /** SPEC-ONLY ground truth: all (i < j) pairs with cosine ≥
     * `threshold` — the unbounded exact range search. This is the
     * oracle the bounded contracts are validated against in

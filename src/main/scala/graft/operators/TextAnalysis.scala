@@ -1083,4 +1083,124 @@ object TextAnalysis {
       |    WHEN n_space >= n_other THEN 'space' ELSE 'other' END AS dominant
       |FROM c2
       |ORDER BY doc_id""".stripMargin
+
+  // ------------- DSIR importance resampling -------------
+
+  /** Target distribution for [[dsirSelect]]: docs from this source
+    * stand in for the high-quality target corpus (in production: the
+    * Wikipedia/books slice DSIR reweights raw web data toward). */
+  val DsirTargetSource = "src0"
+  val DsirSeed = 1307L
+  val DsirTop = 100
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * NeurIPS): score every raw document by the log importance weight
+    * `ln p_target(x) − ln p_raw(x)` under two unigram bag-of-words
+    * models with Laplace smoothing, then draw a target-distributed
+    * subset WITHOUT replacement via Gumbel-top-k (Kool et al. 2019:
+    * adding i.i.d. Gumbel noise to each log weight and taking the
+    * top-k is an exact sample ∝ w). Here the Gumbel draw is the
+    * seeded affine permutation u = (h+1)/(P+2), g = −ln(−ln u) — fully
+    * deterministic, so the WHOLE pipeline including the random draw is
+    * SQL-oracle-able (the seeded_sample trick applied to importance
+    * sampling).
+    *
+    * Cross-engine exactness: per-word log-likelihood ratios are
+    * `round(ln(ratio)·10⁶)` micro-ints (the [[docPerplexity]]
+    * precedent — one ln per word on identical doubles), summed as
+    * BIGINT per doc; the Gumbel key is micro-rounded the same way, so
+    * ranking compares BIGINTs, never raw floats. The ratio is formed
+    * in DOUBLE ((ct+1)(sr+V)) / ((cr+1)(st+V)) — products of counts
+    * would overflow BIGINT at web scale.
+    *
+    * Scale shape: the two LM builds are single groupBy passes over the
+    * exploded corpus (the target side filtered first — predicate
+    * pushed to the scan); model totals ride a single-row broadcast;
+    * per-doc scoring is one vocab-keyed equi-join + partial agg
+    * (linear, no vocab-sized broadcast — the word_pmi contract); the
+    * final top-k is a TakeOrdered, never a global sort. Production
+    * DSIR hashes words into 10⁴ buckets to BOUND the model relation;
+    * that is one `pmod(hash(w), NB)` substitution with identical plan
+    * shape — unhashed words keep the oracle exact here (both engines'
+    * hash primitives differ). Reference analog: none — training-data
+    * extension surface (BASELINE.json). */
+  def dsirSelect(spark: SparkSession, dir: String,
+      targetSource: String = DsirTargetSource,
+      top: Int = DsirTop): DataFrame = {
+    val toks = docs(spark, dir).select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    val raw = toks.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("source") === targetSource)
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    // single-row model totals (sr/st = token totals, v = vocab size);
+    // st via the joined model so an absent target source reads 0
+    val model = raw.join(tgt, Seq("w"), "left")
+      .select(col("w"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val tot = model.agg(sum(col("cr")).as("sr"), sum(col("ct")).as("st"),
+      count(lit(1)).as("v"))
+    val llr = model.crossJoin(broadcast(tot))
+      .select(col("w"),
+        round(log((col("ct").cast("double") + lit(1d)) *
+            (col("sr") + col("v")).cast("double") /
+            ((col("cr").cast("double") + lit(1d)) *
+              (col("st") + col("v")).cast("double")))
+          * lit(1000000d)).cast("long").as("llr_micro"))
+    val scored = toks.join(llr, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("llr_micro")).as("dsir_micro"))
+    val h = TextQueries.seededHashCol(col("doc_id"), DsirSeed)
+    val p = TextQueries.SamplePrime
+    val keyed = scored.withColumn("g_micro",
+        round(-log(-log((h.cast("double") + lit(1d)) / lit((p + 2).toDouble)))
+          * lit(1000000d)).cast("long"))
+      .withColumn("key_micro", col("dsir_micro") + col("g_micro"))
+    keyed.orderBy(col("key_micro").desc, col("doc_id").asc).limit(top)
+      .withColumn("sel_rank", row_number().over(Window
+        .orderBy(col("key_micro").desc, col("doc_id").asc)).cast("long"))
+      .select(col("sel_rank"), col("doc_id"), col("n_toks"),
+        col("dsir_micro"), col("key_micro"))
+      .orderBy(col("sel_rank"))
+  }
+
+  val dsirSelectSql: String = {
+    val hSql = TextQueries.seededHashSqlExpr("doc_id", DsirSeed)
+    val p = TextQueries.SamplePrime
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |raw AS (SELECT w, COUNT(*) AS cr FROM toks GROUP BY w),
+       |tgt AS (SELECT w, COUNT(*) AS ct FROM toks
+       |        WHERE source = '$DsirTargetSource' GROUP BY w),
+       |model AS (
+       |  SELECT raw.w, cr, COALESCE(ct, 0) AS ct
+       |  FROM raw LEFT JOIN tgt ON raw.w = tgt.w),
+       |tot AS (
+       |  SELECT CAST(SUM(cr) AS BIGINT) AS sr, CAST(SUM(ct) AS BIGINT) AS st,
+       |    COUNT(*) AS v
+       |  FROM model),
+       |llr AS (
+       |  SELECT w,
+       |    CAST(round(ln((CAST(ct AS DOUBLE) + 1) * CAST(sr + v AS DOUBLE) /
+       |      ((CAST(cr AS DOUBLE) + 1) * CAST(st + v AS DOUBLE))) * 1000000)
+       |      AS BIGINT) AS llr_micro
+       |  FROM model CROSS JOIN tot),
+       |scored AS (
+       |  SELECT doc_id, COUNT(*) AS n_toks,
+       |    CAST(SUM(llr_micro) AS BIGINT) AS dsir_micro
+       |  FROM toks JOIN llr USING (w)
+       |  GROUP BY doc_id),
+       |keyed AS (
+       |  SELECT doc_id, n_toks, dsir_micro,
+       |    dsir_micro + CAST(round(-ln(-ln(
+       |      (CAST($hSql AS DOUBLE) + 1) / ${(p + 2).toDouble}))
+       |      * 1000000) AS BIGINT) AS key_micro
+       |  FROM scored)
+       |SELECT CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id ASC)
+       |    AS BIGINT) AS sel_rank,
+       |  doc_id, n_toks, dsir_micro, key_micro
+       |FROM keyed
+       |ORDER BY key_micro DESC, doc_id ASC
+       |LIMIT $DsirTop""".stripMargin
+  }
 }

@@ -107,6 +107,8 @@ class PlanSpec extends AnyFunSuite {
     // (not data-sized). The allowlist documents each such side.
     val bnljBounded = Map(
       "ann_topk" -> "broadcast side = QueryCount (8) query vectors",
+      "hard_negatives" -> "broadcast side = QueryCount (8) query vectors",
+      "dsir_select" -> "broadcast side = single-row LM model totals",
       "ann_ivf_topk" -> "broadcast sides = `cells` (16) centroids",
       "ann_ivf_probe" -> "broadcast sides = `cells` (16) centroids",
       "tf_idf" -> "broadcast side = single-row corpus doc count",

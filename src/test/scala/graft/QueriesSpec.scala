@@ -611,4 +611,83 @@ class QueriesSpec extends AnyFunSuite {
     assert(got(3L).getString(7) == "space")
     assert(got(4L).getString(7) == "lower")
   }
+
+  /** Spark functions.round semantics on doubles: HALF_UP via the
+    * decimal value (−2.5 → −3), NOT math.round's floor(x+0.5). */
+  private def halfUpMicro(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1000000d)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  test("hard_negatives equals a pure-Scala quantized-cosine replay; " +
+    "every negative has a different label") {
+    import operators.SimilarityOps
+    val raw = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(f =>
+          java.math.BigDecimal.valueOf(f.toDouble * 1000000d)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+            .toLong).toArray))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val want = raw.filter(_._1 < SimilarityOps.QueryCount).flatMap {
+      case (qid, ql, qv) =>
+        raw.filter(_._2 != ql)
+          .map { case (cid, cl, cv) => (cid, cl, cos(qv, cv)) }
+          .sortBy { case (cid, _, c) => (-c, cid) }
+          .take(SimilarityOps.NegK).zipWithIndex
+          .map { case ((cid, cl, c), i) =>
+            (qid, cid) -> (ql, cl, i + 1L, c) }
+    }.toMap
+    val got = SimilarityOps.hardNegatives(spark, dir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val (ql, cl, rank, c) = want(key)
+      assert(r.getInt(1) == ql && r.getInt(3) == cl, s"label mismatch $key")
+      assert(r.getInt(1) != r.getInt(3), s"negative shares label at $key")
+      assert(r.getLong(4) == rank, s"rank mismatch $key")
+      assert(r.getDouble(5) == c, s"cos mismatch $key")
+    }
+  }
+
+  test("dsir_select equals a pure-Scala replay of the smoothed unigram " +
+    "LLR + seeded-Gumbel top-k") {
+    import operators.{TextAnalysis => TA}
+    val raw = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+    val cr = scala.collection.mutable.Map[String, Long]()
+    val ct = scala.collection.mutable.Map[String, Long]()
+    raw.foreach { case (_, src, ts) => ts.foreach { w =>
+      cr(w) = cr.getOrElse(w, 0L) + 1
+      if (src == TA.DsirTargetSource) ct(w) = ct.getOrElse(w, 0L) + 1
+    }}
+    val sr = cr.values.sum; val st = ct.values.sum; val v = cr.size.toLong
+    val llr = cr.map { case (w, c) =>
+      val t = ct.getOrElse(w, 0L)
+      w -> halfUpMicro(math.log((t.toDouble + 1) * (sr + v).toDouble /
+        ((c.toDouble + 1) * (st + v).toDouble)))
+    }
+    val p = operators.TextQueries.SamplePrime
+    val (a, b) = operators.TextQueries.sampleHashConstants(TA.DsirSeed)
+    val keyed = raw.map { case (id, _, ts) =>
+      val dsir = ts.map(llr).sum
+      val h = (((id % p + p) % p) * a + b) % p
+      val g = halfUpMicro(-math.log(-math.log((h.toDouble + 1) / (p + 2).toDouble)))
+      (id, ts.length.toLong, dsir, dsir + g)
+    }
+    val want = keyed.sortBy { case (id, _, _, k) => (-k, id) }
+      .take(TA.DsirTop).zipWithIndex
+      .map { case ((id, n, d, k), i) => (i + 1L, id, n, d, k) }
+    val got = operators.TextAnalysis.dsirSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == want.toSeq)
+  }
 }
