@@ -120,6 +120,9 @@ object SparkEntry {
     "novelty_score" -> (TextAnalysis.noveltyScore _),
     "dsir_select" -> ((s: SparkSession, d: String) =>
       TextAnalysis.dsirSelect(s, d)),
+    "quality_topp" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qualityTopP(s, d)),
+    "kn_bigram" -> (TextAnalysis.knBigram _),
     "char_classes" -> (TextAnalysis.charClasses _),
     "heavy_hitters" -> ((s: SparkSession, d: String) =>
       SketchOps.heavyHitters(s, d)),
@@ -236,6 +239,8 @@ object SparkEntry {
     "length_curriculum" -> TextAnalysis.lengthCurriculumSql,
     "novelty_score" -> TextAnalysis.noveltyScoreSql,
     "dsir_select" -> TextAnalysis.dsirSelectSql,
+    "quality_topp" -> TextAnalysis.qualityTopPSql,
+    "kn_bigram" -> TextAnalysis.knBigramSql,
     "char_classes" -> TextAnalysis.charClassesSql,
     "heavy_hitters" -> SketchOps.heavyHittersSql,
     "group_sample" -> PipelineOps.groupSampleSql,

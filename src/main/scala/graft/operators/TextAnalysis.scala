@@ -302,6 +302,78 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Absolute-discount constant for [[knBigram]], in centi units
+    * (75 = the standard D = 0.75 of Chen & Goodman 1999). */
+  val KnDiscountCenti = 75L
+
+  /** Interpolated Kneser-Ney bigram LM estimation (Kneser & Ney 1995;
+    * Chen & Goodman 1999 eq. 18) — the LM-TRAINING artifact next to
+    * [[docPerplexity]]'s scoring pass: for every bigram seen ≥ 2
+    * times,
+    * `P_KN(w2|w1) = (c12 − D)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/N1+(··)`
+    * with D = 0.75 — the discounted ML estimate interpolated with the
+    * CONTINUATION probability (how many distinct contexts w2 follows,
+    * not how often), the correction that makes KN the standard n-gram
+    * smoother. Emitted as `round(P·10⁶)` micro-ints (the ln-free
+    * cousin of the docPerplexity contract — both engines evaluate one
+    * identical double expression over identical integer counts).
+    *
+    * Scale shape: one exploded bigram stream feeding three partial-agg
+    * shuffles (bigram counts; context totals + distinct-successor
+    * counts, one groupBy; distinct-predecessor counts), two equi-joins
+    * back on w1/w2, and the global bigram-type count as a single-row
+    * broadcast. Linear in corpus tokens; the c12 ≥ 2 floor is the
+    * standard count-pruning that keeps the emitted model
+    * bounded-by-content, and discounting already charges that mass. */
+  def knBigram(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val occ = toks.filter(size(col("ts")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1).as("w1"),
+        slice(col("ts"), lit(2), size(col("ts")) - 1).as("w2"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // context totals and distinct-successor counts in ONE pass over
+    // the bigram-type relation (c1 = Σ c12 over w2; nf = row count)
+    val ctx = big.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
+    val pre = big.groupBy(col("w2")).agg(count(lit(1)).as("nb"))
+    val na = big.agg(count(lit(1)).as("na"))
+    big.filter(col("c12") >= 2)
+      .join(ctx, Seq("w1")).join(pre, Seq("w2"))
+      .crossJoin(broadcast(na))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(((col("c12").cast("double") - lit(0.75d)) /
+            col("c1").cast("double") +
+          lit(0.75d) * col("nf").cast("double") / col("c1").cast("double") *
+            (col("nb").cast("double") / col("na").cast("double")))
+          * lit(1000000d)).cast("long").as("pkn_micro"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  val knBigramSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |occ AS (
+      |  SELECT p[1] AS w1, p[2] AS w2 FROM (
+      |    SELECT unnest(list_zip(ts[1:length(ts)-1], ts[2:length(ts)])) AS p
+      |    FROM toks WHERE length(ts) >= 2) t),
+      |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY 1, 2),
+      |ctx AS (
+      |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS nf
+      |  FROM big GROUP BY w1),
+      |pre AS (SELECT w2, COUNT(*) AS nb FROM big GROUP BY w2),
+      |na AS (SELECT COUNT(*) AS na FROM big)
+      |SELECT w1, w2, c12,
+      |  CAST(round(((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE) +
+      |    0.75 * CAST(nf AS DOUBLE) / CAST(c1 AS DOUBLE) *
+      |    (CAST(nb AS DOUBLE) / CAST(na AS DOUBLE))) * 1000000)
+      |    AS BIGINT) AS pkn_micro
+      |FROM big JOIN ctx USING (w1) JOIN pre USING (w2) CROSS JOIN na
+      |WHERE c12 >= 2
+      |ORDER BY w1, w2""".stripMargin
+
   /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer
     * (letter runs | digit runs | single non-alnum), plus a chars/token
     * compression proxy. */
@@ -873,6 +945,72 @@ object TextAnalysis {
       |SELECT doc_id, avg_nll_micro FROM ppl, t
       |WHERE avg_nll_micro <= thr
       |ORDER BY doc_id""".stripMargin
+
+  /** Fraction (percent) of each source kept by [[qualityTopP]]. */
+  val QualityTopPct = 30
+
+  /** Per-source top-p% quality selection — the per-domain curation
+    * pass (FineWeb/RefinedWeb-style: thresholds are set per domain
+    * because quality-score distributions differ wildly across
+    * sources; a single global cut would empty some domains and keep
+    * junk from others). Keeps every doc whose [[qualityScore]] ppm is
+    * ≥ its source's top-[[QualityTopPct]]% threshold, ties at the
+    * threshold ALL kept (quantile_disc semantics — deterministic, no
+    * per-tie ordering).
+    *
+    * Scale shape: the [[pplFilter]] histogram idiom applied PER GROUP —
+    * per-(source, ppm) histogram (distinct ppm values ≤ 10⁶ per
+    * source, ≪ docs), a descending running sum over histogram rows
+    * partitioned by source (never over docs), per-source thresholds
+    * (source-cardinality rows, broadcast back), one filter. No
+    * corpus sort, no doc-level window — the naive per-source
+    * `row_number()` would sort every domain's full doc set. */
+  def qualityTopP(spark: SparkSession, dir: String,
+      pct: Int = QualityTopPct): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = docs(spark, dir)
+      .select(Seq(col("doc_id"), col("source")) ++
+        qualityPartCols(toks): _*)
+      .select(col("doc_id"), col("source"),
+        expr(QualityPpmExpr).as("quality_ppm"))
+    val hist = scored.groupBy(col("source"), col("quality_ppm"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.select(col("source"), col("quality_ppm"),
+      sum(col("c")).over(Window.partitionBy(col("source"))
+        .orderBy(col("quality_ppm").desc)).as("cum"))
+    val n = scored.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val thr = cum.join(n, Seq("source"))
+      .filter(col("cum") * 100 >= col("n") * pct)
+      .groupBy(col("source")).agg(max(col("quality_ppm")).as("thr"))
+    scored.join(broadcast(thr), Seq("source"))
+      .filter(col("quality_ppm") >= col("thr"))
+      .select(col("doc_id"), col("source"), col("quality_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityTopPSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, $QualityPpmSqlExpr AS quality_ppm
+       |  FROM (
+       |    SELECT doc_id, source,
+       |        $QualityPartsSql
+       |    FROM (SELECT doc_id, source, string_split(text, ' ') AS ts
+       |          FROM documents) x) t),
+       |cum AS (
+       |  SELECT source, quality_ppm,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY quality_ppm DESC) AS cum
+       |  FROM (SELECT source, quality_ppm, COUNT(*) AS c FROM scored
+       |        GROUP BY source, quality_ppm) h),
+       |n AS (SELECT source, COUNT(*) AS n FROM scored GROUP BY source),
+       |thr AS (
+       |  SELECT source, MAX(quality_ppm) AS thr
+       |  FROM cum JOIN n USING (source)
+       |  WHERE cum * 100 >= n * $QualityTopPct
+       |  GROUP BY source)
+       |SELECT doc_id, scored.source, quality_ppm
+       |FROM scored JOIN thr ON scored.source = thr.source
+       |WHERE quality_ppm >= thr
+       |ORDER BY doc_id""".stripMargin
 
   /** Curriculum assignment: length bucket (fixed token-count
     * boundaries — the batch-packing bins a trainer groups sequences

@@ -109,6 +109,7 @@ class PlanSpec extends AnyFunSuite {
       "ann_topk" -> "broadcast side = QueryCount (8) query vectors",
       "hard_negatives" -> "broadcast side = QueryCount (8) query vectors",
       "dsir_select" -> "broadcast side = single-row LM model totals",
+      "kn_bigram" -> "broadcast side = single-row bigram-type total",
       "ann_ivf_topk" -> "broadcast sides = `cells` (16) centroids",
       "ann_ivf_probe" -> "broadcast sides = `cells` (16) centroids",
       "tf_idf" -> "broadcast side = single-row corpus doc count",

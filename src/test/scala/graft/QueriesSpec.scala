@@ -656,6 +656,67 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_topp keeps exactly the per-source top-30% by quality " +
+    "(ties at the threshold all kept, smallest covering set)") {
+    import operators.{TextAnalysis => TA}
+    val ppm = TA.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(7)).toMap
+    val srcOf = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = srcOf.groupBy(_._2).flatMap { case (_, docs) =>
+      val scores = docs.keys.toSeq.map(ppm).sorted(Ordering[Long].reverse)
+      val n = scores.length
+      // smallest descending prefix covering >= 30%, extended to ties
+      val k = scores.indices.find(i => (i + 1) * 100 >= n * 30).get
+      val thr = scores(k)
+      docs.keys.filter(id => ppm(id) >= thr)
+    }.toSet
+    val got = TA.qualityTopP(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet == want)
+    got.foreach { r =>
+      assert(r.getString(1) == srcOf(r.getLong(0)))
+      assert(r.getLong(2) == ppm(r.getLong(0)))
+    }
+    // every source keeps at least one doc and at most all of them
+    val keptBySrc = got.groupBy(_.getString(1)).view.mapValues(_.length)
+    srcOf.values.toSet.foreach { s: String =>
+      assert(keptBySrc.getOrElse(s, 0) >= 1, s"source $s kept nothing")
+    }
+  }
+
+  test("kn_bigram equals a pure-Scala interpolated-Kneser-Ney replay; " +
+    "per-context probabilities stay within the discounted budget") {
+    import operators.{TextAnalysis => TA}
+    val raw = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("text")).collect().map(_.getString(0).split(" "))
+    val occ = raw.filter(_.length >= 2)
+      .flatMap(ts => ts.init.zip(ts.tail))
+    val c12 = occ.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = occ.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nf = c12.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nb = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val na = c12.size.toLong
+    val want = c12.filter(_._2 >= 2).map { case ((w1, w2), c) =>
+      val p = (c.toDouble - 0.75) / c1(w1).toDouble +
+        0.75 * nf(w1).toDouble / c1(w1).toDouble *
+          (nb(w2).toDouble / na.toDouble)
+      (w1, w2) -> (c, halfUpMicro(p))
+    }
+    val got = TA.knBigram(spark, dir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert((r.getLong(2), r.getLong(3)) == want(key), s"KN mismatch $key")
+    }
+    // discounting sanity: emitted mass per context never exceeds 1
+    got.groupBy(_.getString(0)).foreach { case (w1, rows) =>
+      val mass = rows.map(_.getLong(3)).sum
+      assert(mass <= 1000000L + rows.length,
+        s"context '$w1' emits probability mass > 1: $mass")
+    }
+  }
+
   test("dsir_select equals a pure-Scala replay of the smoothed unigram " +
     "LLR + seeded-Gumbel top-k") {
     import operators.{TextAnalysis => TA}
