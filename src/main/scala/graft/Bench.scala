@@ -130,6 +130,13 @@ object Bench {
     Files.write(Paths.get(outFile),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)
+    // The LAST stdout line is a SHORT summary: the full line above is
+    // ~8 KB and the driver's captured tail (~2 KB) starts mid-line, so
+    // a parse of the tail fails (BENCH_r04.parsed == null). A compact
+    // final line always fits the tail window whole; the per-query map
+    // lives in the file it names.
+    val nOk = results.count(_._2 >= 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"n_queries":${results.size},"sf":"$sfDir","file":"$outFile"}""")
     spark.stop()
   }
 }

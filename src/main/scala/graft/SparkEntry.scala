@@ -158,6 +158,8 @@ object SparkEntry {
     "semdedup" -> ((s: SparkSession, d: String) => ClusterOps.semDedup(s, d)),
     "semdedup_scaled" -> ((s: SparkSession, d: String) =>
       ClusterOps.semDedupScaled(s, d)),
+    "semdedup_shortlist" -> ((s: SparkSession, d: String) =>
+      ClusterOps.semDedupShortlist(s, d)),
     "prototype_prune" -> (ClusterOps.prototypePrune _),
     "multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "text_classifier" -> (TextClassifier.classify _),

@@ -171,8 +171,11 @@ object BpeOps {
     * Rows-only: the merge regex needs lookbehind (no RE2/DuckDB
     * analog); the spec pins segmentation against the pure-Scala
     * reference encoder. */
+  /** Number of merges the registered rows learn/apply. */
+  val Merges = 16
+
   def bpeEncode(spark: SparkSession, dir: String,
-      merges: Int = 16): DataFrame = {
+      merges: Int = Merges): DataFrame = {
     val d = docs(spark, dir)
     val (_, words) = learnLoop(d, merges)
     val wtok = words

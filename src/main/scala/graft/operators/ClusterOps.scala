@@ -71,13 +71,16 @@ object ClusterOps {
     * explode + partial-agg shuffle (N·D rows, linear), and centroids
     * are localCheckpointed per round so plan analysis stays O(1) per
     * round. Fixed round count ⇒ statically bounded DAG. */
-  def kmeansAssign(spark: SparkSession, dir: String, k: Int = K,
-      iters: Int = Iters): DataFrame = {
-    require(iters >= 1, s"kmeansAssign needs >= 1 round, got $iters")
-    val e = emb(spark, dir)
-      .select(col("vec_id"), quantizeShift(col("embedding")).as("v"))
-      .withColumn("n2", VectorOps.norm2Q(col("v")))
-      .persist()
+  /** The Lloyd training loop over a prepared (vec_id, v, n2) relation:
+    * seeded-hash init, [[assignTo]] argmin rounds with centroid-mean
+    * updates between them; returns the FINAL centroid table
+    * (cl, cv, cn) — exactly the centroids [[kmeansAssign]]'s output
+    * assignment is taken under. Factored out so the two-level
+    * shortlist assignment ([[semDedupShortlist]]) can train the same
+    * recurrence over an arbitrary vector relation (including the fine
+    * centroids themselves). */
+  private def lloydTrain(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"lloydTrain needs >= 1 round, got $iters")
     val hk = TextQueries.seededHashCol(col("vec_id"), ClusterSeed)
     var cents = e.select(col("vec_id"), col("v"), hk.as("hk"))
       .orderBy(col("hk"), col("vec_id")).limit(k)
@@ -86,22 +89,32 @@ object ClusterOps {
           .orderBy(col("hk"), col("vec_id"))) - 1).as("cl"))
       .withColumn("cn", VectorOps.norm2Q(col("cv")))
       .localCheckpoint()
-    var assign: DataFrame = null
-    for (i <- 1 to iters) {
-      assign = assignTo(e, cents)
-      if (i < iters) {
-        cents = assign.join(e, "vec_id")
-          .select(col("cl"), posexplode(col("v")).as(Seq("d", "qv")))
-          .groupBy(col("cl"), col("d"))
-          .agg(sum(col("qv")).as("s"), count(lit(1)).as("cnt"))
-          .select(col("cl"), col("d"), expr("s DIV cnt").as("qm"))
-          .groupBy(col("cl"))
-          .agg(transform(array_sort(collect_list(struct(col("d"), col("qm")))),
-            s => s.getField("qm")).as("cv"))
-          .withColumn("cn", VectorOps.norm2Q(col("cv")))
-          .localCheckpoint() // k rows: eager, truncates iterative lineage
-      }
+    for (_ <- 1 until iters) {
+      cents = assignTo(e, cents).join(e, "vec_id")
+        .select(col("cl"), posexplode(col("v")).as(Seq("d", "qv")))
+        .groupBy(col("cl"), col("d"))
+        .agg(sum(col("qv")).as("s"), count(lit(1)).as("cnt"))
+        .select(col("cl"), col("d"), expr("s DIV cnt").as("qm"))
+        .groupBy(col("cl"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("qm")))),
+          s => s.getField("qm")).as("cv"))
+        .withColumn("cn", VectorOps.norm2Q(col("cv")))
+        .localCheckpoint() // k rows: eager, truncates iterative lineage
     }
+    cents
+  }
+
+  /** The prepared corpus relation every clustering path shares. */
+  private def prepared(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("vec_id"), quantizeShift(col("embedding")).as("v"))
+      .withColumn("n2", VectorOps.norm2Q(col("v")))
+
+  def kmeansAssign(spark: SparkSession, dir: String, k: Int = K,
+      iters: Int = Iters): DataFrame = {
+    val e = prepared(spark, dir).persist()
+    val cents = lloydTrain(e, k, iters)
+    val assign = assignTo(e, cents)
     // checkpoint the final assignment BEFORE dropping the embedding
     // cache: the return value is lazy, so unpersisting first would
     // make every caller action re-run the last round (scan +
@@ -184,8 +197,15 @@ object ClusterOps {
     * round, linear at any K) rather than semdedup-at-fixed-K, which
     * would measure the deliberately-degenerate configuration. */
   def semDedup(spark: SparkSession, dir: String,
-      threshold: Double = 0.4, k: Int = K): DataFrame = {
-    val asg = kmeansAssign(spark, dir, k)
+      threshold: Double = 0.4, k: Int = K): DataFrame =
+    withinClusterPairs(spark, dir, kmeansAssign(spark, dir, k), threshold)
+
+  /** The shared SemDeDup tail: cosine ≥ threshold pairs searched only
+    * within each cluster of `asg` (vec_id, cluster) — Σ cluster²
+    * candidate work regardless of how the assignment was produced
+    * (exhaustive argmin or coarse-quantizer shortlist). */
+  private def withinClusterPairs(spark: SparkSession, dir: String,
+      asg: DataFrame, threshold: Double): DataFrame = {
     val e = emb(spark, dir)
       .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("v"))
       .withColumn("n2", VectorOps.norm2Q(col("v")))
@@ -235,6 +255,83 @@ object ClusterOps {
     val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
       .min(1 << 20).toInt
     semDedup(spark, dir, threshold, k)
+  }
+
+  /** Coarse cells the shortlist assignment probes per vector. */
+  val ShortlistNprobe = 4
+
+  /** The IVF-SHORTLIST assignment variant of [[semDedupScaled]] — the
+    * production path the scaled row's scaladoc promised: past ~10⁵
+    * clusters, exhaustive argmin assignment costs N·k dots per pass,
+    * so assignment itself is pruned through a COARSE quantizer (the
+    * annIvf two-level shape, Jégou et al.'s IVF):
+    *
+    *  1. train k fine centroids exactly as [[semDedupScaled]] does
+    *     (same Lloyd recurrence, same seed);
+    *  2. cluster the k FINE CENTROIDS into C = ⌈√k⌉ coarse cells
+    *     (a k-row job — centroids are data too);
+    *  3. each vector finds its [[ShortlistNprobe]] nearest coarse
+    *     cells (N·C dots, C = √k) and takes the argmin only over the
+    *     fine centroids living in those cells (N·√k·nprobe expected
+    *     dots) — N·√k·(C + nprobe·k/C expected) total, vs N·k.
+    *
+    * Downstream is byte-identical to [[semDedupScaled]]: the same
+    * within-cluster pair join with the same Σ cluster² bound
+    * ([[withinClusterPairs]]); only WHO lands in each cluster can
+    * differ, when a vector's true nearest fine centroid lives in a
+    * coarse cell the shortlist missed — IVF's stated recall trade.
+    *
+    * Rows-only registration (k and C are data-dependent, like the
+    * scaled row). ClusterSpec pins: nprobe ≥ C makes the shortlist
+    * exhaustive, so the pair set EQUALS [[semDedupScaled]]'s exactly
+    * (the ann_lsh bits=0 idiom), and the default config holds a
+    * measured recall floor against the exhaustive assignment. */
+  def semDedupShortlist(spark: SparkSession, dir: String,
+      threshold: Double = 0.4,
+      targetClusterSize: Long = TargetClusterSize,
+      nprobe: Int = ShortlistNprobe): DataFrame = {
+    val n = emb(spark, dir).count()
+    val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
+      .min(1 << 20).toInt
+    val e = prepared(spark, dir).persist()
+    val fine = lloydTrain(e, k, Iters)
+    // coarse quantizer over the fine centroids themselves (k rows)
+    val c = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val fineAsVec = fine.select(col("cl").as("vec_id"), col("cv").as("v"),
+      col("cn").as("n2"))
+    val coarse = lloydTrain(fineAsVec, c, Iters)
+    // fine centroid → its coarse cell (k·C dots, trivial)
+    val fineCell = assignTo(fineAsVec, coarse)
+      .select(col("vec_id").as("fcl"), col("cl").as("ccell"))
+      .join(fine.withColumnRenamed("cl", "fcl"), Seq("fcl"))
+      .select(col("ccell"), col("fcl"), col("cv"), col("cn"))
+      .localCheckpoint() // k rows — broadcast side below
+    // each vector's nprobe nearest coarse cells, carrying v/n2 through
+    // the agg so the corpus is scanned once (ties break toward the
+    // lower cell id via the struct ordering, as everywhere)
+    val probed = e.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("v"), col("n2"),
+        (col("n2") + col("cn") -
+          lit(2L) * VectorOps.dotQ(col("v"), col("cv"))).as("dist"),
+        col("cl").as("ccell"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("n2")).as("n2"),
+        slice(array_sort(collect_list(struct(col("dist"), col("ccell")))),
+          1, nprobe).as("cells"))
+      .select(col("vec_id"), col("v"), col("n2"),
+        explode(col("cells.ccell")).as("ccell"))
+    // argmin over the shortlisted fine centroids only
+    val asg = probed.join(broadcast(fineCell), Seq("ccell"))
+      .select(col("vec_id"),
+        (col("n2") + col("cn") -
+          lit(2L) * VectorOps.dotQ(col("v"), col("cv"))).as("dist"),
+        col("fcl"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("fcl"))).as("m"))
+      .select(col("vec_id"), col("m.fcl").as("cluster"))
+      .localCheckpoint()
+    e.unpersist()
+    withinClusterPairs(spark, dir, asg, threshold)
   }
 
   /** Prototypicality-based data pruning (Sorscher et al., "Beyond

@@ -8,13 +8,16 @@ import graft.sources.Tables
 /** Event-stream (batch) workload over the `events` table: time-bucket
   * aggregation, JSON prop extraction, gap-based sessionization.
   *
-  * Timestamp determinism with the oracle: the parquet column is
-  * nanosecond-precision, which Spark 4 only reads as nanos-since-epoch
-  * longs (`spark.sql.legacy.parquet.nanosAsLong`) while DuckDB keeps a
-  * ns timestamp — so every comparison/grouping goes through either a
-  * formatted string bucket or micros-since-epoch (`ns / 1000` here ==
-  * `epoch_us(ts)` there, both floor for positive epochs), never raw
-  * timestamps. Money-style sums go through DECIMAL as usual.
+  * Timestamp determinism with the oracle: the physical `ts` encoding
+  * has shifted across testdata generations (ns-precision parquet read
+  * as nanos longs under `nanosAsLong`; now µs-precision TIMESTAMP_NTZ)
+  * while DuckDB always reads it as a timestamp — so every
+  * comparison/grouping goes through `Tables.events`' normalized
+  * `ts_us` epoch-micros BIGINT (== `epoch_us(ts)` on the oracle side,
+  * both floor for positive epochs), never raw timestamps. The
+  * type-dispatch lives in Tables.epochMicros; EventSchemaSpec pins
+  * that every query here returns identical rows on BOTH physical
+  * encodings. Money-style sums go through DECIMAL as usual.
   *
   * The streaming (incremental) versions of these live in
   * graft.streaming — the reference has no incremental processing at
@@ -23,15 +26,15 @@ import graft.sources.Tables
 object EventQueries {
 
   private def events(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    Tables.events(spark, dir)
 
-  /** ts (nanos long) → micros long. Integral DIV — `/` would go
-    * through double and lose precision above 2^53 ns. */
-  private def tsMicros = expr("ts DIV 1000")
+  /** Normalized epoch-micros BIGINT (Tables.events appends it for any
+    * physical ts encoding). */
+  private def tsMicros = col("ts_us")
 
-  /** ts (nanos long) → whole days since epoch (the retention/WAU
-    * cohort bucket). */
-  private def tsDay = expr("ts DIV 1000 DIV 86400000000")
+  /** ts → whole days since epoch (the retention/WAU cohort bucket).
+    * Integral DIV — `/` would go through double. */
+  private def tsDay = expr("ts_us DIV 86400000000")
 
   /** Attribution range join: for every click, how many purchases the
     * same user made within the following hour — the (t, t+Δ] range
@@ -617,9 +620,9 @@ object EventQueries {
     * frame). */
   def eventsMovingAvg(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+      .orderBy(col("ts_us"), col("event_id")).rowsBetween(-4, 0)
     events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"),
+      .select(col("user_id"), col("event_id"), col("ts_us"),
         col("value").cast("decimal(18,2)").as("v"))
       .withColumn("n_in_window", count(lit(1)).over(w))
       .withColumn("sv", sum(col("v")).over(w))

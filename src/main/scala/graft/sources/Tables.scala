@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table catalog over the driver testdata layout
   * (`<dir>/<name>.parquet`, see /root/repo/TESTDATA.md).
@@ -19,6 +21,33 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Projection of an events `ts` column to epoch-micros BIGINT across
+    * every physical encoding the table has shipped with: TIMESTAMP /
+    * TIMESTAMP_NTZ (current parquet, micros precision) and the legacy
+    * nanos-since-epoch BIGINT (what `nanosAsLong` produced from the
+    * old ns-precision files). mrjob is schema-agnostic by construction
+    * (protocols decode whatever arrives — mrjob/protocol.py:91); the
+    * engine's analog is normalizing declared column types at load
+    * instead of assuming one physical encoding. The NTZ leg reads the
+    * wall clock as UTC, which requires `spark.sql.session.timeZone=UTC`
+    * — every graft entry point (Verify/Bench/GraftCli/SparkFixture)
+    * sets it. */
+  def epochMicros(tsType: DataType): Column = tsType match {
+    case TimestampType    => unix_micros(col("ts"))
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case LongType         => expr("ts DIV 1000") // legacy epoch nanos
+    case t => throw new IllegalArgumentException(
+      s"events.ts: unsupported physical type $t")
+  }
+
+  /** The events table with a normalized `ts_us` (epoch micros BIGINT)
+    * column appended — the single load point every events query and
+    * stream goes through, so a testdata re-encode is absorbed here. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.withColumn("ts_us", epochMicros(df.schema("ts").dataType))
+  }
 
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -17,24 +17,47 @@ import org.apache.spark.sql.types._
   */
 object EventStreaming {
 
-  /** events.parquet schema under nanosAsLong (see EventQueries). */
+  /** events.parquet schema as currently generated (µs-precision
+    * TIMESTAMP_NTZ ts; see Tables.epochMicros for the encoding
+    * history). Used as the fallback when the landing dir is still
+    * empty at stream definition time. */
   val EventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos since epoch
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** FileStreamSource needs an explicit schema; sniff the actual one
+    * from the landing dir's parquet footers (one batch-read of
+    * metadata) so the stream tracks whatever physical ts encoding the
+    * files carry — falling back to [[EventSchema]] for an
+    * as-yet-empty dir. */
+  private def sniffSchema(spark: SparkSession, dir: String): StructType =
+    scala.util.Try(spark.read.parquet(dir).schema)
+      .toOption.filter(_.fieldNames.contains("ts"))
+      .getOrElse(EventSchema)
+
+  /** The shared streaming source: events landing dir → stream with a
+    * normalized `ts_us` epoch-micros column (the streaming twin of
+    * Tables.events). */
+  private def eventStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    val schema = sniffSchema(spark, eventsDir)
+    spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts_us",
+        graft.sources.Tables.epochMicros(schema("ts").dataType))
+  }
 
   /** Streaming hourly windowed counts per event type with a 1-hour
     * watermark — the incremental version of EventQueries.eventsHourly.
     * `eventsDir` must be a DIRECTORY of parquet files (FileStreamSource
     * contract — new files appearing there enter the stream). */
   def hourlyCounts(spark: SparkSession, eventsDir: String): DataFrame =
-    spark.readStream
-      .schema(EventSchema)
-      .parquet(eventsDir)
-      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+    eventStream(spark, eventsDir)
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -62,16 +85,14 @@ object EventStreaming {
       gapMin: Int = 30): Dataset[ClosedSession] = {
     import spark.implicits._
     val gapUs = gapMin.toLong * 60 * 1000000
-    spark.readStream
-      .schema(EventSchema)
-      .parquet(eventsDir)
-      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+    eventStream(spark, eventsDir)
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
       .withWatermark("event_ts", s"$gapMin minutes")
       // keep the watermarked attribute itself in the projection — the
       // stateful operator requires it to survive to its input
       .select(col("user_id").as[Long],
         col("event_ts").as[java.time.Instant],
-        expr("ts DIV 1000").as[Long])
+        col("ts_us").as[Long])
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
@@ -128,10 +149,8 @@ object EventStreaming {
     * ingest that bound is the difference between a working stream and
     * an OOM. */
   def dedupStream(spark: SparkSession, eventsDir: String): DataFrame =
-    spark.readStream
-      .schema(EventSchema)
-      .parquet(eventsDir)
-      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+    eventStream(spark, eventsDir)
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
       .withWatermark("event_ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
@@ -184,9 +203,7 @@ object EventStreaming {
   def userRunningTotals(spark: SparkSession,
       eventsDir: String): Dataset[UserRunning] = {
     import spark.implicits._
-    val events = spark.readStream
-      .schema(EventSchema)
-      .parquet(eventsDir)
+    val events = eventStream(spark, eventsDir)
       .select(col("user_id").as[Long], col("value").as[Double])
     events.groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
@@ -215,10 +232,8 @@ object EventStreaming {
     * unbounded-state stream join is the streaming analog of the
     * cartesian scan the batch side refused to plan. */
   def attributionStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    def src = spark.readStream
-      .schema(EventSchema)
-      .parquet(eventsDir)
-      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+    def src = eventStream(spark, eventsDir)
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("event_ts").as("c_ts"))
@@ -253,7 +268,7 @@ object EventStreaming {
   def upsertStream(spark: SparkSession, eventsDir: String,
       targetDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream
-      .schema(EventSchema)
+      .schema(sniffSchema(spark, eventsDir)) // raw columns ride the merge
       .parquet(eventsDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -326,7 +341,7 @@ object EventStreaming {
         (col("c_custkey") % 5).cast("long").as("segment"))
       .groupBy(col("user_id")).agg(min(col("segment")).as("segment"))
     spark.readStream
-      .schema(EventSchema)
+      .schema(sniffSchema(spark, eventsDir))
       .parquet(eventsDir)
       .join(dim, Seq("user_id"), "left")
       .select(coalesce(col("segment"), lit(-1L)).as("segment"),

@@ -94,4 +94,39 @@ class ClusterSpec extends AnyFunSuite {
     assert(got.size.toDouble / brute.size >= 0.25,
       "bounded-cluster-size blocking recall collapsed below the floor")
   }
+
+  test("semdedup_shortlist with nprobe ≥ C equals the exhaustive " +
+    "assignment exactly (the ann_lsh bits=0 idiom)") {
+    // an all-cells shortlist prunes nothing: every fine centroid is a
+    // candidate for every vector, so the argmin — and therefore the
+    // pair set — must be byte-identical to semdedup_scaled
+    val exhaustive = ClusterOps.semDedupScaled(spark, dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Double]("cos"))).toSet
+    val got = ClusterOps.semDedupShortlist(spark, dir,
+      nprobe = Int.MaxValue).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Double]("cos"))).toSet
+    assert(got == exhaustive)
+  }
+
+  test("semdedup_shortlist at default nprobe: subset of brute force, " +
+    "recall floor vs the exhaustive assignment holds") {
+    val brute = SimilarityOps.dedupEmbeddingAllPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    val exhaustive = ClusterOps.semDedupScaled(spark, dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    val got = ClusterOps.semDedupShortlist(spark, dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(brute),
+      "a shortlist-cluster pair must also pass the global threshold")
+    // IVF's recall trade is against the exhaustive ASSIGNMENT, not the
+    // all-pairs ground truth: most vectors keep their nearest fine
+    // centroid, so most exhaustive pairs survive
+    val kept = got.intersect(exhaustive).size.toDouble /
+      math.max(1, exhaustive.size)
+    assert(kept >= 0.5,
+      f"shortlist assignment kept only $kept%.2f of exhaustive pairs")
+  }
 }

@@ -174,8 +174,8 @@ class QueriesSpec extends AnyFunSuite {
   test("events_wau: day-d value equals direct distinct over [d-6, d]") {
     val wau = operators.EventQueries.eventsWau(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val active = spark.read.parquet(s"$dir/events.parquet")
-      .selectExpr("user_id", "ts DIV 1000 DIV 86400000000 AS day")
+    val active = graft.sources.Tables.events(spark, dir)
+      .selectExpr("user_id", "ts_us DIV 86400000000 AS day")
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(wau.nonEmpty)
     wau.foreach { case (d, n) =>
@@ -285,10 +285,10 @@ class QueriesSpec extends AnyFunSuite {
 
   test("events_moving_avg: first event per user averages itself; window " +
     "never exceeds 5") {
-    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val ev = graft.sources.Tables.events(spark, dir)
     val out = operators.EventQueries.eventsMovingAvg(spark, dir).collect()
     assert(out.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 5))
-    val firstEvent = ev.select(col("user_id"), col("event_id"), col("ts"),
+    val firstEvent = ev.select(col("user_id"), col("event_id"), col("ts_us"),
         col("value")).collect()
       .groupBy(_.getLong(0)).map { case (_, rs) =>
         rs.minBy(r => (r.getLong(2), r.getLong(1)))
@@ -374,8 +374,8 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("events_gap_stats equals a direct sorted-gap replay") {
-    val byUser = graft.sources.Tables.load(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+    val byUser = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us").as("us"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1)
     val gaps = byUser.values.flatMap { rs =>

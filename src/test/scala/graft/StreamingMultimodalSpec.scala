@@ -112,9 +112,12 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       assert(got.count() == expect.count(),
         "replayed file duplicated rows instead of upserting")
       assert(got.select(col("event_id")).distinct().count() == expect.count())
-      val dsum = sum(col("ts").cast("decimal(38,0)"))
-      val (gs, es) = (got.agg(dsum).head().getDecimal(0),
-        expect.agg(dsum).head().getDecimal(0))
+      // ts payload comparison via the type-dispatched epoch-micros
+      // projection (ts is TIMESTAMP in the current parquet)
+      def dsum(df: org.apache.spark.sql.DataFrame) =
+        df.agg(sum(graft.sources.Tables.epochMicros(
+          df.schema("ts").dataType).cast("decimal(38,0)"))).head().getDecimal(0)
+      val (gs, es) = (dsum(got), dsum(expect))
       assert(gs == es, "merged payloads drifted from the source")
       // EVERY schema column must survive the merge — a review catch:
       // props was once projected away by the upsert body
