@@ -99,7 +99,10 @@ object Bench {
       "kmeans_assign", "doc_sim_sparse", "pagerank",
       // round-4 additions: the k ∝ N SemDeDup executable and the
       // two-linear-shuffle paragraph dedup
-      "semdedup_scaled", "para_dedup")
+      "semdedup_scaled", "para_dedup",
+      // round-5: the IVF-shortlist assignment — the path whose point
+      // IS the scaling (N·√k·nprobe vs N·k assignment dots)
+      "semdedup_shortlist")
       .filter(n => only.forall(_.contains(n)))
     val blowDir = if (probeNames.nonEmpty)
       graft.sources.Blowup.ensure(spark, sfDir, factor = 10) else sfDir

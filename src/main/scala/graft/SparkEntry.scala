@@ -271,6 +271,7 @@ object SparkEntry {
     "pagerank" -> GraphOps.pageRankSql,
     "kmeans_assign" -> ClusterOps.kmeansAssignSql,
     "semdedup" -> ClusterOps.semDedupSql,
+    "bpe_encode" -> BpeOps.bpeEncodeSql,
     "prototype_prune" -> ClusterOps.prototypePruneSql,
     "text_classifier" -> TextClassifier.classifySql,
     "phone_to_url" -> PhoneToUrl.phoneToUrlSql,

@@ -105,6 +105,7 @@ object GraftRunner {
     var scalars = Map.empty[String, String]
     var lists = Map.empty[String, Vector[String]]
     var files = Map.empty[String, String]
+    var archs = Map.empty[String, String]
     paths.foreach { path =>
       val props = new java.util.Properties()
       // Reader, not InputStream: Properties.load(InputStream) decodes
@@ -116,6 +117,8 @@ object GraftRunner {
       props.asScala.toSeq.sortBy(_._1).foreach {
         case (k, v) if k.startsWith("file.") =>
           files += k.stripPrefix("file.") -> v
+        case (k, v) if k.startsWith("archive.") =>
+          archs += k.stripPrefix("archive.") -> v
         case (k, v) if k.startsWith("list.") =>
           val name = k.stripPrefix("list.")
           lists += name -> (lists.getOrElse(name, Vector.empty) :+ v)
@@ -125,7 +128,8 @@ object GraftRunner {
     JobArgs(
       passthru = scalars ++
         lists.map { case (k, v) => k -> v.mkString(",") },
-      fileArgs = files)
+      fileArgs = files,
+      archives = archs)
   }
 
   /** `with mr_job.make_runner() as runner:` (runner.py:621-624) —

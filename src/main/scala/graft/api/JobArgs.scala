@@ -16,14 +16,22 @@ import org.apache.spark.sql.SparkSession
   *   and tasks resolve the local copy with [[JobArgs.taskFile]]
   *   (mrjob: "this file will be downloaded to each task's working
   *   directory", job.py:1178-1213).
+  * - `archives` ↔ upload_archives (mrjob/setup.py:471, runner opt
+  *   `upload_archives`): local tar/zip/jar paths that every task needs
+  *   UNPACKED. [[ship]] registers them with SparkContext.addArchive —
+  *   Spark extracts each into the task working dir under the archive's
+  *   file name, exactly mrjob's "unpacked into a directory in the
+  *   task's working directory" contract — and tasks resolve the
+  *   unpacked directory with [[archiveDir]].
   *
-  * At scale this matters because file args ride Spark's torrent-style
-  * file distribution instead of being re-read from a shared store by
-  * 10⁵ tasks.
+  * At scale this matters because file/archive args ride Spark's
+  * torrent-style file distribution instead of being re-read from a
+  * shared store by 10⁵ tasks.
   */
 final case class JobArgs(
     passthru: Map[String, String] = Map.empty,
-    fileArgs: Map[String, String] = Map.empty) extends Serializable {
+    fileArgs: Map[String, String] = Map.empty,
+    archives: Map[String, String] = Map.empty) extends Serializable {
 
   def passthruOrElse(name: String, default: String): String =
     passthru.getOrElse(name, default)
@@ -35,12 +43,19 @@ final case class JobArgs(
     * driver-side, before running the job. Idempotent per path. */
   def ship(spark: SparkSession): JobArgs = {
     fileArgs.values.foreach(spark.sparkContext.addFile(_))
+    archives.values.foreach(spark.sparkContext.addArchive(_))
     this
   }
 
   /** Task-side local path of a shipped file arg, by arg name. */
   def file(name: String): Option[String] =
     fileArgs.get(name).map(p => JobArgs.taskFile(new java.io.File(p).getName))
+
+  /** Task-side directory holding a shipped archive's UNPACKED
+    * contents, by arg name (mrjob: the archive's basename names the
+    * unpacked dir in the working directory). */
+  def archiveDir(name: String): Option[String] =
+    archives.get(name).map(p => JobArgs.taskFile(new java.io.File(p).getName))
 }
 
 object JobArgs {

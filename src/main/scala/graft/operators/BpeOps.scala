@@ -46,6 +46,9 @@ object BpeOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
+  /** Number of merges the registered rows learn/apply. */
+  val Merges = 16
+
   /** Learn `merges` BPE merges from any (text) frame; returns the
     * merge table (rank, left, right, merged, pair_count). */
   def learnMerges(d: DataFrame, merges: Int): Seq[(Int, String, String, Long)] = {
@@ -168,12 +171,9 @@ object BpeOps {
     * the vocab side is ~10⁷ rows at 100 TB — too big to broadcast,
     * fine to hash-join), one per-doc agg. The result checkpoints
     * before the vocab cache drops (the kmeansAssign pattern).
-    * Rows-only: the merge regex needs lookbehind (no RE2/DuckDB
-    * analog); the spec pins segmentation against the pure-Scala
-    * reference encoder. */
-  /** Number of merges the registered rows learn/apply. */
-  val Merges = 16
-
+    * Fully oracled since round 5 ([[bpeEncodeSql]] unrolls the whole
+    * learner loop in DuckDB); the spec additionally pins segmentation
+    * against the pure-Scala reference encoder. */
   def bpeEncode(spark: SparkSession, dir: String,
       merges: Int = Merges): DataFrame = {
     val d = docs(spark, dir)
@@ -194,5 +194,75 @@ object BpeOps {
       .localCheckpoint()
     words.unpersist(blocking = false)
     res
+  }
+
+  /** Full DuckDB oracle for [[bpeEncode]] — the whole learner loop
+    * UNROLLED as one CTE chain (the pq_topk Lloyd-unroll trick): per
+    * round, a pair-count + argmax CTE (same count-desc / pair-string-asc
+    * tie-break as the engine) and a merge-application CTE.
+    *
+    * The merge application needs left-to-right NON-OVERLAPPING
+    * replacement over space-delimited symbols — the engine uses a
+    * lookaround regex (zero-width boundaries share the delimiter), but
+    * RE2 has no lookbehind. DuckDB's plain `replace()` IS left-to-right
+    * non-overlapping — it just consumes its delimiters — so each symbol
+    * gets its OWN boundary pair first: doubling the inter-symbol spaces
+    * wraps every symbol in ` x `, the pair pattern ` a  b ` consumes
+    * exactly the two wraps (neighbors keep theirs), and un-doubling
+    * restores canonical form. Equivalence with the lookaround semantics:
+    * a replacement never creates a new match site (merged symbol `ab`
+    * can't equal `a` — `b` is nonempty), so both scans find the same
+    * occurrence set.
+    *
+    * The initial segmentation indexes the word per CHARACTER via
+    * `w[i]` over range(1, len(w)+1) — the engine's `(?s)(.)` regex per
+    * code point; identical on this corpus. */
+  val bpeEncodeSql: String = {
+    // AS MATERIALIZED is load-bearing: each round references w{i-1}
+    // TWICE (pair count + merge application), and DuckDB inlines plain
+    // CTEs per reference — 2^Merges re-expansions of the whole chain
+    // (the first symptom is fd exhaustion on the parquet scan)
+    val rounds = (1 to Merges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT a, b FROM (
+         |    SELECT g[1] AS a, g[2] AS b, SUM(freq) AS c
+         |    FROM (SELECT freq, unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS g
+         |          FROM (SELECT freq, string_split(seg, ' ') AS ts FROM w${i - 1}) s
+         |          WHERE len(ts) >= 2) z
+         |    GROUP BY 1, 2) q
+         |  ORDER BY c DESC, a || ' ' || b ASC LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    trim(replace(replace(' ' || replace(seg, ' ', '  ') || ' ',
+         |      ' ' || p.a || '  ' || p.b || ' ', ' ' || p.a || p.b || ' '),
+         |      '  ', ' ')) AS seg
+         |  FROM w${i - 1} CROSS JOIN p$i p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |vocab AS (
+       |  SELECT w, COUNT(*) AS freq FROM toks WHERE len(w) > 0 GROUP BY w),
+       |w0 AS MATERIALIZED (
+       |  SELECT w, freq,
+       |    array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), ' ')
+       |      || ' </w>' AS seg
+       |  FROM vocab),
+       |$rounds,
+       |wtok AS (
+       |  SELECT w, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_sub
+       |  FROM w$Merges),
+       |occ AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) t
+       |  WHERE len(w) > 0),
+       |enc AS (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(n_sub) AS BIGINT) AS n_subword_tokens
+       |  FROM occ JOIN wtok USING (w)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_words, n_subword_tokens,
+       |  (1000 * n_subword_tokens) // n_words AS fertility_milli
+       |FROM enc ORDER BY doc_id""".stripMargin
   }
 }

@@ -121,6 +121,34 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(gotB == Map.empty[String, Long])
   }
 
+  test("archive args unpack into the task working dir " +
+    "(upload_archives analog, mrjob/setup.py:471)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_arch")
+    // lookup.zip with a NESTED entry — the unpack must preserve the
+    // archive's internal layout, not flatten it
+    val zipPath = dir.resolve("lookup.zip")
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("rules/stop.txt"))
+    zos.write("the\nfish\n".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val args = JobArgs(archives = Map("lookup" -> zipPath.toString))
+      .ship(spark)
+    val input = spark.createDataset(Seq("the fish cat", "dog the"))
+    // the read happens INSIDE the task closure — the archive must have
+    // been distributed and unpacked on the executor side
+    val got = input.flatMap { line =>
+      val f = new java.io.File(args.archiveDir("lookup").get,
+        "rules/stop.txt")
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val stops = try src.getLines().toSet finally src.close()
+      line.split(" ").filterNot(stops)
+    }.collect().toSeq.sorted
+    assert(got == Seq("cat", "dog"))
+  }
+
   // ---- filesystem facade (mrjob/fs/base.py:50-148) ----
 
   test("fs facade: put/ls/cat/du/exists/md5sum/touchz/rm round-trip") {
@@ -195,10 +223,12 @@ class ApiSurfaceSpec extends AnyFunSuite {
   test("runner: properties conf loads into JobArgs (file.* → file args)") {
     val conf = java.nio.file.Files.createTempFile("graft", ".properties")
     java.nio.file.Files.writeString(conf,
-      "min_count=3\nfile.stop_words=/tmp/stop.txt\n")
+      "min_count=3\nfile.stop_words=/tmp/stop.txt\n" +
+        "archive.lookup=/tmp/lookup.zip\n")
     val args = GraftRunner.loadConf(conf.toString)
     assert(args.passthruLong("min_count", 1L) == 3L)
     assert(args.fileArgs == Map("stop_words" -> "/tmp/stop.txt"))
+    assert(args.archives == Map("lookup" -> "/tmp/lookup.zip"))
   }
 
   test("runner: conf files stack with mrjob precedence (override + list concat)") {

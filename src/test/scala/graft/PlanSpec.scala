@@ -147,6 +147,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup_shortlist: downstream within-cluster join shape matches " +
+    "semdedup_scaled (equi-join on cluster, no cartesian/BNLJ)") {
+    // the shortlist changes only HOW the assignment is computed (its
+    // coarse/fine probes are broadcast joins inside the checkpointed
+    // assignment job); the returned plan — the Σ cluster² pair join —
+    // must keep the scaled row's shape exactly
+    val p = plan(graft.operators.ClusterOps.semDedupShortlist(spark, dir))
+    val q = plan(graft.operators.ClusterOps.semDedupScaled(spark, dir))
+    for ((nm, x) <- Seq("semdedup_shortlist" -> p, "semdedup_scaled" -> q)) {
+      assert(!x.contains("CartesianProduct") &&
+        !x.contains("BroadcastNestedLoopJoin"),
+        s"$nm pair join lost its equi-join shape:\n$x")
+      assert(x.contains("SortMergeJoin") || x.contains("ShuffledHashJoin") ||
+        x.contains("BroadcastHashJoin"),
+        s"$nm has no hash/merge equi-join for the cluster pair scan:\n$x")
+    }
+  }
+
   test("bm25_topk: per-term top-k gets WindowGroupLimit pruning and the " +
     "query-term filter reaches below the aggregations") {
     val p = plan(graft.operators.SparseSimOps.bm25TopK(spark, dir))
