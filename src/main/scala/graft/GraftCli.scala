@@ -46,6 +46,12 @@ object GraftCli {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate())
+    // a REUSED session keeps its own timeZone (builder configs are
+    // silently ignored when a session exists) — but the catalog's
+    // calendar bucketing (date_format/hour over TimestampType) is
+    // defined in UTC, so pin the runtime conf on whichever session
+    // runs the query
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try fn(spark, tablesDir).write.mode("overwrite").format(format)
       .save(outDir)
     finally if (existing.isEmpty) spark.stop()

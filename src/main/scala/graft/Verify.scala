@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects;
-      // read as nanos-since-epoch longs (EventQueries converts).
+      // harmless with the current µs testdata; kept so a LEGACY
+      // ns-precision events.parquet (which Spark 4 otherwise rejects)
+      // still reads — as nanos longs, the Tables.epochMicros BIGINT leg
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     // ERROR, not WARN: first-build glob reads of the nick_nack/WET

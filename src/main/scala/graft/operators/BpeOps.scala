@@ -129,7 +129,7 @@ object BpeOps {
 
   /** Registered query: the merge table as a DataFrame. */
   def bpeVocab(spark: SparkSession, dir: String,
-      merges: Int = 16): DataFrame = {
+      merges: Int = Merges): DataFrame = {
     import spark.implicits._
     learnMerges(docs(spark, dir), merges)
       .map { case (r, a, b, c) => (r, a, b, a + b, c) }
@@ -216,7 +216,14 @@ object BpeOps {
     *
     * The initial segmentation indexes the word per CHARACTER via
     * `w[i]` over range(1, len(w)+1) — the engine's `(?s)(.)` regex per
-    * code point; identical on this corpus. */
+    * code point; identical on this corpus.
+    *
+    * Exhaustion parity: if the pair table drains before round
+    * [[Merges]] (a degenerate corpus whose words fully merge early),
+    * the per-round argmax CTE is EMPTY — the LEFT JOIN + CASE keeps
+    * the vocabulary unchanged through the remaining rounds, exactly
+    * the engine's `exhausted` early-stop (a bare CROSS JOIN would
+    * instead annihilate the vocab and return zero rows). */
   val bpeEncodeSql: String = {
     // AS MATERIALIZED is load-bearing: each round references w{i-1}
     // TWICE (pair count + merge application), and DuckDB inlines plain
@@ -233,10 +240,11 @@ object BpeOps {
          |  ORDER BY c DESC, a || ' ' || b ASC LIMIT 1),
          |w$i AS MATERIALIZED (
          |  SELECT w, freq,
-         |    trim(replace(replace(' ' || replace(seg, ' ', '  ') || ' ',
-         |      ' ' || p.a || '  ' || p.b || ' ', ' ' || p.a || p.b || ' '),
-         |      '  ', ' ')) AS seg
-         |  FROM w${i - 1} CROSS JOIN p$i p)""".stripMargin
+         |    CASE WHEN p.a IS NULL THEN seg ELSE
+         |      trim(replace(replace(' ' || replace(seg, ' ', '  ') || ' ',
+         |        ' ' || p.a || '  ' || p.b || ' ', ' ' || p.a || p.b || ' '),
+         |        '  ', ' ')) END AS seg
+         |  FROM w${i - 1} LEFT JOIN p$i p ON true)""".stripMargin
     }.mkString(",\n")
     s"""WITH toks AS (
        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),

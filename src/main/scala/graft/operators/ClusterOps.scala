@@ -59,18 +59,6 @@ object ClusterOps {
       .agg(min(struct(col("dist"), col("cl"))).as("m"))
       .select(col("vec_id"), col("m.cl").as("cl"), col("m.dist").as("dist"))
 
-  /** Lloyd k-means over quantized embeddings: [[Iters]] assignment
-    * rounds with [[Iters]]−1 centroid updates between them (the output
-    * is the final assignment under the last updated centroids, exactly
-    * the oracle's unrolled a_N).
-    *
-    * Scale shape: the corpus relation is scanned once per round and
-    * joined against a BROADCAST centroid table of fixed cardinality k
-    * (the IVF precedent — bounded by construction, never a vocab);
-    * assignment is one partial-aggregable argmin, the update is one
-    * explode + partial-agg shuffle (N·D rows, linear), and centroids
-    * are localCheckpointed per round so plan analysis stays O(1) per
-    * round. Fixed round count ⇒ statically bounded DAG. */
   /** The Lloyd training loop over a prepared (vec_id, v, n2) relation:
     * seeded-hash init, [[assignTo]] argmin rounds with centroid-mean
     * updates between them; returns the FINAL centroid table
@@ -78,7 +66,16 @@ object ClusterOps {
     * assignment is taken under. Factored out so the two-level
     * shortlist assignment ([[semDedupShortlist]]) can train the same
     * recurrence over an arbitrary vector relation (including the fine
-    * centroids themselves). */
+    * centroids themselves).
+    *
+    * Scale shape (shared by every caller): the input relation is
+    * scanned once per round and joined against a BROADCAST centroid
+    * table of fixed cardinality k (the IVF precedent — bounded by
+    * construction, never a vocab); assignment is one partial-aggregable
+    * argmin, the update is one explode + partial-agg shuffle (N·D
+    * rows, linear), and centroids are localCheckpointed per round so
+    * plan analysis stays O(1) per round. Fixed round count ⇒
+    * statically bounded DAG. */
   private def lloydTrain(e: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1, s"lloydTrain needs >= 1 round, got $iters")
     val hk = TextQueries.seededHashCol(col("vec_id"), ClusterSeed)
@@ -110,6 +107,11 @@ object ClusterOps {
       .select(col("vec_id"), quantizeShift(col("embedding")).as("v"))
       .withColumn("n2", VectorOps.norm2Q(col("v")))
 
+  /** Lloyd k-means over quantized embeddings: [[Iters]] assignment
+    * rounds with [[Iters]]−1 centroid updates between them — the
+    * output is the final assignment under the last updated centroids,
+    * exactly the oracle's unrolled a_N ([[lloydTrain]] documents the
+    * per-round plan shape). */
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = K,
       iters: Int = Iters): DataFrame = {
     val e = prepared(spark, dir).persist()
@@ -248,14 +250,18 @@ object ClusterOps {
     * with the all-pairs ground truth when one cluster covers the
     * corpus (targetClusterSize ≥ N ⇒ k=1 ⇒ blocking is a no-op) and
     * (b) subset-of-brute-force + recall floor at the default config. */
+  /** k = ⌈N/targetClusterSize⌉, capped — ONE definition shared by the
+    * scaled and shortlist rows so their "same k, same seed" spec
+    * equivalence can never drift. */
+  private def scaledK(n: Long, targetClusterSize: Long): Int =
+    math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
+      .min(1 << 20).toInt
+
   def semDedupScaled(spark: SparkSession, dir: String,
       threshold: Double = 0.4,
-      targetClusterSize: Long = TargetClusterSize): DataFrame = {
-    val n = emb(spark, dir).count()
-    val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
-      .min(1 << 20).toInt
-    semDedup(spark, dir, threshold, k)
-  }
+      targetClusterSize: Long = TargetClusterSize): DataFrame =
+    semDedup(spark, dir, threshold,
+      scaledK(emb(spark, dir).count(), targetClusterSize))
 
   /** Coarse cells the shortlist assignment probes per vector. */
   val ShortlistNprobe = 4
@@ -270,10 +276,12 @@ object ClusterOps {
     *     (same Lloyd recurrence, same seed);
     *  2. cluster the k FINE CENTROIDS into C = ⌈√k⌉ coarse cells
     *     (a k-row job — centroids are data too);
-    *  3. each vector finds its [[ShortlistNprobe]] nearest coarse
-    *     cells (N·C dots, C = √k) and takes the argmin only over the
-    *     fine centroids living in those cells (N·√k·nprobe expected
-    *     dots) — N·√k·(C + nprobe·k/C expected) total, vs N·k.
+    *  3. each vector finds its [[ShortlistNprobe]] nearest LIVE
+    *     coarse cells (cells holding ≥1 fine centroid — empty cells
+    *     are excluded so every vector always has candidates; N·C
+    *     dots, C = √k) and takes the argmin only over the fine
+    *     centroids living in those cells (N·√k·nprobe expected dots)
+    *     — N·(C + nprobe·k/C expected) total, vs N·k.
     *
     * Downstream is byte-identical to [[semDedupScaled]]: the same
     * within-cluster pair join with the same Σ cluster² bound
@@ -290,9 +298,7 @@ object ClusterOps {
       threshold: Double = 0.4,
       targetClusterSize: Long = TargetClusterSize,
       nprobe: Int = ShortlistNprobe): DataFrame = {
-    val n = emb(spark, dir).count()
-    val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
-      .min(1 << 20).toInt
+    val k = scaledK(emb(spark, dir).count(), targetClusterSize)
     val e = prepared(spark, dir).persist()
     val fine = lloydTrain(e, k, Iters)
     // coarse quantizer over the fine centroids themselves (k rows)
@@ -306,10 +312,19 @@ object ClusterOps {
       .join(fine.withColumnRenamed("cl", "fcl"), Seq("fcl"))
       .select(col("ccell"), col("fcl"), col("cv"), col("cn"))
       .localCheckpoint() // k rows — broadcast side below
-    // each vector's nprobe nearest coarse cells, carrying v/n2 through
-    // the agg so the corpus is scanned once (ties break toward the
-    // lower cell id via the struct ordering, as everywhere)
-    val probed = e.crossJoin(broadcast(coarse))
+    // vectors rank only LIVE cells (coarse cells holding ≥1 fine
+    // centroid): the coarse re-assignment of fine centroids under the
+    // FINAL coarse centroids can empty a cell, and a vector whose
+    // nprobe nearest cells were all empty would otherwise get no
+    // candidates at all and silently VANISH from the dedup output —
+    // a sharper loss than the documented wrong-cell recall trade
+    val liveCoarse = coarse.join(
+      fineCell.select(col("ccell").as("cl")).distinct(), Seq("cl"))
+      .localCheckpoint() // ≤ C rows
+    // each vector's nprobe nearest live coarse cells, carrying v/n2
+    // through the agg so the corpus is scanned once (ties break toward
+    // the lower cell id via the struct ordering, as everywhere)
+    val probed = e.crossJoin(broadcast(liveCoarse))
       .select(col("vec_id"), col("v"), col("n2"),
         (col("n2") + col("cn") -
           lit(2L) * VectorOps.dotQ(col("v"), col("cv"))).as("dist"),

@@ -29,13 +29,23 @@ object Tables {
     * old ns-precision files). mrjob is schema-agnostic by construction
     * (protocols decode whatever arrives — mrjob/protocol.py:91); the
     * engine's analog is normalizing declared column types at load
-    * instead of assuming one physical encoding. The NTZ leg reads the
-    * wall clock as UTC, which requires `spark.sql.session.timeZone=UTC`
-    * — every graft entry point (Verify/Bench/GraftCli/SparkFixture)
-    * sets it. */
+    * instead of assuming one physical encoding.
+    *
+    * The NTZ leg reads the wall clock AS UTC (matching the oracle's
+    * `epoch_us(ts)` on DuckDB's naive timestamp) with NO session-
+    * timezone dependence: the wall-clock fields — all timezone-free on
+    * an NTZ value — are rebuilt into an instant via
+    * `make_timestamp(..., 'UTC')`. A `cast(ts AS TIMESTAMP)` would
+    * interpret the wall clock in the SESSION timezone instead, which
+    * is only right when the session runs UTC — graft entry points do
+    * set UTC, but a library caller's pre-existing session may not
+    * (SparkSession.builder.getOrCreate silently ignores configs when a
+    * session already exists). */
   def epochMicros(tsType: DataType): Column = tsType match {
     case TimestampType    => unix_micros(col("ts"))
-    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampNTZType => expr(
+      "unix_micros(make_timestamp(year(ts), month(ts), day(ts), " +
+        "hour(ts), minute(ts), extract(SECOND FROM ts), 'UTC'))")
     case LongType         => expr("ts DIV 1000") // legacy epoch nanos
     case t => throw new IllegalArgumentException(
       s"events.ts: unsupported physical type $t")

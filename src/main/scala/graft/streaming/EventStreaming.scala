@@ -32,24 +32,38 @@ object EventStreaming {
   /** FileStreamSource needs an explicit schema; sniff the actual one
     * from the landing dir's parquet footers (one batch-read of
     * metadata) so the stream tracks whatever physical ts encoding the
-    * files carry — falling back to [[EventSchema]] for an
-    * as-yet-empty dir. */
+    * files carry. Failure discipline: only a not-yet-inferable dir
+    * (empty/absent — AnalysisException) falls back to [[EventSchema]];
+    * a readable dir whose files LACK `ts` fails loudly here, at
+    * definition time, instead of streaming all-null ts_us into
+    * silently-empty windows, and any other error (corrupt footer,
+    * permissions) propagates untouched. */
   private def sniffSchema(spark: SparkSession, dir: String): StructType =
-    scala.util.Try(spark.read.parquet(dir).schema)
-      .toOption.filter(_.fieldNames.contains("ts"))
-      .getOrElse(EventSchema)
+    try {
+      val s = spark.read.parquet(dir).schema
+      require(s.fieldNames.contains("ts"),
+        s"events landing dir $dir has schema <${s.simpleString}> " +
+          "without a 'ts' column — not an events table")
+      s
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => EventSchema
+    }
 
   /** The shared streaming source: events landing dir → stream with a
     * normalized `ts_us` epoch-micros column (the streaming twin of
-    * Tables.events). */
-  private def eventStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    val schema = sniffSchema(spark, eventsDir)
+    * Tables.events). The two-arg overload lets a caller that needs
+    * several branches of one source (attributionStream's self-join)
+    * sniff the dir once. */
+  private def eventStream(spark: SparkSession, eventsDir: String): DataFrame =
+    eventStream(spark, eventsDir, sniffSchema(spark, eventsDir))
+
+  private def eventStream(spark: SparkSession, eventsDir: String,
+      schema: StructType): DataFrame =
     spark.readStream
       .schema(schema)
       .parquet(eventsDir)
       .withColumn("ts_us",
         graft.sources.Tables.epochMicros(schema("ts").dataType))
-  }
 
   /** Streaming hourly windowed counts per event type with a 1-hour
     * watermark — the incremental version of EventQueries.eventsHourly.
@@ -232,7 +246,8 @@ object EventStreaming {
     * unbounded-state stream join is the streaming analog of the
     * cartesian scan the batch side refused to plan. */
   def attributionStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    def src = eventStream(spark, eventsDir)
+    val schema = sniffSchema(spark, eventsDir) // once for both branches
+    def src = eventStream(spark, eventsDir, schema)
       .withColumn("event_ts", timestamp_micros(col("ts_us")))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),

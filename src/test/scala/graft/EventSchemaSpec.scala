@@ -70,4 +70,26 @@ class EventSchemaSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ts_us projection is session-timezone independent on every encoding") {
+    // materialize the legs FIRST — they must be written under the
+    // fixture's UTC session (the NTZ leg's cast is TZ-sensitive at
+    // WRITE time by design; the claim under test is READ-side only)
+    val materialized = legs
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val want = Tables.events(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("ts_us")).head().getLong(0)
+    try {
+      // a library caller's pre-existing session may run any timezone —
+      // the epoch-micros projection must not shift with it
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      (("live", dir) +: materialized).foreach { case (leg, d) =>
+        val got = Tables.events(spark, d)
+          .agg(org.apache.spark.sql.functions.sum("ts_us")).head().getLong(0)
+        assert(got == want,
+          s"encoding $leg: ts_us shifted under a non-UTC session " +
+            s"($got != $want)")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", tz)
+  }
 }
