@@ -75,6 +75,11 @@ object SparkEntry {
       SimilarityOps.annIvfTopK(s, d, cells = 16, probes = 16)),
     "ann_ivf_probe" -> ((s: SparkSession, d: String) =>
       SimilarityOps.annIvfTopK(s, d)),
+    // probes == cells again: the ingest search is provably exact, so
+    // the row oracles against the brute-force batch×live SQL.
+    "ann_ingest" -> ((s: SparkSession, d: String) =>
+      SimilarityOps.annIngest(s, d)),
+    "embedding_qa" -> (SimilarityOps.embeddingQa _),
     "dedup_embedding" -> ((s: SparkSession, d: String) =>
       SimilarityOps.dedupEmbeddingBlocked(s, d)),
     "dedup_embedding_lsh" -> (SimilarityOps.dedupEmbeddingLshQuery _),
@@ -87,6 +92,7 @@ object SparkEntry {
     "dedup_jaccard" -> (DedupOps.dedupJaccard _),
     "dedup_minhash" -> (DedupOps.dedupMinhash _),
     "dedup_ingest" -> (DedupOps.dedupIngest _),
+    "dedup_bloom" -> (DedupOps.dedupBloom _),
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     "dedup_passage" -> ((s: SparkSession, d: String) =>
       DedupOps.passageDedup(s, d)),
@@ -122,6 +128,8 @@ object SparkEntry {
       TextAnalysis.dsirSelect(s, d)),
     "quality_topp" -> ((s: SparkSession, d: String) =>
       TextAnalysis.qualityTopP(s, d)),
+    "quality_calibrate" -> (TextAnalysis.qualityCalibrate _),
+    "source_diversity" -> (TextAnalysis.sourceDiversity _),
     "kn_bigram" -> (TextAnalysis.knBigram _),
     "char_classes" -> (TextAnalysis.charClasses _),
     "heavy_hitters" -> ((s: SparkSession, d: String) =>
@@ -208,11 +216,14 @@ object SparkEntry {
     "hard_negatives" -> SimilarityOps.hardNegativesSql,
     "pq_topk" -> PqOps.pqTopKSql,
     "ann_ivf_topk" -> SimilarityOps.annTopKSql,
+    "ann_ingest" -> SimilarityOps.annIngestSql,
+    "embedding_qa" -> SimilarityOps.embeddingQaSql,
     // bits=0 LSH: candidate set provably complete ⇒ result ≡ exact top-k
     "ann_lsh_topk" -> SimilarityOps.annTopKSql,
     "input_file_counts" -> TextQueries.inputFileCountsSql,
     "dedup_minhash" -> DedupOps.dedupMinhashSql,
     "dedup_ingest" -> DedupOps.dedupIngestSql,
+    "dedup_bloom" -> DedupOps.dedupBloomSql,
     "dedup_embedding" -> SimilarityOps.dedupEmbeddingSql,
     "dedup_exact" -> DedupOps.dedupExactSql,
     "dedup_keep" -> DedupOps.dedupKeepSql,
@@ -242,6 +253,8 @@ object SparkEntry {
     "novelty_score" -> TextAnalysis.noveltyScoreSql,
     "dsir_select" -> TextAnalysis.dsirSelectSql,
     "quality_topp" -> TextAnalysis.qualityTopPSql,
+    "quality_calibrate" -> TextAnalysis.qualityCalibrateSql,
+    "source_diversity" -> TextAnalysis.sourceDiversitySql,
     "kn_bigram" -> TextAnalysis.knBigramSql,
     "char_classes" -> TextAnalysis.charClassesSql,
     "heavy_hitters" -> SketchOps.heavyHittersSql,

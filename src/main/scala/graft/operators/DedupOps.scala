@@ -966,4 +966,84 @@ object DedupOps {
        |    AND b.doc_id % $IngestMod <> $IngestRem)
        |SELECT new_id, live_id, jaccard FROM p WHERE jaccard >= 0.5
        |ORDER BY new_id, live_id""".stripMargin
+
+  /** Deterministic batch slice for [[dedupBloom]] (distinct from
+    * [[dedupIngest]]'s so the two incremental ops exercise different
+    * arrival sets). */
+  val BloomMod = 10L
+  val BloomRem = 3L
+
+  /** Bloom filter sizing: expected distinct live texts and filter
+    * bits. Fixed generous literals here (1 MiB filter ⇒ fp ≈ 2⁻¹⁰ at
+    * 2²⁰ items); a production deployment sizes them from table stats
+    * at ~10 bits/item for fp ≈ 1%. */
+  val BloomItems = 1L << 20
+  val BloomBits = 1L << 23
+
+  /** Bloom-pruned duplicate check of an arriving batch against the
+    * live corpus — the cheap front gate an ingest pipeline runs before
+    * [[dedupIngest]]'s near-dup pass: which batch docs already exist
+    * in the live set, and how many live copies does each have? The
+    * identity key is the sorted distinct-token-set fingerprint (the
+    * [[dedupFingerprint]] key — word-order-insensitive, so it catches
+    * shuffled re-posts that verbatim text equality misses).
+    *
+    * Mechanics (all Spark-native expressions — the same
+    * `bloom_filter_agg` / `might_contain` pair the optimizer uses for
+    * runtime join pruning, bridged into Columns by
+    * [[graft.functions.BloomFilters]]):
+    *   1. ONE partial+final aggregate over live text hashes builds a
+    *      bloom filter; only fixed-size bitsets cross the wire, and
+    *      the finished filter broadcasts as a scalar subquery.
+    *   2. The batch probes it MAP-SIDE: `might_contain` has no false
+    *      negatives, so a pruned row is PROVABLY not a duplicate and
+    *      never reaches the join — per-ingest shuffle volume is
+    *      O(true dups + fp·batch), not O(batch).
+    *   3. A bloom built the other way (over surviving batch hashes)
+    *      prunes the LIVE side of the verify join the same way, so the
+    *      per-text live aggregate touches only candidate texts.
+    *   4. The exact text-keyed join then makes precision 1 regardless
+    *      of fp — output equals the plain exact join the oracle runs.
+    *
+    * At 100 TB the live filter is built once and persisted alongside
+    * the corpus (it is a plain binary value), so a batch arrival costs
+    * one batch scan + a candidate-only join — never a corpus re-scan.
+    * Reference analog: none (mrjob has no incremental surface); the
+    * pattern is Spark's own InjectRuntimeFilter semi-join pruning,
+    * made explicit and persistent. */
+  def dedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFilters
+    val isNew = col("doc_id") % BloomMod === BloomRem
+    val fp = array_join(
+      sort_array(array_distinct(split(col("text"), " "))), " ")
+    val d = docs(spark, dir).select(col("doc_id"), fp.as("fp"))
+    val h = xxhash64(col("fp"))
+    val live = d.filter(!isNew).select(col("fp"))
+    val liveBloom = live.agg(
+      BloomFilters.bloomAgg(h, BloomItems, BloomBits)).scalar()
+    val batchCand = d.filter(isNew)
+      .filter(BloomFilters.mightContain(liveBloom, h))
+    val batchBloom = batchCand.agg(
+      BloomFilters.bloomAgg(h, BloomItems, BloomBits)).scalar()
+    val liveCounts = live
+      .filter(BloomFilters.mightContain(batchBloom, h))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_live_copies"))
+    batchCand.join(liveCounts, Seq("fp"))
+      .select(col("doc_id"), col("n_live_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupBloomSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_sort(list_distinct(
+       |      string_split(text, ' '))), ' ') AS fp
+       |  FROM documents)
+       |SELECT d.doc_id, COUNT(*) AS n_live_copies
+       |FROM k d JOIN k l ON l.fp = d.fp
+       |WHERE d.doc_id % $BloomMod = $BloomRem
+       |  AND l.doc_id % $BloomMod <> $BloomRem
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -350,6 +350,15 @@ object SimilarityOps {
     val queries = assigned.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
         col("n2").as("qn"))
+    ivfSearch(queries, cents, assigned, probes)
+  }
+
+  /** The IVF probe + exact-rerank tail shared by [[annIvfTopK]] and
+    * [[annIngest]]: `queries` (q_vec_id, qv, qn) each probe their
+    * `probes` best-cosine cells of `cents`, then exact-rerank only the
+    * `assigned` vectors in those cells. */
+  private def ivfSearch(queries: DataFrame, cents: DataFrame,
+      assigned: DataFrame, probes: Int): DataFrame = {
     val pw = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("probe_cos").desc, col("cell").asc)
     val probed = queries.crossJoin(broadcast(cents))
@@ -420,4 +429,101 @@ object SimilarityOps {
       .select(col("q_vec_id"), col("c_vec_id"), col("rank"), col("cos"))
       .orderBy(col("q_vec_id"), col("rank"))
   }
+
+  /** Deterministic arrival slice for [[annIngest]] — the embeddings
+    * counterpart of DedupOps' ingest slice. */
+  val IngestVecMod = 10L
+  val IngestVecRem = 3L
+
+  /** Incremental ANN at INGEST time: each vector of an arriving batch
+    * (vec_id % 10 == 3) finds its top-[[K]] nearest LIVE vectors
+    * through the live corpus' IVF index — the per-arrival operator an
+    * embedding pipeline runs for online near-dup / neighbor lookup,
+    * the vector counterpart of DedupOps.dedupIngest.
+    *
+    * The index (coarse centroids + cell assignment) is built from the
+    * LIVE side only; at 100 TB it is computed once, stored partitioned
+    * by cell, and only the BATCH pays per arrival: batch·cells probe
+    * dots + a cell equi-join into the probed cells' vectors — never a
+    * corpus rescan, never batch×corpus. Registered at probes == cells,
+    * where the probe set provably covers every cell and the result
+    * EQUALS the brute-force batch×live top-k the oracle computes (the
+    * ann_ivf_topk exactness trick; the spec pins the equality);
+    * probes < cells is the approximate production setting
+    * demonstrated by ann_ivf_probe. */
+  def annIngest(spark: SparkSession, dir: String, cells: Int = 16,
+      probes: Int = 16): DataFrame = {
+    val e = emb(spark, dir)
+    val isNew = col("vec_id") % IngestVecMod === IngestVecRem
+    val cents = ivfCentroids(e.filter(!isNew), cells)
+    val assigned = ivfAssignTo(e.filter(!isNew), cents)
+    val queries = ivfVecs(e.filter(isNew))
+      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
+        col("n2").as("qn"))
+    ivfSearch(queries, cents, assigned, probes)
+  }
+
+  val annIngestSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_vec_id, ${VectorOps.QuantizeSql} AS qv
+       |  FROM embeddings WHERE vec_id % $IngestVecMod = $IngestVecRem),
+       |c AS (
+       |  SELECT vec_id AS c_vec_id, ${VectorOps.QuantizeSql} AS cv
+       |  FROM embeddings WHERE vec_id % $IngestVecMod <> $IngestVecRem),
+       |p AS (
+       |  SELECT q_vec_id, c_vec_id,
+       |    CAST(list_sum(list_transform(list_zip(qv, cv), z -> z[1] * z[2])) AS DOUBLE) /
+       |    (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) *
+       |     sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE))) AS cos
+       |  FROM q, c),
+       |r AS (
+       |  SELECT q_vec_id, c_vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, c_vec_id ASC) AS rank
+       |  FROM p)
+       |SELECT q_vec_id, c_vec_id, rank, cos FROM r
+       |WHERE rank <= $K
+       |ORDER BY q_vec_id, rank""".stripMargin
+
+  /** Embedding QA profile — the sanity pass a pipeline runs BEFORE
+    * indexing or training on a vector table: per label, the vector
+    * count, dimension bounds (a ragged dim is a broken producer),
+    * zero-vector count (cosine is undefined on them — they poison
+    * every similarity op upstream of this check), and the quantized
+    * squared-norm range/mean (collapsed or exploding norms flag a bad
+    * encoder checkpoint). All integer: norms ride [[VectorOps.quantize]]
+    * so the oracle matches bit-for-bit.
+    *
+    * One scan → one partial+final agg keyed by the bounded label set;
+    * per-task partials are |labels| rows, so 100× the vectors is 100×
+    * the scan and nothing else. */
+  def embeddingQa(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    e.select(col("label"),
+        size(col("embedding")).cast("long").as("dims"),
+        VectorOps.norm2Q(VectorOps.quantize(col("embedding"))).as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dims")).as("min_dims"),
+        max(col("dims")).as("max_dims"),
+        sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("n2")).as("min_norm2"),
+        max(col("n2")).as("max_norm2"),
+        expr("sum(n2) DIV count(1)").as("avg_norm2"))
+      .orderBy(col("label"))
+  }
+
+  val embeddingQaSql: String =
+    s"""SELECT label,
+       |  COUNT(*) AS n_vecs,
+       |  MIN(dims) AS min_dims, MAX(dims) AS max_dims,
+       |  CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |  MIN(n2) AS min_norm2, MAX(n2) AS max_norm2,
+       |  CAST(SUM(n2) // COUNT(*) AS BIGINT) AS avg_norm2
+       |FROM (
+       |  SELECT label, CAST(len(embedding) AS BIGINT) AS dims,
+       |    CAST(list_sum(list_transform(${VectorOps.QuantizeSql},
+       |      t -> t * t)) AS BIGINT) AS n2
+       |  FROM embeddings) t
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
 }

@@ -1341,4 +1341,139 @@ object TextAnalysis {
        |ORDER BY key_micro DESC, doc_id ASC
        |LIMIT $DsirTop""".stripMargin
   }
+
+  /** Cross-source quality calibration: each doc's quality score
+    * re-expressed as its percentile WITHIN its source, integer ppm.
+    * Per-domain quality signals drift (a median news doc outscores a
+    * top-decile forum doc on raw ppm), so mixture policies that
+    * compare across sources first rank within the domain — the same
+    * motivation as [[qualityTopP]]'s per-source threshold, emitted
+    * here as a continuous score: pct_ppm = 10⁶ · |{docs in source with
+    * strictly lower quality}| DIV n_source (ties share a percentile).
+    *
+    * Scale shape: the pplFilter value-HISTOGRAM idiom, per source —
+    * one partial-agg shuffle builds the (source, quality_ppm) → count
+    * histogram, the running sum windows over HISTOGRAM rows (bounded
+    * by the ppm value domain, never corpus-length — a source is never
+    * sorted), and one equi-join maps scores back to docs. A 100×
+    * corpus grows only the first partial agg. */
+  def qualityCalibrate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = docs(spark, dir)
+      .select(Seq(col("doc_id"), col("source")) ++
+        qualityPartCols(toks): _*)
+      .select(col("doc_id"), col("source"),
+        expr(QualityPpmExpr).as("quality_ppm"))
+    val hist = scored.groupBy(col("source"), col("quality_ppm"))
+      .agg(count(lit(1)).as("cnt"))
+    val wLess = Window.partitionBy(col("source"))
+      .orderBy(col("quality_ppm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = hist
+      .withColumn("n_less", coalesce(sum(col("cnt")).over(wLess), lit(0L)))
+      .withColumn("n_src", sum(col("cnt")).over(wAll))
+    scored.join(ranked, Seq("source", "quality_ppm"))
+      .select(col("doc_id"), col("source"), col("quality_ppm"),
+        expr("1000000 * n_less DIV n_src").as("pct_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replays the naive windowed spelling — RANK()-1 counts the
+    * strictly-lower docs, proving the histogram form equivalent. */
+  val qualityCalibrateSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, $QualityPpmSqlExpr AS quality_ppm
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      $QualityPartsSql
+       |    FROM (SELECT doc_id, source, string_split(text, ' ') AS ts
+       |          FROM documents) x) t)
+       |SELECT doc_id, source, quality_ppm,
+       |  1000000 * (RANK() OVER (PARTITION BY source ORDER BY quality_ppm)
+       |    - 1) // (COUNT(*) OVER (PARTITION BY source)) AS pct_ppm
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-source lexical-diversity profile: type-token ratio and
+    * distinct-trigram mass — the corpus-audit numbers that flag a
+    * template-heavy or boilerplate-dominated source before it is
+    * weighted into a mixture (a source can pass per-doc quality gates
+    * while every doc is the SAME doc; low distinct-trigram mass is
+    * that signal at the source level, the aggregate cousin of
+    * [[noveltyScore]]).
+    *
+    * Scale shape: trigram identity is the chained-xxhash64 8-byte key
+    * ([[boilerplateRatio]]'s trick — string trigram shuffle keys drove
+    * its 10× probe to 5.0×); distinct counts are two-stage partial
+    * aggs (groupBy (source, key) then groupBy source), never a
+    * count_distinct over an unbounded set in one buffer. Everything is
+    * linear in corpus tokens; output is |sources| rows. The oracle
+    * counts distinct STRING trigrams — equality holds because 64-bit
+    * collisions among ~10⁵ distinct trigrams have probability ≈ 10⁻¹⁰
+    * (the dedup_minhash collision-free-hash argument). */
+  def sourceDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = d.select(col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+    val tokStats = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"))
+    val tris = d.select(col("source"), col("text"))
+      .withColumn("ts", split(col("text"), " "))
+      .filter(size(col("ts")) >= 3)
+      .select(col("source"), explode(
+        transform(sequence(lit(0), size(col("ts")) - 3),
+          i => xxhash64(xxhash64(xxhash64(element_at(col("ts"), i + 1)),
+            element_at(col("ts"), i + 2)), element_at(col("ts"), i + 3))))
+        .as("tri"))
+    val triStats = tris.groupBy(col("source"), col("tri"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_trigrams"),
+        count(lit(1)).as("n_distinct_trigrams"))
+    val nDocs = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    nDocs.join(tokStats, Seq("source")).join(triStats, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_distinct_tokens"), col("n_trigrams"),
+        col("n_distinct_trigrams"),
+        expr("1000000 * n_distinct_tokens DIV n_tokens").as("ttr_ppm"),
+        expr("1000000 * n_distinct_trigrams DIV n_trigrams")
+          .as("tri_ttr_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val sourceDiversitySql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts
+      |  FROM documents),
+      |tokt AS (
+      |  SELECT source, CAST(SUM(len(ts)) AS BIGINT) AS n_tokens
+      |  FROM d GROUP BY source),
+      |tokd AS (
+      |  SELECT d.source, COUNT(DISTINCT t.tok) AS n_distinct_tokens
+      |  FROM d, UNNEST(d.ts) AS t(tok) GROUP BY d.source),
+      |tri AS (
+      |  SELECT d.source,
+      |    COUNT(*) AS n_trigrams,
+      |    COUNT(DISTINCT g.tri) AS n_distinct_trigrams
+      |  FROM d, UNNEST(list_transform(range(1, len(d.ts) - 1),
+      |    i -> d.ts[i] || ' ' || d.ts[i+1] || ' ' || d.ts[i+2])) AS g(tri)
+      |  WHERE len(d.ts) >= 3
+      |  GROUP BY d.source),
+      |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents
+      |       GROUP BY source)
+      |SELECT nd.source, nd.n_docs, tokt.n_tokens,
+      |  tokd.n_distinct_tokens, tri.n_trigrams, tri.n_distinct_trigrams,
+      |  CAST(1000000 * tokd.n_distinct_tokens // tokt.n_tokens
+      |    AS BIGINT) AS ttr_ppm,
+      |  CAST(1000000 * tri.n_distinct_trigrams // tri.n_trigrams
+      |    AS BIGINT) AS tri_ttr_ppm
+      |FROM nd JOIN tokt USING (source) JOIN tokd USING (source)
+      |  JOIN tri USING (source)
+      |ORDER BY nd.source""".stripMargin
 }

@@ -112,6 +112,7 @@ class PlanSpec extends AnyFunSuite {
       "kn_bigram" -> "broadcast side = single-row bigram-type total",
       "ann_ivf_topk" -> "broadcast sides = `cells` (16) centroids",
       "ann_ivf_probe" -> "broadcast sides = `cells` (16) centroids",
+      "ann_ingest" -> "broadcast sides = `cells` (16) live centroids",
       "tf_idf" -> "broadcast side = single-row corpus doc count",
       "word_pmi" -> "broadcast side = single-row corpus totals",
       "doc_perplexity" -> "broadcast side = single-row LM totals",
