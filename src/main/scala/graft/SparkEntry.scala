@@ -80,6 +80,12 @@ object SparkEntry {
     "ann_ingest" -> ((s: SparkSession, d: String) =>
       SimilarityOps.annIngest(s, d)),
     "embedding_qa" -> (SimilarityOps.embeddingQa _),
+    // int8 scalar quantization: representation + reconstruction-error
+    // QA, and shortlist-on-codes / exact-re-rank top-k. Both fully
+    // oracled (absmax/floor-half-up/integer-cosine replay bit-exactly).
+    "embed_quantize" -> (ScalarQuantOps.embedQuantize _),
+    "ann_int8" -> ((s: SparkSession, d: String) =>
+      ScalarQuantOps.annInt8(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) =>
       SimilarityOps.dedupEmbeddingBlocked(s, d)),
     "dedup_embedding_lsh" -> (SimilarityOps.dedupEmbeddingLshQuery _),
@@ -218,6 +224,8 @@ object SparkEntry {
     "ann_ivf_topk" -> SimilarityOps.annTopKSql,
     "ann_ingest" -> SimilarityOps.annIngestSql,
     "embedding_qa" -> SimilarityOps.embeddingQaSql,
+    "embed_quantize" -> ScalarQuantOps.embedQuantizeSql,
+    "ann_int8" -> ScalarQuantOps.annInt8Sql,
     // bits=0 LSH: candidate set provably complete ⇒ result ≡ exact top-k
     "ann_lsh_topk" -> SimilarityOps.annTopKSql,
     "input_file_counts" -> TextQueries.inputFileCountsSql,

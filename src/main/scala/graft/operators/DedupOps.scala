@@ -920,30 +920,47 @@ object DedupOps {
     * Σ_bucket |new_b|·|live_b| — proportional to the batch, never to
     * corpus². Exact verify then touches only candidate shingle sets
     * via two equi-joins. */
-  def dedupIngest(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val isNew = col("doc_id") % IngestMod === IngestRem
-    val newDocs = d.filter(isNew)
-    val liveDocs = d.filter(!isNew)
+  /** The persistent live-corpus near-dup index: the (band, bh) band
+    * table arriving batches probe by equi-join, plus the exact-verify
+    * shingle sets. At 100 TB both are computed once, stored bucketed
+    * by their join keys, and only ever READ per ingest. */
+  final case class NearDupIndex(bands: DataFrame, shingles: DataFrame)
+
+  def nearDupIndex(liveDocs: DataFrame): NearDupIndex =
+    NearDupIndex(lshBands(minhashSignatures(liveDocs, 32), 32, 32),
+      shingleSets(liveDocs))
+
+  /** One ingest probe: (new doc, live doc, jaccard) pairs at J ≥
+    * `threshold` between `newDocs` and the indexed live corpus —
+    * shared verbatim by the batch catalog row ([[dedupIngest]]) and
+    * the streaming per-micro-batch form
+    * (graft.streaming.IngestStreaming). Unordered: a streaming caller
+    * cannot sort an unbounded result. */
+  def ingestPairs(newDocs: DataFrame, idx: NearDupIndex,
+      threshold: Double = 0.5): DataFrame = {
     val nb = lshBands(minhashSignatures(newDocs, 32), 32, 32)
-    val lb = lshBands(minhashSignatures(liveDocs, 32), 32, 32)
-    val cands = nb.as("x").join(lb.as("y"),
+    val cands = nb.as("x").join(idx.bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("live_id"))
       .distinct()
     val shN = shingleSets(newDocs)
-    val shL = shingleSets(liveDocs)
     val inter = graft.functions.SortedIntersectCount.count(
       col("si"), col("sj"))
     val uni = size(col("si")) + size(col("sj")) - inter
     cands
       .join(shN.select(col("doc_id").as("new_id"), col("shs").as("si")),
         Seq("new_id"))
-      .join(shL.select(col("doc_id").as("live_id"), col("shs").as("sj")),
-        Seq("live_id"))
+      .join(idx.shingles.select(col("doc_id").as("live_id"),
+        col("shs").as("sj")), Seq("live_id"))
       .select(col("new_id"), col("live_id"),
         (inter.cast("double") / uni.cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  def dedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isNew = col("doc_id") % IngestMod === IngestRem
+    ingestPairs(d.filter(isNew), nearDupIndex(d.filter(!isNew)))
       .orderBy(col("new_id"), col("live_id"))
   }
 
