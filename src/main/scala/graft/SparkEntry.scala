@@ -102,6 +102,9 @@ object SparkEntry {
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     "dedup_passage" -> ((s: SparkSession, d: String) =>
       DedupOps.passageDedup(s, d)),
+    // per-source duplicate n-gram mass (Wimbd-style corpus stat)
+    "ngram_dup_mass" -> ((s: SparkSession, d: String) =>
+      DedupOps.ngramDupMass(s, d)),
     "para_dedup" -> (DedupOps.paraDedup _),
     "near_dup_clean" -> (DedupOps.nearDupClean _),
     "dedup_simhash" -> (DedupOps.dedupSimhash _),
@@ -140,6 +143,9 @@ object SparkEntry {
     "char_classes" -> (TextAnalysis.charClasses _),
     "heavy_hitters" -> ((s: SparkSession, d: String) =>
       SketchOps.heavyHitters(s, d)),
+    // count-min sketch point queries, fully oracled via the
+    // cross-engine quadratic hash family
+    "cms_counts" -> (SketchOps.cmsCounts _),
     "group_sample" -> ((s: SparkSession, d: String) =>
       PipelineOps.groupSample(s, d)),
     "seq_pack" -> (PipelineOps.seqPack _),
@@ -241,6 +247,7 @@ object SparkEntry {
     "dedup_simhash" -> DedupOps.dedupSimhashSql,
     "dedup_clusters" -> DedupOps.dedupClustersSql,
     "dedup_passage" -> DedupOps.passageDedupSql,
+    "ngram_dup_mass" -> DedupOps.ngramDupMassSql,
     "para_dedup" -> DedupOps.paraDedupSql,
     "near_dup_clean" -> DedupOps.nearDupCleanSql,
     "lang_id" -> TextAnalysis.langIdSql,
@@ -266,6 +273,7 @@ object SparkEntry {
     "kn_bigram" -> TextAnalysis.knBigramSql,
     "char_classes" -> TextAnalysis.charClassesSql,
     "heavy_hitters" -> SketchOps.heavyHittersSql,
+    "cms_counts" -> SketchOps.cmsCountsSql,
     "group_sample" -> PipelineOps.groupSampleSql,
     "seq_pack" -> PipelineOps.seqPackSql,
     "global_shuffle" -> PipelineOps.globalShuffleSql,

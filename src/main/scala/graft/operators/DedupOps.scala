@@ -450,14 +450,14 @@ object DedupOps {
     * affine layers joined by a squaring, all mod P = 2³¹−1. Every
     * intermediate fits in a 64-bit long: h,q < 2³¹ so h·h < 2⁶², and
     * (h·h mod P)·a₂ < 2⁶². */
-  private def quadHash(vid: Column, seed: Long): Column = {
+  private[graft] def quadHash(vid: Column, seed: Long): Column = {
     val p = TextQueries.SamplePrime
     val (a2, b2) = TextQueries.sampleHashConstants(seed + 77)
     val h = TextQueries.seededHashCol(vid, seed)
     pmod(pmod(h * h, lit(p)) * a2 + b2 + h, lit(p))
   }
 
-  private def quadHashSql(vidExpr: String, seed: Long): String = {
+  private[graft] def quadHashSql(vidExpr: String, seed: Long): String = {
     val p = TextQueries.SamplePrime
     val (a2, b2) = TextQueries.sampleHashConstants(seed + 77)
     val h = TextQueries.seededHashSqlExpr(vidExpr, seed)
@@ -843,6 +843,60 @@ object DedupOps {
       |  1000000 * n_dup // n_win AS dup_ppm,
       |  (1000000 * n_dup // n_win >= 200000) AS has_dup_passage
       |FROM per ORDER BY doc_id""".stripMargin
+
+  /** Corpus-level duplicate n-gram mass, per source — the Wimbd-style
+    * corpus statistic (Elazar et al. 2024, "What's In My Big Data?"):
+    * of all length-`w` token-window OCCURRENCES in a source, what
+    * fraction are repeats of a window already seen (within-doc
+    * repeats count — a window occurring c times contributes c−1
+    * repeats)? High mass means boilerplate/templated content dominates
+    * the source, and predicts how much [[passageDedup]] will remove —
+    * this is the cheap per-source dashboard number; passageDedup is
+    * the per-doc actionable output.
+    *
+    * Scale shape: one explode (linear in corpus tokens) → one
+    * (source, window-hash) partial+final count — map-side combine
+    * collapses each task's repeats — → one |sources|-row agg. No
+    * joins, no pair scan. Same xxhash64-vs-string-window oracle
+    * contract as [[passageDedup]]: hash-grouped counts equal
+    * string-grouped counts absent 64-bit collisions on the realized
+    * window set. */
+  def ngramDupMass(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val occ = docs(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("ts"))
+      .select(col("source"),
+        explode(windowHashes64(col("ts"), w)).as("g"))
+    occ.groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_occ"),
+        count(lit(1)).as("n_kinds"),
+        sum(col("c") - 1).as("n_rep"))
+      .select(col("source"), col("n_occ"), col("n_kinds"), col("n_rep"),
+        expr("1000000 * n_rep DIV n_occ").as("rep_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val ngramDupMassSql: String =
+    """WITH d AS (
+      |  SELECT source, string_split(text, ' ') AS ts, text FROM documents),
+      |wnd AS (
+      |  SELECT source,
+      |    CASE WHEN len(ts) < 8 THEN [text]
+      |         ELSE list_transform(range(1, len(ts) - 6),
+      |                i -> array_to_string(list_slice(ts, i, i + 7), ' ')) END AS ws
+      |  FROM d),
+      |occ AS (SELECT source, unnest(ws) AS g FROM wnd),
+      |per AS (
+      |  SELECT source, g, COUNT(*) AS c FROM occ GROUP BY source, g),
+      |agg AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_occ,
+      |    COUNT(*) AS n_kinds,
+      |    CAST(SUM(c - 1) AS BIGINT) AS n_rep
+      |  FROM per GROUP BY source)
+      |SELECT source, n_occ, n_kinds, n_rep,
+      |  1000000 * n_rep // n_occ AS rep_ppm
+      |FROM agg ORDER BY source""".stripMargin
 
   // ------------- End-to-end near-dup clean -------------
 

@@ -111,4 +111,96 @@ object SketchOps {
       |SELECT w AS word, cnt FROM wf, n
       |WHERE cnt * 33 > n
       |ORDER BY cnt DESC, word ASC""".stripMargin
+
+  // ----------------- count-min sketch -----------------
+
+  /** CMS geometry: d hash rows × w buckets. Cormode & Muthukrishnan
+    * 2005 ("An improved data stream summary: the count-min sketch"):
+    * overestimate-only point queries, est ≤ true + εN with
+    * probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉; summaries merge by
+    * cell-wise addition. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+  private val CmsSeeds = Seq(101L, 103L, 107L, 109L)
+  /** Queried terms: the exact top-[[CmsTopK]] by (count desc, term). */
+  val CmsTopK = 30
+
+  /** Count-min sketch over document words, point-queried for the
+    * exact top-[[CmsTopK]] terms: (word, exact cnt, CMS est,
+    * overestimate). Complements [[heavyHitters]] in the mergeable-
+    * sketch family — MG answers "which keys are frequent", CMS
+    * answers "how frequent is THIS key" for any key, in d·w fixed
+    * cells.
+    *
+    * Scale shape: the counter build is one explode + one (row,
+    * bucket) partial+final agg whose result is ≤ d·w rows — a
+    * broadcast-sized table no matter the corpus; the point-query side
+    * joins the queried keys to it on the bucket equi-key. The exact
+    * counts (verify side, same as heavy_hitters) are a vocab-bounded
+    * agg. Hash family: vocab rank → quadratic hash mod P mod w — the
+    * [[DedupOps.quadHash]] family both engines compute bit-identically
+    * (rank over the sorted distinct vocabulary; binary UTF-8 order on
+    * both), so the row is FULLY ORACLED: DuckDB rebuilds the whole
+    * sketch and every estimate matches exactly. */
+  def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val vocab = tf.withColumn("vid",
+      row_number().over(Window.orderBy(col("tok"))).cast("long"))
+    val buckets = (cmsRow: Int) =>
+      pmod(DedupOps.quadHash(col("vid"), CmsSeeds(cmsRow)),
+        lit(CmsWidth.toLong))
+    val cells = vocab.select(col("cnt"),
+        posexplode(array((0 until CmsDepth).map(buckets): _*)))
+      .groupBy(col("pos").as("r"), col("col").as("bucket"))
+      .agg(sum(col("cnt")).as("total"))
+    val queried = vocab
+      .orderBy(col("cnt").desc, col("tok")).limit(CmsTopK)
+      .select(col("tok"), col("cnt"),
+        posexplode(array((0 until CmsDepth).map(buckets): _*)))
+      .withColumnRenamed("pos", "r").withColumnRenamed("col", "bucket")
+    queried.join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy(col("tok"), col("cnt"))
+      .agg(min(col("total")).as("est"))
+      .select(col("tok").as("word"), col("cnt"), col("est"),
+        (col("est") - col("cnt")).as("overcount"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
+  val cmsCountsSql: String = {
+    val bucketSql = (i: Int) =>
+      s"(${DedupOps.quadHashSql("vid", CmsSeeds(i))}) % $CmsWidth"
+    val unpivot = (0 until CmsDepth).map(i =>
+      s"SELECT $i AS r, ${bucketSql(i)} AS bucket, cnt FROM v")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tf AS (
+       |  SELECT tok, COUNT(*) AS cnt FROM w WHERE len(tok) > 0
+       |  GROUP BY tok),
+       |v AS (
+       |  SELECT tok, cnt, ROW_NUMBER() OVER (ORDER BY tok) AS vid
+       |  FROM tf),
+       |cells0 AS (
+       |  $unpivot),
+       |cells AS (
+       |  SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS total FROM cells0
+       |  GROUP BY r, bucket),
+       |q AS (
+       |  SELECT tok, cnt, vid FROM v
+       |  ORDER BY cnt DESC, tok LIMIT $CmsTopK),
+       |qb AS (
+       |  ${(0 until CmsDepth).map(i =>
+            s"SELECT tok, cnt, $i AS r, ${bucketSql(i)} AS bucket FROM q")
+            .mkString("\n  UNION ALL ")}),
+       |est AS (
+       |  SELECT qb.tok, qb.cnt, MIN(c.total) AS est
+       |  FROM qb JOIN cells c ON qb.r = c.r AND qb.bucket = c.bucket
+       |  GROUP BY qb.tok, qb.cnt)
+       |SELECT tok AS word, cnt, est, est - cnt AS overcount FROM est
+       |ORDER BY cnt DESC, word""".stripMargin
+  }
 }
