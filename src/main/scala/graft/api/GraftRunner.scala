@@ -120,7 +120,11 @@ object GraftRunner {
         case (k, v) if k.startsWith("archive.") =>
           archs += k.stripPrefix("archive.") -> v
         case (k, v) if k.startsWith("list.") =>
-          val name = k.stripPrefix("list.")
+          // `list.<name>.<idx>` allows several entries in ONE
+          // properties file (duplicate keys are illegal there; mrjob's
+          // YAML just writes a list) — entries append in sorted-key
+          // order, so zero-pad indices past 9
+          val name = k.stripPrefix("list.").replaceAll("\\.\\d+$", "")
           lists += name -> (lists.getOrElse(name, Vector.empty) :+ v)
         case (k, v) => scalars += k -> v
       }
@@ -129,7 +133,10 @@ object GraftRunner {
       passthru = scalars ++
         lists.map { case (k, v) => k -> v.mkString(",") },
       fileArgs = files,
-      archives = archs)
+      archives = archs,
+      // verbatim list values too: the comma-joined passthru is lossy
+      // for values that CONTAIN commas (setup shell commands do)
+      listArgs = lists)
   }
 
   /** `with mr_job.make_runner() as runner:` (runner.py:621-624) —

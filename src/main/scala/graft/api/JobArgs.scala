@@ -31,7 +31,14 @@ import org.apache.spark.sql.SparkSession
 final case class JobArgs(
     passthru: Map[String, String] = Map.empty,
     fileArgs: Map[String, String] = Map.empty,
-    archives: Map[String, String] = Map.empty) extends Serializable {
+    archives: Map[String, String] = Map.empty,
+    listArgs: Map[String, Seq[String]] = Map.empty) extends Serializable {
+
+  /** The job's `--setup` commands (conf `list.setup` entries,
+    * concatenated earlier→later per mrjob's combine_lists —
+    * mrjob/conf.py): pass to [[SetupCmd.stage]]. Kept verbatim here
+    * because the comma-joined passthru form is lossy for shell text. */
+  def setupCmds: Seq[String] = listArgs.getOrElse("setup", Nil)
 
   def passthruOrElse(name: String, default: String): String =
     passthru.getOrElse(name, default)

@@ -62,4 +62,41 @@ object IngestStreaming {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming count-min sketch over document words — the frequency
+    * counterpart of EventStreaming.heavyHitterStream, with a stronger
+    * state story: the CMS cell table IS a plain streaming aggregation
+    * whose key space is d×w BY CONSTRUCTION (the hash range), so
+    * "bounded state" needs no custom GroupState at all — a streaming
+    * `groupBy(r, bucket).count()` can never hold more than
+    * [[graft.operators.SketchOps.CmsDepth]] ×
+    * [[graft.operators.SketchOps.CmsWidth]] rows no matter how large
+    * the vocabulary grows (a streaming `groupBy(word)` holds the
+    * whole vocabulary). Cells are additive, so micro-batches merge by
+    * the aggregation itself; any consumer answers point queries with
+    * min over the d cells of a key, exactly as in the batch operator.
+    *
+    * Hash family: xxhash64 over (row-index, token) — the PRODUCTION
+    * hash (no vocab rank: a stream cannot rank a global vocabulary).
+    * The spec pins stream cells == batch cells under the same hash,
+    * and the overestimate property per queried word. */
+  def cmsCellsStream(spark: SparkSession, docsDir: String,
+      depth: Int = graft.operators.SketchOps.CmsDepth,
+      width: Int = graft.operators.SketchOps.CmsWidth): DataFrame =
+    cmsCellsOf(
+      spark.readStream.schema(DocSchema).parquet(docsDir), depth, width)
+
+  /** Shared cell-build expression — one explode + one (r, bucket)
+    * partial+final agg; the spec runs it on the batch table to get
+    * ground truth for the stream. */
+  def cmsCellsOf(docs: DataFrame, depth: Int, width: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(posexplode(array((0 until depth).map(i =>
+        pmod(xxhash64(lit(i), col("tok")), lit(width.toLong))): _*)))
+      .withColumnRenamed("pos", "r").withColumnRenamed("col", "bucket")
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("total"))
+  }
 }

@@ -55,4 +55,49 @@ class IngestStreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must produce at least one near-dup pair")
     assert(got == want)
   }
+
+  test("streaming CMS cells: bounded key space, stream equals batch, " +
+    "point queries never underestimate") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+    // FileStreamSource needs a DIRECTORY; the sf table is one file
+    val landing = Files.createTempDirectory("graft_cms_stream")
+    Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      landing.resolve("part-0.parquet"))
+    val docsPath = landing.toString
+
+    val q = graft.streaming.IngestStreaming.cmsCellsStream(spark, docsPath)
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cms_cells").collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      // key space bounded by construction
+      assert(got.size <= graft.operators.SketchOps.CmsDepth *
+        graft.operators.SketchOps.CmsWidth)
+      // stream == batch under the same hash family
+      val want = graft.streaming.IngestStreaming.cmsCellsOf(d,
+          graft.operators.SketchOps.CmsDepth,
+          graft.operators.SketchOps.CmsWidth).collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(got == want)
+      // overestimate-only point queries for ten sample words
+      val words = d.select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").count()
+        .orderBy(col("count").desc, col("tok")).limit(10)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      words.foreach { case (w, cnt) =>
+        // compute buckets through the engine so hash semantics match
+        val bs = spark.range(1).select(array(
+          (0 until graft.operators.SketchOps.CmsDepth).map(i =>
+            pmod(xxhash64(lit(i), lit(w)),
+              lit(graft.operators.SketchOps.CmsWidth.toLong))): _*).as("bs"))
+          .collect()(0).getSeq[Long](0)
+        val pointEst = bs.zipWithIndex.map { case (b, i) => got((i, b)) }.min
+        assert(pointEst >= cnt, s"$w: est $pointEst < true $cnt")
+      }
+    } finally q.stop()
+  }
 }

@@ -131,6 +131,41 @@ class SetupCmdSpec extends AnyFunSuite {
     assert(listing.contains("notes.txt"))
   }
 
+  test("conf-file setup lists concatenate earlier->later and stage " +
+    "verbatim (combine_lists, mrjob/conf.py)") {
+    import graft.api.GraftRunner
+    val tmp = Files.createTempDirectory("graft_setup_conf")
+    val data = tmp.resolve("data.txt")
+    Files.writeString(data, "x\n")
+    // one file with TWO indexed entries, a second file appending one
+    // more — and a comma INSIDE a command, which the comma-joined
+    // passthru form cannot carry
+    val confA = tmp.resolve("a.properties")
+    Files.writeString(confA,
+      s"list.setup.0=cat $data# > a.txt\n" +
+        "list.setup.1=echo one,two > b.txt\n")
+    val confB = tmp.resolve("b.properties")
+    Files.writeString(confB, "list.setup=echo three > c.txt\n")
+    val args = GraftRunner.loadConf(confA.toString, confB.toString)
+    assert(args.setupCmds == Seq(
+      s"cat $data# > a.txt", "echo one,two > b.txt", "echo three > c.txt"))
+
+    val staged = SetupCmd.stage(spark, args.setupCmds, "setup-conf-1")
+    assert(staged.renderedCmds == Seq(
+      "cat $__GRAFT_PWD/data.txt > a.txt",
+      "echo one,two > b.txt", "echo three > c.txt"))
+    import spark.implicits._
+    spark.range(2).repartition(2).mapPartitions { it =>
+      staged.ensure(); it
+    }.count()
+    val wd = StagedSetup.workDir.get
+    assert(Files.readString(java.nio.file.Paths.get(wd, "a.txt")) == "x\n")
+    assert(Files.readString(java.nio.file.Paths.get(wd, "b.txt")) ==
+      "one,two\n")
+    assert(Files.readString(java.nio.file.Paths.get(wd, "c.txt")) ==
+      "three\n")
+  }
+
   test("a failing setup command aborts with its exit status") {
     import spark.implicits._
     val staged = SetupCmd.stage(spark, Seq("exit 3"), jobKey = "setup-fail-1")
