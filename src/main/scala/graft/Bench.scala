@@ -111,7 +111,11 @@ object Bench {
       // learner (rounds fixed, each linear), and the tf-idf join
       "dedup_simhash", "dedup_ingest", "source_overlap",
       "source_diversity", "bm25_topk", "pq_topk", "ann_int8",
-      "bpe_encode", "tf_idf")
+      "bpe_encode", "tf_idf",
+      // round-5 additions: df-capped containment pair join
+      // (Σ min(df,cap)² fan-out, same bound family as doc_sim_sparse)
+      // and the zero-shuffle codegen'd char-entropy scan
+      "dedup_containment", "char_entropy")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up

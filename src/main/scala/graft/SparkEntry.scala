@@ -94,6 +94,7 @@ object SparkEntry {
     "text_scrub" -> (TextAnalysis.textScrub _),
     "skew_salted_agg" -> (SkewOps.skewSaltedAgg _),
     "skew_salted_join" -> (SkewOps.skewSaltedJoin _),
+    "dedup_containment" -> (DedupOps.dedupContainment _),
     "dedup_fingerprint" -> (DedupOps.dedupFingerprint _),
     "dedup_jaccard" -> (DedupOps.dedupJaccard _),
     "dedup_minhash" -> (DedupOps.dedupMinhash _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "source_diversity" -> (TextAnalysis.sourceDiversity _),
     "kn_bigram" -> (TextAnalysis.knBigram _),
     "char_classes" -> (TextAnalysis.charClasses _),
+    "char_entropy" -> (TextAnalysis.charEntropy _),
     "heavy_hitters" -> ((s: SparkSession, d: String) =>
       SketchOps.heavyHitters(s, d)),
     // count-min sketch point queries, fully oracled via the
@@ -242,6 +244,7 @@ object SparkEntry {
     "dedup_exact" -> DedupOps.dedupExactSql,
     "dedup_keep" -> DedupOps.dedupKeepSql,
     "text_scrub" -> TextAnalysis.textScrubSql,
+    "dedup_containment" -> DedupOps.dedupContainmentSql,
     "dedup_fingerprint" -> DedupOps.dedupFingerprintSql,
     "dedup_jaccard" -> DedupOps.dedupJaccardSql,
     "dedup_simhash" -> DedupOps.dedupSimhashSql,
@@ -272,6 +275,7 @@ object SparkEntry {
     "source_diversity" -> TextAnalysis.sourceDiversitySql,
     "kn_bigram" -> TextAnalysis.knBigramSql,
     "char_classes" -> TextAnalysis.charClassesSql,
+    "char_entropy" -> TextAnalysis.charEntropySql,
     "heavy_hitters" -> SketchOps.heavyHittersSql,
     "cms_counts" -> SketchOps.cmsCountsSql,
     "group_sample" -> PipelineOps.groupSampleSql,

@@ -1117,4 +1117,96 @@ object DedupOps {
        |  AND l.doc_id % $BloomMod <> $BloomRem
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------- containment (doc-in-doc) near-dup ----------------
+
+  /** Rare-shingle df cap for [[dedupContainment]] — shingles shared by
+    * more than this many documents are boilerplate and excluded from
+    * BOTH the numerator and denominator (the cap is part of the
+    * operator's definition, mirrored exactly by the oracle, so the
+    * score stays deterministic rather than an approximation of an
+    * uncapped ideal). */
+  val ContainCap = 50
+  /** Directed containment threshold. */
+  val ContainTau = 0.8
+
+  /** Directed CONTAINMENT-scored near-dup: C(A,B) = |S(A)∩S(B)| /
+    * |S(A)| over distinct rare word-3-gram shingles — Broder's
+    * containment measure (1997, "On the resemblance and containment
+    * of documents") as opposed to the resemblance (Jaccard) the
+    * [[dedupJaccard]] family scores. Catches the doc-in-doc duplication
+    * resemblance misses by construction: a short page quoted wholesale
+    * inside a long one has J ≈ |A|/|B| ≈ 0 but C(A→B) ≈ 1. Crawl
+    * pipelines need both (quote-inflation and template-wrapping are
+    * containment events, not resemblance events).
+    *
+    * Scale shape: candidate pairs come from the rare-shingle self
+    * equi-join, so the fan-out is Σ_sh min(df, [[ContainCap]])² — the
+    * same df-capped bound as doc_sim_sparse's champion lists, never
+    * N². The df filter runs BEFORE the pair join (boilerplate
+    * shingles, the only unbounded-df keys, never enter it). Shingles
+    * are 64-bit chained xxhash64 (collision ≈ |shingles|²/2⁶⁵ — at
+    * 30-bit this operator WOULD diverge from the string oracle, since
+    * shingle identity enters the score directly, unlike the LSH paths
+    * where candidates only need to be a superset). Distinct-per-doc
+    * projection before every aggregate keeps counts set-valued.
+    * Output: directed pairs a→b with C ≥ [[ContainTau]]; the score
+    * double is a division of two exactly-agreed integers, so it is
+    * bit-identical across engines. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(docs(spark, dir))
+
+  /** Core of [[dedupContainment]] over any (doc_id, text) frame —
+    * factored for the planted-corpus spec. */
+  def containmentPairs(docsDf: DataFrame, cap: Int = ContainCap,
+      tau: Double = ContainTau): DataFrame = {
+    val d = docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+    val grams = d
+      .select(col("doc_id"), explode(shingleHashes64(col("ts"))).as("sh"))
+      .distinct()
+    val rareSh = grams.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select(col("sh"))
+    val rare = grams.join(rareSh, Seq("sh"))
+    val na = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    val shared = rare.as("a")
+      .join(rare.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(na.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("shared").cast("double") / col("na").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= tau)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    ts[CAST(g AS INT)] || ' ' || ts[CAST(g AS INT) + 1] || ' ' ||
+       |      ts[CAST(g AS INT) + 2] AS sh
+       |  FROM toks, UNNEST(range(1, len(ts) - 1)) AS t(g)),
+       |rare AS (
+       |  SELECT s.doc_id, s.sh FROM sh s
+       |  JOIN (SELECT sh FROM sh GROUP BY sh
+       |        HAVING COUNT(*) <= $ContainCap) r USING (sh)),
+       |na AS (SELECT doc_id, COUNT(*) AS na FROM rare GROUP BY 1),
+       |shared AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+       |  FROM rare a JOIN rare b USING (sh)
+       |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  CAST(shared AS DOUBLE) / CAST(na.na AS DOUBLE) AS containment
+       |FROM shared JOIN na ON na.doc_id = shared.a_id
+       |WHERE CAST(shared AS DOUBLE) / CAST(na.na AS DOUBLE) >= $ContainTau
+       |ORDER BY a_id, b_id""".stripMargin
 }

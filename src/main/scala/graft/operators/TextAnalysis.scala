@@ -1476,4 +1476,45 @@ object TextAnalysis {
       |FROM nd JOIN tokt USING (source) JOIN tokd USING (source)
       |  JOIN tri USING (source)
       |ORDER BY nd.source""".stripMargin
+
+  /** Shannon character entropy per document, integer micro-nats —
+    * the CCNet-family junk detector `quality_score`'s ratios miss:
+    * low entropy flags repeated-char padding / template boilerplate /
+    * single-char floods even when length and punctuation look normal.
+    *
+    * Scale shape: ZERO shuffles. The entropy is a per-row scalar
+    * computed by the codegen'd [[graft.functions.CharEntropyMicro]]
+    * expression inside the scan stage (a char-level explode+groupBy
+    * would shuffle one row per CHARACTER — a full-corpus-sized
+    * shuffle at 100 TB); the only exchange is the output ORDER BY,
+    * which the driver-gate's sorted compare needs anyway.
+    *
+    * Determinism: per-char terms quantized to micro-nat LONGs before
+    * the order-independent integer sum (the tf_idf idf_micro idiom);
+    * final divide is integral with positive operands. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        graft.functions.CharEntropyMicro.entropy(col("text"))
+          .as("entropy_micro"))
+      .orderBy(col("doc_id"))
+
+  val charEntropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, substr(text, CAST(g AS INT), 1) AS c
+      |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(g)),
+      |cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(round(k * ln(CAST(k AS DOUBLE)) * 1000000)
+      |      AS BIGINT)) AS BIGINT) AS s
+      |  FROM cnt GROUP BY 1),
+      |n AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+      |      FROM documents)
+      |SELECT n.doc_id, n.n_chars,
+      |  CASE WHEN n.n_chars = 0 THEN 0
+      |    ELSE CAST(round(ln(CAST(n.n_chars AS DOUBLE)) * 1000000) AS BIGINT)
+      |      - (terms.s // n.n_chars) END AS entropy_micro
+      |FROM n LEFT JOIN terms USING (doc_id)
+      |ORDER BY n.doc_id""".stripMargin
 }
