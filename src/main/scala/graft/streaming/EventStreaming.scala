@@ -364,4 +364,61 @@ object EventStreaming {
       .groupBy(col("segment"), col("event_type"))
       .agg(count(lit(1)).as("n"))
   }
+
+  case class QuantileSnap(event_type: String, n_events: Long,
+      p50_cents: Long, p95_cents: Long, p99_cents: Long)
+
+  /** Streaming exact-histogram quantiles: per event type, a running
+    * value-cents histogram carried as mapGroupsWithState state, with
+    * p50/p95/p99 re-derived from the cumulative counts each
+    * micro-batch — the incremental form of
+    * [[graft.operators.EventQueries.eventsQuantilesExact]]'s
+    * histogram-running-sum idiom (same pX = min{c : 100·cum ≥ X·n}
+    * integer-rank definition, no interpolation).
+    *
+    * Why a histogram and not a GK/t-digest sketch: histogram counts
+    * are ORDER-INDEPENDENT (addition commutes), so the streaming
+    * answer is bit-equal to the batch answer at every snapshot — an
+    * exactness contract no merge-order-sensitive sketch gives, and
+    * the property the spec pins (N-micro-batch run ≡ one-shot batch).
+    *
+    * State bound: distinct cents-bins per event type — the VALUE
+    * DOMAIN, not the event count; the same domain bound the batch
+    * op's histogram shuffle relies on. `binCents` coarsens state by
+    * floorDiv-bucketing cents (state ≤ domain/binCents; emitted
+    * quantiles become bucket lower bounds, error < binCents); the
+    * default 1 keeps bins = cents and the result exact. Update-mode
+    * snapshots: consumers keep the LATEST row per event_type. */
+  def quantileStream(spark: SparkSession, eventsDir: String,
+      binCents: Long = 1L): Dataset[QuantileSnap] = {
+    import spark.implicits._
+    require(binCents >= 1, s"binCents must be >= 1, got $binCents")
+    val cents = eventStream(spark, eventsDir)
+      .select(col("event_type").as[String],
+        round(col("value") * 100d).cast("long").as[Long])
+    cents.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[(String, Long)],
+         state: GroupState[Map[Long, Long]]) =>
+          var hist = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { case (_, c) =>
+            val bin = Math.floorDiv(c, binCents)
+            hist = hist.updated(bin, hist.getOrElse(bin, 0L) + 1L)
+          }
+          state.update(hist)
+          val n = hist.valuesIterator.sum
+          val sorted = hist.toArray.sortBy(_._1)
+          def q(num: Long, den: Long): Long = {
+            var cum = 0L
+            var i = 0
+            while (i < sorted.length) {
+              cum += sorted(i)._2
+              if (cum * den >= n * num) return sorted(i)._1 * binCents
+              i += 1
+            }
+            sorted.last._1 * binCents
+          }
+          QuantileSnap(etype, n, q(1, 2), q(19, 20), q(99, 100))
+      }
+  }
 }
