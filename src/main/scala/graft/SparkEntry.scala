@@ -165,6 +165,7 @@ object SparkEntry {
     "events_quantiles" -> ((s: SparkSession, d: String) =>
       EventQueries.eventsQuantiles(s, d)),
     "events_quantiles_exact" -> (EventQueries.eventsQuantilesExact _),
+    "events_winsorize" -> (EventQueries.eventsWinsorize _),
     "events_gap_stats" -> (EventQueries.eventsGapStats _),
     "events_attribution" -> (EventQueries.eventsAttribution _),
     "events_funnel" -> (EventQueries.eventsFunnel _),
@@ -298,6 +299,7 @@ object SparkEntry {
     "events_cube" -> EventQueries.eventsCubeSql,
     "events_anomaly" -> EventQueries.eventsAnomalySql,
     "events_quantiles_exact" -> EventQueries.eventsQuantilesExactSql,
+    "events_winsorize" -> EventQueries.eventsWinsorizeSql,
     "events_gap_stats" -> EventQueries.eventsGapStatsSql,
     "events_moving_avg" -> EventQueries.eventsMovingAvgSql,
     "triangle_count" -> TextQueries.triangleCountSql,

@@ -659,4 +659,79 @@ object EventQueries {
       |  (svm - svm % n_in_window) // n_in_window AS avg_value_milli
       |FROM m
       |ORDER BY user_id, event_id""".stripMargin
+
+  /** Winsorized (clamped-tail) robust aggregate per event type: values
+    * clamped to the EXACT [p05, p99] cents bounds, then summed — the
+    * outlier-robust metric a feature/reward pipeline reports when a
+    * handful of extreme values would otherwise own the mean. Exact
+    * discrete quantile bounds via the value-histogram running sum (the
+    * [[eventsQuantilesExact]] idiom: pX = min{c : 100·cum ≥ X·n},
+    * all-integer, no interpolation), NOT percentile_approx — the clamp
+    * bound is part of the metric's definition, so it must be
+    * deterministic.
+    *
+    * Scale shape: the quantile window runs over HISTOGRAM rows
+    * (distinct cent values per type, domain-bounded) — never a
+    * corpus sort; the |types|-row bounds table is broadcast back, so
+    * the event stream takes exactly two linear passes (histogram agg,
+    * clamp+sum agg), both partial+final. All integer math: cents are
+    * exact, sums fit BIGINT, the milli average is an integral DIV of
+    * positive operands (the eventsMovingAvg sign discipline). */
+  def eventsWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100d).cast("long").as("c"))
+    val hist = e.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.select(col("event_type"), col("c"),
+      sum(col("cnt")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("c"))).as("cum"))
+    val n = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val bounds = cum.join(n, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") * 20 >= col("n"), col("c"))).as("p05_cents"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("c")))
+          .as("p99_cents"))
+    e.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("w", greatest(col("p05_cents"),
+        least(col("p99_cents"), col("c"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("p05_cents")).as("p05_cents"),
+        max(col("p99_cents")).as("p99_cents"),
+        sum(col("c")).as("sum_cents"),
+        sum(col("w")).as("winsor_sum_cents"))
+      .withColumn("winsor_avg_milli",
+        expr("(winsor_sum_cents * 10) DIV n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsWinsorizeSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |hist AS (
+      |  SELECT event_type, c, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, c,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum
+      |  FROM hist),
+      |n AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+      |bounds AS (
+      |  SELECT cum.event_type,
+      |    MIN(CASE WHEN cum * 20 >= n THEN c END) AS p05_cents,
+      |    MIN(CASE WHEN cum * 100 >= n * 99 THEN c END) AS p99_cents
+      |  FROM cum JOIN n USING (event_type)
+      |  GROUP BY cum.event_type)
+      |SELECT e.event_type, COUNT(*) AS n_events,
+      |  MAX(b.p05_cents) AS p05_cents,
+      |  MAX(b.p99_cents) AS p99_cents,
+      |  CAST(SUM(e.c) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(GREATEST(b.p05_cents, LEAST(b.p99_cents, e.c)))
+      |    AS BIGINT) AS winsor_sum_cents,
+      |  CAST(SUM(GREATEST(b.p05_cents, LEAST(b.p99_cents, e.c)))
+      |    AS BIGINT) * 10 // COUNT(*) AS winsor_avg_milli
+      |FROM e JOIN bounds b USING (event_type)
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
 }

@@ -373,6 +373,28 @@ class QueriesSpec extends AnyFunSuite {
       }
   }
 
+  test("events_winsorize equals a direct clamp replay at exact bounds") {
+    val cents = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def rankQ(xs: Array[Long], q100: Int): Long =
+      xs((xs.length * q100 + 99) / 100 - 1)
+    val got = operators.EventQueries.eventsWinsorize(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    cents.foreach { case (t, xs) =>
+      val r = got(t)
+      val (p05, p99) = (rankQ(xs, 5), rankQ(xs, 99))
+      assert(r.getAs[Long]("p05_cents") == p05)
+      assert(r.getAs[Long]("p99_cents") == p99)
+      assert(r.getAs[Long]("sum_cents") == xs.sum)
+      val wsum = xs.map(c => math.max(p05, math.min(p99, c))).sum
+      assert(r.getAs[Long]("winsor_sum_cents") == wsum,
+        s"winsorized sum off for $t")
+      assert(r.getAs[Long]("winsor_avg_milli") == wsum * 10 / xs.length)
+    }
+  }
+
   test("events_gap_stats equals a direct sorted-gap replay") {
     val byUser = graft.sources.Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts_us").as("us"))
