@@ -26,6 +26,8 @@ object SparkEntry {
     "q5_window" -> (RelationalQueries.q5Window _),
     "q6_distinct" -> (RelationalQueries.q6Distinct _),
     "hll_distinct" -> (RelationalQueries.hllDistinct _),
+    "hll_md5" -> (SketchOps.hllMd5 _),
+    "hll_by_source" -> (SketchOps.hllBySource _),
     "q7_setops" -> (RelationalQueries.q7SetOps _),
     "q8_semi_anti" -> (RelationalQueries.q8SemiAnti _),
     "q9_rollup" -> (RelationalQueries.q9Rollup _),
@@ -279,6 +281,8 @@ object SparkEntry {
     "char_entropy" -> TextAnalysis.charEntropySql,
     "heavy_hitters" -> SketchOps.heavyHittersSql,
     "cms_counts" -> SketchOps.cmsCountsSql,
+    "hll_md5" -> SketchOps.hllMd5Sql,
+    "hll_by_source" -> SketchOps.hllBySourceSql,
     "group_sample" -> PipelineOps.groupSampleSql,
     "seq_pack" -> PipelineOps.seqPackSql,
     "global_shuffle" -> PipelineOps.globalShuffleSql,

@@ -203,4 +203,148 @@ object SketchOps {
        |SELECT tok AS word, cnt, est, est - cnt AS overcount FROM est
        |ORDER BY cnt DESC, word""".stripMargin
   }
+
+  // ---------------- fully-oracled HyperLogLog ----------------
+
+  /** HLL precision: p=12 → m=4096 registers, ~1.04/√m ≈ 1.6% std
+    * error. */
+  val HllM = 4096
+
+  /** HyperLogLog distinct-count (Flajolet et al. 2007), FULLY ORACLED:
+    * unlike `hll_distinct` (Spark's approx_count_distinct — rows-only,
+    * its internal hash family can't be replayed in the oracle), this
+    * builds the sketch from an engine-agnostic hash — the first 15 hex
+    * chars of md5 (60 bits; md5 is bit-identical everywhere) — so
+    * DuckDB reconstructs the SAME 4096 registers digit-by-digit and
+    * the estimate matches to the last bit. Register math is
+    * all-integer: rho from the bit length of the 48-bit remainder,
+    * register sums as Σ 2^(62−r) in DECIMAL(38,0) (exact; a double
+    * Σ 2^−r would be summation-order-dependent), and the final
+    * raw-estimate / linear-counting doubles are divisions of exactly
+    * agreed integers with shared literals.
+    *
+    * Scale shape: the canonical mergeable sketch — one hash pass,
+    * partial+final MAX per (column, bucket), ≤ m register rows per
+    * column ever shuffled. The n_exact column is the verification
+    * contract (a COUNT(DISTINCT) the oracle replays); a production
+    * 100 TB run would emit only the sketch side — the whole point is
+    * never paying that distinct shuffle. */
+  def hllMd5(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val vals = e.select(lit("user_id").as("key"),
+        col("user_id").cast("string").as("v"))
+      .unionAll(e.select(lit("event_id").as("key"),
+        col("event_id").cast("string").as("v")))
+    hllEstimate(vals)
+      .select(col("key").as("column_name"), col("n_exact"),
+        col("hll_estimate"), col("v_empty"))
+      .orderBy(col("column_name"))
+  }
+
+  /** The shared sketch core: input (key STRING, v STRING) → one row
+    * per key with (key, n_exact, hll_estimate, v_empty). See
+    * [[hllMd5]] for the determinism contract. */
+  def hllEstimate(vals: DataFrame): DataFrame = {
+    val regs = vals
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(v), 1, 15), 16, 10) AS BIGINT)"))
+      // top 12 bits → bucket, low 48 bits → rank input
+      .withColumn("bucket", expr("h DIV 281474976710656"))
+      .withColumn("rem", expr("h % 281474976710656"))
+      .withColumn("rho", expr(
+        "CASE WHEN rem = 0 THEN 49 ELSE 49 - length(bin(rem)) END"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val summ = regs.groupBy(col("key"))
+      .agg(count(lit(1)).as("present"),
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(62 - r AS INT)) AS DECIMAL(38,0))")).as("s_present"))
+      .withColumn("v_empty", lit(HllM) - col("present"))
+      .withColumn("s_d", expr("CAST(s_present + CAST(v_empty AS " +
+        "DECIMAL(38,0)) * CAST(4611686018427387904 AS DECIMAL(38,0)) " +
+        "AS DOUBLE)"))
+      .withColumn("e_raw", expr("(0.7213/(1+1.079/4096)) * 4096 * 4096" +
+        " * CAST(4611686018427387904 AS DOUBLE) / s_d"))
+      .withColumn("e", expr("CASE WHEN e_raw <= 2.5*4096 AND " +
+        "v_empty > 0 THEN 4096.0 * ln(4096.0 / v_empty) ELSE e_raw END"))
+    val exact = vals.groupBy(col("key"))
+      .agg(countDistinct(col("v")).as("n_exact"))
+    summ.join(exact, Seq("key"))
+      .select(col("key"), col("n_exact"),
+        expr("CAST(round(e) AS BIGINT)").as("hll_estimate"),
+        col("v_empty"))
+  }
+
+  /** Grouped HLL: per-SOURCE distinct-token estimates — the shape a
+    * 100 TB corpus report actually runs (per-domain vocabulary sizes
+    * without a per-domain COUNT(DISTINCT token) shuffle). Same
+    * fully-oracled md5 sketch as [[hllMd5]], keyed by `source`; the
+    * register table is ≤ m rows per source, so the heavy token stream
+    * collapses map-side into (source, bucket) maxes. */
+  def hllBySource(spark: SparkSession, dir: String): DataFrame =
+    hllEstimate(docs(spark, dir)
+      .select(col("source").as("key"),
+        explode(split(col("text"), " ")).as("v"))
+      .filter(length(col("v")) > 0))
+      .select(col("key").as("source"), col("n_exact"),
+        col("hll_estimate"), col("v_empty"))
+      .orderBy(col("source"))
+
+  /** Oracle-side sketch template: `valsCte` must define vals(key, v);
+    * emits (<keyAlias>, n_exact, hll_estimate, v_empty) per key. */
+  private def hllSqlOver(valsCte: String, keyAlias: String): String = {
+    val hexfold = (1 to 15).map(i =>
+      s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1) * " +
+        s"${math.pow(16, 15 - i).toLong}").mkString(" + ")
+    s"""WITH vals AS (
+       |  $valsCte),
+       |hv AS (
+       |  SELECT key, CAST($hexfold AS BIGINT) AS h
+       |  FROM (SELECT key, md5(v) AS m FROM vals)),
+       |rho AS (
+       |  SELECT key, h // 281474976710656 AS bucket,
+       |    CASE WHEN h % 281474976710656 = 0 THEN 49
+       |      ELSE 49 - length(bin(h % 281474976710656)) END AS rho
+       |  FROM hv),
+       |regs AS (SELECT key, bucket, MAX(rho) AS r FROM rho GROUP BY 1, 2),
+       |summ AS (
+       |  SELECT key, COUNT(*) AS present,
+       |    SUM(CAST((CAST(1 AS BIGINT) << CAST(62 - r AS INT))
+       |      AS DECIMAL(38,0))) AS s_present
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT key, $HllM - present AS v_empty,
+       |    CAST(s_present + CAST($HllM - present AS DECIMAL(38,0)) *
+       |      CAST(4611686018427387904 AS DECIMAL(38,0)) AS DOUBLE) AS s_d
+       |  FROM summ),
+       |fin AS (
+       |  SELECT key, v_empty,
+       |    CASE WHEN (0.7213/(1+1.079/4096)) * 4096 * 4096 *
+       |        CAST(4611686018427387904 AS DOUBLE) / s_d <= 2.5*4096
+       |        AND v_empty > 0
+       |      THEN 4096.0 * ln(4096.0 / v_empty)
+       |      ELSE (0.7213/(1+1.079/4096)) * 4096 * 4096 *
+       |        CAST(4611686018427387904 AS DOUBLE) / s_d END AS e
+       |  FROM est),
+       |ex AS (
+       |  SELECT key, COUNT(DISTINCT v) AS n_exact FROM vals GROUP BY 1)
+       |SELECT fin.key AS $keyAlias, ex.n_exact,
+       |  CAST(round(e) AS BIGINT) AS hll_estimate, v_empty
+       |FROM fin JOIN ex ON ex.key = fin.key
+       |ORDER BY $keyAlias""".stripMargin
+  }
+
+  val hllMd5Sql: String = hllSqlOver(
+    """SELECT 'user_id' AS key, CAST(user_id AS VARCHAR) AS v
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'event_id' AS key, CAST(event_id AS VARCHAR) AS v
+      |  FROM events""".stripMargin,
+    "column_name")
+
+  val hllBySourceSql: String = hllSqlOver(
+    """SELECT source AS key, t.tok AS v
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+      |  WHERE length(t.tok) > 0""".stripMargin,
+    "source")
 }

@@ -97,4 +97,21 @@ class SketchSpec extends AnyFunSuite {
     assert(want.length >= (3 * n) / 4)           // covers the quota
     assert(ppl.count(_._2 < thr) * 4 < 3 * n + 4) // threshold minimal
   }
+
+  test("hll_md5: estimates land within the sketch error bound") {
+    val rows = SketchOps.hllMd5(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { case (c, (exact, est, vEmpty)) =>
+      // 1.04/sqrt(4096) ≈ 1.6% std error; allow 5σ ≈ 8%
+      val err = math.abs(est - exact).toDouble / exact
+      assert(err <= 0.08, s"$c: exact=$exact est=$est err=$err")
+      assert(vEmpty >= 0 && vEmpty <= SketchOps.HllM)
+    }
+    // user_id (n ≪ m) must sit deep in the linear-counting regime
+    // (most buckets empty); event_id carries real cardinality
+    assert(rows("user_id")._3 > SketchOps.HllM / 2,
+      "small-cardinality column should leave most buckets empty")
+    assert(rows("event_id")._1 > 2 * rows("user_id")._1)
+  }
 }
