@@ -113,9 +113,10 @@ object Bench {
       "source_diversity", "bm25_topk", "pq_topk", "ann_int8",
       "bpe_encode", "tf_idf",
       // round-5 additions: df-capped containment pair join
-      // (Σ min(df,cap)² fan-out, same bound family as doc_sim_sparse)
-      // and the zero-shuffle codegen'd char-entropy scan
-      "dedup_containment", "char_entropy")
+      // (Σ min(df,cap)² fan-out, same bound family as doc_sim_sparse),
+      // the zero-shuffle codegen'd char-entropy scan, and the
+      // prefix-filter exact similarity join (Σ prefix-df² fan-out)
+      "dedup_containment", "char_entropy", "dedup_prefix_join")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up

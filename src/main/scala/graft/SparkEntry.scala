@@ -97,6 +97,7 @@ object SparkEntry {
     "skew_salted_agg" -> (SkewOps.skewSaltedAgg _),
     "skew_salted_join" -> (SkewOps.skewSaltedJoin _),
     "dedup_containment" -> (DedupOps.dedupContainment _),
+    "dedup_prefix_join" -> (DedupOps.dedupPrefixJoin _),
     "dedup_fingerprint" -> (DedupOps.dedupFingerprint _),
     "dedup_jaccard" -> (DedupOps.dedupJaccard _),
     "dedup_minhash" -> (DedupOps.dedupMinhash _),
@@ -248,6 +249,7 @@ object SparkEntry {
     "dedup_keep" -> DedupOps.dedupKeepSql,
     "text_scrub" -> TextAnalysis.textScrubSql,
     "dedup_containment" -> DedupOps.dedupContainmentSql,
+    "dedup_prefix_join" -> DedupOps.dedupPrefixJoinSql,
     "dedup_fingerprint" -> DedupOps.dedupFingerprintSql,
     "dedup_jaccard" -> DedupOps.dedupJaccardSql,
     "dedup_simhash" -> DedupOps.dedupSimhashSql,

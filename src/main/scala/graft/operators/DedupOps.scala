@@ -1186,6 +1186,93 @@ object DedupOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  // ---------------- prefix-filtering exact similarity join ----------
+
+  /** EXACT corpus-wide token-set Jaccard J ≥ 0.8 pair join via PREFIX
+    * FILTERING (Bayardo et al. 2007 "Scaling up all pairs similarity
+    * search"; Xiao et al. 2008 PPJoin) — the deterministic alternative
+    * to [[dedupMinhash]]'s LSH: no banding, no P(miss) ≤ 2⁻³² footnote;
+    * the prefix theorem guarantees ZERO misses. Order every doc's
+    * distinct token-hash set by GLOBAL document frequency ascending
+    * (rarest first, ties by hash — total order, so the plan is
+    * deterministic), take each doc's (s − ⌈t·s⌉ + 1)-prefix; any pair
+    * with J ≥ t must share a prefix token, so the equi-join on prefix
+    * tokens is a complete candidate generator. The symmetric length
+    * filter 4·max(|A|,|B|) ≤ 5·min(|A|,|B|) (J ≥ 4/5 ⇒ sizes within
+    * 5/4) prunes inside the join condition.
+    *
+    * Scale shape: candidate fan-out is Σ over PREFIX tokens of df² —
+    * and prefixes hold each doc's RAREST tokens by construction, so
+    * the high-df boilerplate tokens that dominate an unfiltered
+    * token self-join never enter the pair join (the frequency-order
+    * prefix is the entire trick; a random order would put corpus-wide
+    * stopwords in prefixes). The df agg itself is one partial+final
+    * shuffle; exact verify reuses the codegen'd two-pointer
+    * [[graft.functions.SortedIntersectCount]]. Versus dedup_minhash:
+    * no signature computation and exactness for free, in exchange for
+    * candidate counts that grow with prefix-token density rather than
+    * staying band-bounded — the classic exact-vs-LSH trade. */
+  def dedupPrefixJoin(spark: SparkSession, dir: String): DataFrame =
+    prefixJoinPairs(docs(spark, dir))
+
+  /** Core of [[dedupPrefixJoin]] over any (doc_id, text) frame. */
+  def prefixJoinPairs(docsDf: DataFrame, tauNum: Int = 4,
+      tauDen: Int = 5): DataFrame = {
+    val base = docsDf.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(filter(ts, t -> length(t) > 0), t -> xxhash64(t))"))
+        .as("hs"))
+      .filter(size(col("hs")) > 0)
+    val toks = base.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = toks.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = toks.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h"))))
+        .as("arr"))
+      .select(col("doc_id"), expr("transform(arr, x -> x.h)").as("ord"),
+        size(col("arr")).as("s"))
+      // prefix length s - ceil(t·s) + 1 with t = tauNum/tauDen
+      .withColumn("p", col("s") -
+        expr(s"($tauNum * s + ${tauDen - 1}) DIV $tauDen") + lit(1))
+      .select(col("doc_id"), col("s"),
+        explode(expr("slice(ord, 1, p)")).as("h"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.s") * tauNum <= col("b.s") * tauDen &&
+          col("b.s") * tauNum <= col("a.s") * tauDen)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val sorted = base.select(col("doc_id"), sort_array(col("hs")).as("toks"))
+    val inter = graft.functions.SortedIntersectCount.count(
+      col("ti"), col("tj"))
+    val uni = size(col("ti")) + size(col("tj")) - inter
+    cands
+      .join(sorted.select(col("doc_id").as("i"), col("toks").as("ti")),
+        Seq("i"))
+      .join(sorted.select(col("doc_id").as("j"), col("toks").as("tj")),
+        Seq("j"))
+      .select(col("i"), col("j"),
+        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+      .filter(col("jaccard") * tauDen >= tauNum)
+      .orderBy(col("i"), col("j"))
+  }
+
+  val dedupPrefixJoinSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '),
+      |    t -> length(t) > 0)) AS toks
+      |  FROM documents),
+      |d2 AS (SELECT * FROM d WHERE len(toks) > 0),
+      |p AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |    CAST(len(a.toks) + len(b.toks) -
+      |      len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
+      |  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id)
+      |SELECT i, j, jaccard FROM p WHERE jaccard * 5 >= 4
+      |ORDER BY i, j""".stripMargin
+
   val dedupContainmentSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents

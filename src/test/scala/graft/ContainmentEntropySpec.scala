@@ -70,6 +70,41 @@ class ContainmentEntropySpec extends AnyFunSuite {
     assert(DedupOps.containmentPairs(d, cap = 10).count() == 12)
   }
 
+  test("prefix join equals a brute-force token-set Jaccard sweep") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta mu nu"),
+      (3L, "totally different tokens one two three four five six seven"),
+      (4L, "totally different tokens one two three four five six seven"),
+      (5L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.prefixJoinPairs(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // brute force over distinct token sets
+    val sets = Seq(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta mu nu",
+      3L -> "totally different tokens one two three four five six seven",
+      4L -> "totally different tokens one two three four five six seven",
+      5L -> "the quick brown fox jumps over the lazy dog tonight")
+      .map { case (id, t) => id -> t.split(" ").toSet }
+    val want = (for {
+      (i, a) <- sets; (j, b) <- sets if i < j
+      inter = (a & b).size
+      jac = inter.toDouble / (a.size + b.size - inter)
+      if jac >= 0.8
+    } yield (i, j) -> jac).toMap
+    assert(got == want, s"got=$got want=$want")
+    // sanity on the planted structure: 0↔1 qualifies (J = 9/11 ≈
+    // 0.818), 0↔2 does not (J = 8/12), 3↔4 is an exact dup
+    assert(want.contains((0L, 1L)) && want.contains((3L, 4L)) &&
+      !want.contains((0L, 2L)))
+  }
+
   test("char entropy: exact closed-form values") {
     // uniform over 1 char: H = 0
     assert(CharEntropyMicro.compute(
