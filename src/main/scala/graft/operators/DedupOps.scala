@@ -1188,41 +1188,47 @@ object DedupOps {
 
   // ---------------- prefix-filtering exact similarity join ----------
 
-  /** EXACT corpus-wide token-set Jaccard J ≥ 0.8 pair join via PREFIX
-    * FILTERING (Bayardo et al. 2007 "Scaling up all pairs similarity
-    * search"; Xiao et al. 2008 PPJoin) — the deterministic alternative
-    * to [[dedupMinhash]]'s LSH: no banding, no P(miss) ≤ 2⁻³² footnote;
-    * the prefix theorem guarantees ZERO misses. Order every doc's
-    * distinct token-hash set by GLOBAL document frequency ascending
-    * (rarest first, ties by hash — total order, so the plan is
-    * deterministic), take each doc's (s − ⌈t·s⌉ + 1)-prefix; any pair
-    * with J ≥ t must share a prefix token, so the equi-join on prefix
-    * tokens is a complete candidate generator. The symmetric length
-    * filter 4·max(|A|,|B|) ≤ 5·min(|A|,|B|) (J ≥ 4/5 ⇒ sizes within
-    * 5/4) prunes inside the join condition.
+  /** EXACT corpus-wide shingle-set Jaccard J ≥ 0.8 pair join via
+    * PREFIX FILTERING (Bayardo et al. 2007 "Scaling up all pairs
+    * similarity search"; Xiao et al. 2008 PPJoin) — the deterministic
+    * alternative to [[dedupMinhash]]'s LSH: no banding, no
+    * P(miss) ≤ 2⁻³² footnote; the prefix theorem guarantees ZERO
+    * misses. Sets are distinct word-3-gram shingle hashes
+    * ([[shingleHashes64]] — ORDER-SENSITIVE; a token-SET basis
+    * degenerates on vocab-sharing corpora, where every same-source
+    * pair looks 0.8-similar and the pair list goes quadratic in
+    * source size: measured 30k token-set pairs vs 25 shingle pairs on
+    * the same 500-doc slice). Order every doc's shingle set by GLOBAL
+    * document frequency ascending (rarest first, ties by hash — total
+    * order, so the plan is deterministic), take each doc's
+    * (s − ⌈t·s⌉ + 1)-prefix; any pair with J ≥ t must share a prefix
+    * shingle, so the equi-join on prefix shingles is a complete
+    * candidate generator. The symmetric length filter
+    * 4·max(|A|,|B|) ≤ 5·min(|A|,|B|) (J ≥ 4/5 ⇒ sizes within 5/4)
+    * prunes inside the join condition.
     *
-    * Scale shape: candidate fan-out is Σ over PREFIX tokens of df² —
-    * and prefixes hold each doc's RAREST tokens by construction, so
-    * the high-df boilerplate tokens that dominate an unfiltered
-    * token self-join never enter the pair join (the frequency-order
-    * prefix is the entire trick; a random order would put corpus-wide
-    * stopwords in prefixes). The df agg itself is one partial+final
-    * shuffle; exact verify reuses the codegen'd two-pointer
-    * [[graft.functions.SortedIntersectCount]]. Versus dedup_minhash:
-    * no signature computation and exactness for free, in exchange for
-    * candidate counts that grow with prefix-token density rather than
-    * staying band-bounded — the classic exact-vs-LSH trade. */
+    * Scale shape: candidate fan-out is Σ over PREFIX shingles of
+    * df² — and prefixes hold each doc's RAREST shingles by
+    * construction, so high-df boilerplate never enters the pair join
+    * (the frequency-order prefix is the entire trick). The df agg is
+    * one partial+final shuffle; exact verify reuses the codegen'd
+    * two-pointer [[graft.functions.SortedIntersectCount]]. Versus
+    * dedup_minhash: no signature computation and exactness for free,
+    * in exchange for candidate counts that grow with prefix-shingle
+    * density rather than staying band-bounded — the classic
+    * exact-vs-LSH trade. */
   def dedupPrefixJoin(spark: SparkSession, dir: String): DataFrame =
     prefixJoinPairs(docs(spark, dir))
 
-  /** Core of [[dedupPrefixJoin]] over any (doc_id, text) frame. */
+  /** Core of [[dedupPrefixJoin]] over any (doc_id, text) frame; docs
+    * under 3 tokens have no shingles and are excluded (mirrored by the
+    * oracle). */
   def prefixJoinPairs(docsDf: DataFrame, tauNum: Int = 4,
       tauDen: Int = 5): DataFrame = {
     val base = docsDf.select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(filter(ts, t -> length(t) > 0), t -> xxhash64(t))"))
-        .as("hs"))
-      .filter(size(col("hs")) > 0)
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(shingleHashes64(col("ts"))).as("hs"))
     val toks = base.select(col("doc_id"), explode(col("hs")).as("h"))
     val dfreq = toks.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val prefix = toks.join(dfreq, Seq("h"))
@@ -1259,11 +1265,13 @@ object DedupOps {
   }
 
   val dedupPrefixJoinSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '),
-      |    t -> length(t) > 0)) AS toks
-      |  FROM documents),
-      |d2 AS (SELECT * FROM d WHERE len(toks) > 0),
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |d2 AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS toks
+      |  FROM toks),
       |p AS (
       |  SELECT a.doc_id AS i, b.doc_id AS j,
       |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /

@@ -70,28 +70,30 @@ class ContainmentEntropySpec extends AnyFunSuite {
     assert(DedupOps.containmentPairs(d, cap = 10).count() == 12)
   }
 
-  test("prefix join equals a brute-force token-set Jaccard sweep") {
+  test("prefix join equals a brute-force shingle-set Jaccard sweep") {
     import spark.implicits._
-    val docs = Seq(
-      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
-      (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
-      (2L, "alpha beta gamma delta epsilon zeta eta theta mu nu"),
-      (3L, "totally different tokens one two three four five six seven"),
-      (4L, "totally different tokens one two three four five six seven"),
-      (5L, "the quick brown fox jumps over the lazy dog tonight"))
-      .toDF("doc_id", "text")
-    val got = DedupOps.prefixJoinPairs(docs)
+    // one-word edit inside a 41-token doc: 39 shingles, 3 touched →
+    // J = 36/42 ≈ 0.857 ≥ 0.8 — a true near-dup pair; doc 2 shares
+    // doc 0's token SET but reshuffled (order-sensitivity probe);
+    // 3↔4 exact dup; 5 unrelated
+    val base = ('a' to 'z').map(_.toString) ++
+      Seq("one", "two", "three", "four", "five", "six", "seven",
+        "eight", "nine", "ten", "eleven", "twelve", "thirteen",
+        "fourteen", "fifteen")
+    val texts = Seq(
+      0L -> base.mkString(" "),
+      1L -> base.updated(20, "EDIT").mkString(" "),
+      2L -> base.reverse.mkString(" "),
+      3L -> "totally different tokens here now please",
+      4L -> "totally different tokens here now please",
+      5L -> "the quick brown fox jumps over the lazy dog tonight")
+    val got = DedupOps.prefixJoinPairs(
+        texts.toDF("doc_id", "text"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
       .toMap
-    // brute force over distinct token sets
-    val sets = Seq(
-      0L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
-      1L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
-      2L -> "alpha beta gamma delta epsilon zeta eta theta mu nu",
-      3L -> "totally different tokens one two three four five six seven",
-      4L -> "totally different tokens one two three four five six seven",
-      5L -> "the quick brown fox jumps over the lazy dog tonight")
-      .map { case (id, t) => id -> t.split(" ").toSet }
+    // brute force over distinct 3-gram shingle sets
+    val sets = texts.map { case (id, t) =>
+      id -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet }
     val want = (for {
       (i, a) <- sets; (j, b) <- sets if i < j
       inter = (a & b).size
@@ -99,10 +101,11 @@ class ContainmentEntropySpec extends AnyFunSuite {
       if jac >= 0.8
     } yield (i, j) -> jac).toMap
     assert(got == want, s"got=$got want=$want")
-    // sanity on the planted structure: 0↔1 qualifies (J = 9/11 ≈
-    // 0.818), 0↔2 does not (J = 8/12), 3↔4 is an exact dup
+    // the planted structure: near-dup and exact-dup qualify; the
+    // token-set-identical but reshuffled doc 2 must NOT (this is the
+    // order-sensitivity a token-set basis would miss)
     assert(want.contains((0L, 1L)) && want.contains((3L, 4L)) &&
-      !want.contains((0L, 2L)))
+      !want.exists(p => p._1._1 == 2L || p._1._2 == 2L))
   }
 
   test("char entropy: exact closed-form values") {
