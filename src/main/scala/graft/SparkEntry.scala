@@ -88,6 +88,10 @@ object SparkEntry {
     "embed_quantize" -> (ScalarQuantOps.embedQuantize _),
     "ann_int8" -> ((s: SparkSession, d: String) =>
       ScalarQuantOps.annInt8(s, d)),
+    // JL sign random projection over the code table (coarse index
+    // layer; all-integer, fully oracled via the md5-derived signs)
+    "embed_project" -> ((s: SparkSession, d: String) =>
+      ScalarQuantOps.embedProject(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) =>
       SimilarityOps.dedupEmbeddingBlocked(s, d)),
     "dedup_embedding_lsh" -> (SimilarityOps.dedupEmbeddingLshQuery _),
@@ -238,6 +242,7 @@ object SparkEntry {
     "embedding_qa" -> SimilarityOps.embeddingQaSql,
     "embed_quantize" -> ScalarQuantOps.embedQuantizeSql,
     "ann_int8" -> ScalarQuantOps.annInt8Sql,
+    "embed_project" -> ScalarQuantOps.embedProjectSql,
     // bits=0 LSH: candidate set provably complete ⇒ result ≡ exact top-k
     "ann_lsh_topk" -> SimilarityOps.annTopKSql,
     "input_file_counts" -> TextQueries.inputFileCountsSql,

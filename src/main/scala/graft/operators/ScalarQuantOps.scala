@@ -41,6 +41,14 @@ object ScalarQuantOps {
     * ScalarQuantSpec pins shortlist≥N ≡ brute force. */
   val Shortlist = 9
 
+  /** Embedding width the testdata contract pins (SchemaContractSpec);
+    * the oracle's range(0, Dim) replay needs it as a literal. */
+  val Dim = 64
+
+  /** Output width for [[embedProject]] — 4× compression on top of the
+    * int8 codes' 4×. */
+  val ProjDim = 16
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
@@ -98,6 +106,78 @@ object ScalarQuantOps {
        |  FROM s)
        |SELECT vec_id, scale, qvec,
        |  ${errSql("embedding", "qvec", "scale")} AS err_max
+       |FROM q ORDER BY vec_id""".stripMargin
+
+  /** The deterministic Achlioptas ±1 sign matrix for [[embedProject]]:
+    * sign(i, j) = +1 iff the first hex digit of md5("i_j") is < 8 —
+    * an engine-agnostic derivation (DuckDB rebuilds it digit-by-digit
+    * from its own md5, the hll_md5 trick), so the projection needs no
+    * RNG state shipped anywhere. k rows (output dims) × d columns. */
+  private[graft] def signMatrix(d: Int, k: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until k).map { j =>
+      (0 until d).map { i =>
+        val h = md.digest(s"${i}_${j}".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+      }
+    }
+  }
+
+  /** Johnson-Lindenstrauss sign random projection (Achlioptas 2003
+    * "Database-friendly random projections": R_ij ∈ {±1} preserves
+    * pairwise distances in expectation like the Gaussian matrix) over
+    * the int8 CODE table: proj_j = Σ_i q_i · sign(i, j) — EXACT
+    * integer arithmetic end-to-end (|q|≤127, d=64 ⇒ |proj_j| ≤ 8128),
+    * so the whole row hash-matches the DuckDB replay; `scale` rides
+    * along so downstream consumers can reconstruct magnitudes
+    * (projected cosine itself is scale-invariant).
+    *
+    * Why it earns a catalog row: this is the COARSE index layer under
+    * the quantization stack — d=64 int8 codes (64 B) → k=16 integer
+    * sketches that cost d/k = 4× fewer multiply-adds per candidate
+    * dot, the standard first-pass filter in front of [[annInt8]]'s
+    * code-space shortlist at 100 TB.
+    *
+    * Scale shape: ZERO shuffles — one codegen'd projection per row
+    * (transform over a k×d LITERAL matrix; the 1 024 driver-side md5s
+    * are a constant, not data-dependent), partition-preserving, so it
+    * composes with any downstream bucketing. ScalarQuantSpec pins a
+    * pure-Scala golden replay, integer linearity, the JL norm contract
+    * E[‖Pu‖²] = k·‖u‖² (mean ratio within ±10% over the corpus), and
+    * a cosine-correlation floor against true cosine on a fixed pair
+    * sample — NOT a top-k recall floor: on this near-isotropic
+    * synthetic corpus the true cosine spread is tight (±0.47) and a
+    * k=16 sketch reorders close neighbors, which is exactly why the
+    * production stack uses it as a coarse FILTER in front of
+    * [[annInt8]]'s code-space shortlist, never as the final rank. */
+  def embedProject(spark: SparkSession, dir: String,
+      k: Int = ProjDim): DataFrame = {
+    val signs = typedLit(signMatrix(Dim, k))
+    withQuant(emb(spark, dir), "embedding")
+      .select(col("vec_id"), col("scale"),
+        transform(signs, row =>
+          aggregate(zip_with(col("qvec"), row,
+            (q, s) => q.cast("long") * s), lit(0L), (acc, x) => acc + x))
+          .as("proj"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedProjectSql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding, ${scaleSql("embedding")} AS scale
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, scale,
+       |    ${qvecSql("embedding", "scale")} AS qvec
+       |  FROM s)
+       |SELECT vec_id, scale,
+       |  list_transform(range(0, $ProjDim), j ->
+       |    CAST(list_sum(list_transform(range(0, $Dim), i ->
+       |      CAST(qvec[CAST(i AS INTEGER) + 1] AS BIGINT) *
+       |      (CASE WHEN substring(md5(CAST(i AS VARCHAR) || '_' ||
+       |          CAST(j AS VARCHAR)), 1, 1)
+       |        IN ('0','1','2','3','4','5','6','7')
+       |        THEN 1 ELSE -1 END))) AS BIGINT)) AS proj
        |FROM q ORDER BY vec_id""".stripMargin
 
   /** Top-k cosine via int8 shortlist + exact fixed-point re-rank.
