@@ -146,6 +146,8 @@ object SparkEntry {
     "quality_topp" -> ((s: SparkSession, d: String) =>
       TextAnalysis.qualityTopP(s, d)),
     "quality_calibrate" -> (TextAnalysis.qualityCalibrate _),
+    // exact leave-one-out KS drift per source (ingest QA gate)
+    "drift_ks" -> (TextAnalysis.driftKs _),
     "source_diversity" -> (TextAnalysis.sourceDiversity _),
     "kn_bigram" -> (TextAnalysis.knBigram _),
     "char_classes" -> (TextAnalysis.charClasses _),
@@ -282,6 +284,7 @@ object SparkEntry {
     "dsir_select" -> TextAnalysis.dsirSelectSql,
     "quality_topp" -> TextAnalysis.qualityTopPSql,
     "quality_calibrate" -> TextAnalysis.qualityCalibrateSql,
+    "drift_ks" -> TextAnalysis.driftKsSql,
     "source_diversity" -> TextAnalysis.sourceDiversitySql,
     "kn_bigram" -> TextAnalysis.knBigramSql,
     "char_classes" -> TextAnalysis.charClassesSql,

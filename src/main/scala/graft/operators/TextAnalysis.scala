@@ -1517,4 +1517,91 @@ object TextAnalysis {
       |      - (terms.s // n.n_chars) END AS entropy_micro
       |FROM n LEFT JOIN terms USING (doc_id)
       |ORDER BY n.doc_id""".stripMargin
+
+  /** EXACT two-sample Kolmogorov-Smirnov drift per source: the sup
+    * distance between a source's `n_chars` empirical CDF and the CDF
+    * of ALL OTHER sources (leave-one-out — comparing against a pool
+    * that contains the source itself dilutes the very drift being
+    * measured), reported in integer ppm. The ingest-QA gate a 100 TB
+    * pipeline runs before admitting a new crawl snapshot or vendor
+    * drop: a length-profile shift is the cheapest early warning that
+    * a source changed extraction, truncation, or boilerplate behavior
+    * (quality_calibrate ranks WITHIN sources; this detects a source
+    * whose whole distribution moved).
+    *
+    * Exactness: the KS sup runs over every support point with
+    * cross-multiplied INTEGER CDFs — |scum·(n−ns) − (gcum−scum)·ns| —
+    * so there is no float CDF, no interpolation, and both engines
+    * agree to the last ppm (integral DIV of positive operands, the
+    * eventsMovingAvg sign discipline); products ride DECIMAL(38,0) /
+    * HUGEINT (the events_anomaly widening) since cum·n reaches N²
+    * past BIGINT at real corpus counts.
+    *
+    * Scale shape: histogram aggs are one partial+final shuffle each;
+    * every window runs over DOMAIN-BOUNDED rows — the global CDF over
+    * distinct n_chars values, the per-source CDF over the
+    * |sources|×|support| grid (the grid is a broadcast cross join of
+    * two fixed-domain relations, never corpus-sized; the
+    * events_gap_stats cross-join-broadcast idiom) — so the corpus is
+    * touched by exactly one linear histogram pass. */
+  def driftKs(spark: SparkSession, dir: String): DataFrame =
+    ksBySource(docs(spark, dir))
+
+  /** Core of [[driftKs]] over any (source, n_chars) frame — factored
+    * for the planted-corpus spec (identical ⇒ 0; disjoint ⇒ 10⁶). */
+  def ksBySource(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.select(col("source"), col("n_chars").as("c"))
+    val shist = d.groupBy(col("source"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val ns = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val support = d.select(col("c")).distinct()
+    val gcum = d.groupBy(col("c")).agg(count(lit(1)).as("gcnt"))
+      .select(col("c"),
+        sum(col("gcnt")).over(Window.orderBy(col("c"))).as("gcum"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    val scum = ns.crossJoin(broadcast(support))
+      .join(shist, Seq("source", "c"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("scum", sum(col("cnt")).over(
+        Window.partitionBy(col("source")).orderBy(col("c"))))
+    scum.join(broadcast(gcum), Seq("c"))
+      .crossJoin(broadcast(tot))
+      .withColumn("dist", expr(
+        "ABS(CAST(scum AS DECIMAL(38,0)) * (n - ns) - " +
+          "CAST(gcum - scum AS DECIMAL(38,0)) * ns)"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_docs"), max(col("n")).as("n_all"),
+        max(col("dist")).as("ks_num"))
+      .withColumn("ks_ppm", expr(
+        "CAST((ks_num * 1000000) DIV (CAST(n_docs AS DECIMAL(38,0)) * " +
+          "(n_all - n_docs)) AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("ks_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val driftKsSql: String =
+    """WITH d AS (SELECT source, n_chars AS c FROM documents),
+      |sup AS (SELECT DISTINCT c FROM d),
+      |ns AS (SELECT source, COUNT(*) AS ns FROM d GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n FROM d),
+      |shist AS (SELECT source, c, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+      |scum AS (
+      |  SELECT g.source, g.ns, g.c,
+      |    SUM(COALESCE(s.cnt, 0)) OVER (
+      |      PARTITION BY g.source ORDER BY g.c) AS scum
+      |  FROM (SELECT ns.source, ns.ns, sup.c FROM ns CROSS JOIN sup) g
+      |  LEFT JOIN shist s ON s.source = g.source AND s.c = g.c),
+      |gcum AS (
+      |  SELECT c, SUM(gcnt) OVER (ORDER BY c) AS gcum
+      |  FROM (SELECT c, COUNT(*) AS gcnt FROM d GROUP BY 1)),
+      |j AS (
+      |  SELECT scum.source, scum.ns, tot.n,
+      |    ABS(CAST(scum.scum AS HUGEINT) * (tot.n - scum.ns) -
+      |        CAST(gcum.gcum - scum.scum AS HUGEINT) * scum.ns) AS dist
+      |  FROM scum JOIN gcum USING (c) CROSS JOIN tot)
+      |SELECT source, MAX(ns) AS n_docs,
+      |  CAST((MAX(dist) * 1000000) //
+      |    (CAST(MAX(ns) AS HUGEINT) * (MAX(n) - MAX(ns))) AS BIGINT)
+      |    AS ks_ppm
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
 }

@@ -152,4 +152,42 @@ class IngestQaSpec extends AnyFunSuite {
       assert(r.getLong(7) == 1000000L * ndtr / ntr)
     }
   }
+
+  private def ksOf(rows: Seq[(String, Long)]): Map[String, Long] = {
+    import spark.implicits._
+    TextAnalysis.ksBySource(rows.toDF("source", "n_chars"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+  }
+
+  test("drift_ks is 0 for identically-distributed sources and 10^6 " +
+    "for disjoint supports") {
+    val same = ksOf(Seq("a", "b").flatMap(s =>
+      Seq(10L, 20L, 20L, 30L).map(s -> _)))
+    assert(same == Map("a" -> 0L, "b" -> 0L))
+    val disjoint = ksOf(
+      Seq(1L, 2L, 3L).map("lo" -> _) ++ Seq(90L, 95L).map("hi" -> _))
+    assert(disjoint == Map("lo" -> 1000000L, "hi" -> 1000000L))
+  }
+
+  test("drift_ks equals a pure-Scala leave-one-out KS replay on the " +
+    "test corpus") {
+    val d = Tables.load(spark, dir, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val support = d.map(_._2).distinct.sorted
+    val n = d.length.toLong
+    val want = d.groupBy(_._1).map { case (src, rows) =>
+      val ns = rows.length.toLong
+      val mine = rows.groupBy(_._2).view.mapValues(_.length.toLong)
+      val byC = d.groupBy(_._2).view.mapValues(_.length.toLong)
+      var (scum, gcum) = (0L, 0L)
+      val dist = support.map { c =>
+        scum += mine.getOrElse(c, 0L); gcum += byC(c)
+        (BigInt(scum) * (n - ns) - BigInt(gcum - scum) * ns).abs
+      }.max
+      src -> (dist * 1000000 / (BigInt(ns) * (n - ns))).toLong
+    }
+    val got = ksOf(d.toSeq)
+    assert(got == want)
+  }
 }

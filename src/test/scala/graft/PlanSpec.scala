@@ -138,6 +138,7 @@ class PlanSpec extends AnyFunSuite {
       // now rides the rank-offsets job, so no broadcast join remains
       "zorder_layout" -> "broadcast side = single-row key-range bounds",
       "events_gap_stats" -> "broadcast side = single-row gap count",
+      "drift_ks" -> "broadcast sides = distinct-n_chars support grid (value-domain-bounded) + single-row corpus count",
     )
     for ((name, q) <- SparkEntry.queries) {
       val p = plan(q(spark, dir))
