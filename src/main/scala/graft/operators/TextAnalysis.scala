@@ -1551,14 +1551,23 @@ object TextAnalysis {
     * for the planted-corpus spec (identical ⇒ 0; disjoint ⇒ 10⁶). */
   def ksBySource(docsDf: DataFrame): DataFrame = {
     val d = docsDf.select(col("source"), col("n_chars").as("c"))
+    // EVERY derived relation (per-source totals, support, global CDF,
+    // corpus count) re-aggregates the HISTOGRAM, not the corpus, and
+    // the histogram is persisted: its |sources|×|support| rows are
+    // domain-bounded (kilobytes at any corpus size), so the cache is
+    // free and the corpus genuinely contributes ONE scan — without it
+    // Catalyst re-scans the parquet under each derived subtree (the
+    // filter-pushdown differences defeat ReuseExchange; measured 5
+    // column-pruned corpus scans in the unpersisted plan)
     val shist = d.groupBy(col("source"), col("c"))
       .agg(count(lit(1)).as("cnt"))
-    val ns = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
-    val support = d.select(col("c")).distinct()
-    val gcum = d.groupBy(col("c")).agg(count(lit(1)).as("gcnt"))
+      .persist()
+    val ns = shist.groupBy(col("source")).agg(sum(col("cnt")).as("ns"))
+    val support = shist.select(col("c")).distinct()
+    val gcum = shist.groupBy(col("c")).agg(sum(col("cnt")).as("gcnt"))
       .select(col("c"),
         sum(col("gcnt")).over(Window.orderBy(col("c"))).as("gcum"))
-    val tot = d.agg(count(lit(1)).as("n"))
+    val tot = shist.agg(sum(col("cnt")).as("n"))
     val scum = ns.crossJoin(broadcast(support))
       .join(shist, Seq("source", "c"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
