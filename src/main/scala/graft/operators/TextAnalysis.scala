@@ -1562,6 +1562,16 @@ object TextAnalysis {
     val shist = d.groupBy(col("source"), col("c"))
       .agg(count(lit(1)).as("cnt"))
       .persist()
+    ksOfHist(shist)
+  }
+
+  /** The KS algebra over a (source, c, cnt) histogram — factored so
+    * the streaming twin ([[graft.streaming.IngestStreaming
+    * .driftHistStream]] maintains the histogram as bounded stream
+    * state) hands its cells to the IDENTICAL scoring path. Callers
+    * persist `shist` when it is derived from a corpus scan; the
+    * relation itself is always domain-bounded. */
+  def ksOfHist(shist: DataFrame): DataFrame = {
     val ns = shist.groupBy(col("source")).agg(sum(col("cnt")).as("ns"))
     val support = shist.select(col("c")).distinct()
     val gcum = shist.groupBy(col("c")).agg(sum(col("cnt")).as("gcnt"))

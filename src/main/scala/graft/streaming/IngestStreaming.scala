@@ -86,6 +86,27 @@ object IngestStreaming {
     cmsCellsOf(
       spark.readStream.schema(DocSchema).parquet(docsDir), depth, width)
 
+  /** Streaming length-profile drift — the incremental twin of the
+    * batch KS detector ([[graft.operators.TextAnalysis.driftKs]]):
+    * the per-source n_chars histogram as a plain streaming
+    * aggregation whose key space is |sources|×|support| BY
+    * CONSTRUCTION (the value domain, never the corpus — the
+    * cmsCellsStream bounded-state argument applied to drift
+    * detection). Counts are additive, so micro-batches merge by the
+    * aggregation itself with no custom GroupState; a consumer hands
+    * the current cells to [[graft.operators.TextAnalysis.ksOfHist]]
+    * and gets the EXACT leave-one-out KS per source — identical
+    * integer algebra to the batch operator, pinned stream≡batch by
+    * IngestStreamingSpec. This is how the ingest-QA gate runs
+    * continuously: the monitor alerts the moment a source's arriving
+    * length profile drifts, instead of at the next batch audit. */
+  def driftHistStream(spark: SparkSession, docsDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.readStream.schema(DocSchema).parquet(docsDir)
+      .groupBy(col("source"), col("n_chars").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Shared cell-build expression — one explode + one (r, bucket)
     * partial+final agg; the spec runs it on the batch table to get
     * ground truth for the stream. */

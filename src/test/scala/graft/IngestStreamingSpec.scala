@@ -100,4 +100,37 @@ class IngestStreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming drift histogram: bounded state, and ksOfHist over " +
+    "the final cells equals the batch drift_ks exactly") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+    val landing = Files.createTempDirectory("graft_drift_stream")
+    Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      landing.resolve("part-0.parquet"))
+
+    val q = IngestStreaming.driftHistStream(spark, landing.toString)
+      .writeStream.format("memory").queryName("drift_hist")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // re-materialize locally: ksOfHist self-joins its input many
+      // times, and self-joining a memory-sink VIEW trips Catalyst's
+      // conflicting-reference resolution; the cells are domain-bounded
+      // so the collect is the size of the histogram, not the corpus
+      val rows = spark.table("drift_hist").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // state bounded by the value domain, never the corpus
+      val bound = d.select(col("source")).distinct().count() *
+        d.select(col("n_chars")).distinct().count()
+      assert(rows.size <= bound)
+      import spark.implicits._
+      val cells = rows.toDF("source", "c", "cnt")
+      val got = graft.operators.TextAnalysis.ksOfHist(cells).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = graft.operators.TextAnalysis.ksBySource(d).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
 }
