@@ -1552,26 +1552,34 @@ object TextAnalysis {
   def ksBySource(docsDf: DataFrame): DataFrame = {
     val d = docsDf.select(col("source"), col("n_chars").as("c"))
     // EVERY derived relation (per-source totals, support, global CDF,
-    // corpus count) re-aggregates the HISTOGRAM, not the corpus, and
-    // the histogram is persisted: its |sources|×|support| rows are
-    // domain-bounded (kilobytes at any corpus size), so the cache is
-    // free and the corpus genuinely contributes ONE scan — without it
-    // Catalyst re-scans the parquet under each derived subtree (the
-    // filter-pushdown differences defeat ReuseExchange; measured 5
-    // column-pruned corpus scans in the unpersisted plan)
-    val shist = d.groupBy(col("source"), col("c"))
-      .agg(count(lit(1)).as("cnt"))
-      .persist()
-    ksOfHist(shist)
+    // corpus count) re-aggregates the HISTOGRAM, not the corpus, so
+    // the corpus genuinely contributes ONE scan (ksOfHist checkpoints
+    // the histogram) — without materialization Catalyst re-scans the
+    // parquet under each derived subtree (the filter-pushdown
+    // differences defeat ReuseExchange; measured 5 column-pruned
+    // corpus scans in the unmaterialized plan)
+    ksOfHist(d.groupBy(col("source"), col("c"))
+      .agg(count(lit(1)).as("cnt")))
   }
 
   /** The KS algebra over a (source, c, cnt) histogram — factored so
     * the streaming twin ([[graft.streaming.IngestStreaming
     * .driftHistStream]] maintains the histogram as bounded stream
-    * state) hands its cells to the IDENTICAL scoring path. Callers
-    * persist `shist` when it is derived from a corpus scan; the
-    * relation itself is always domain-bounded. */
-  def ksOfHist(shist: DataFrame): DataFrame = {
+    * state) hands its cells to the IDENTICAL scoring path.
+    *
+    * The input is eagerly `localCheckpoint`ed, NOT `persist`ed:
+    * (a) the five derived subtrees then read the materialized
+    * domain-bounded rows instead of re-running the upstream plan;
+    * (b) checkpoint blocks are reference-tracked and freed by the
+    * ContextCleaner once the result is unreachable, where a
+    * CacheManager `persist` with no unpersist path would pin storage
+    * per invocation for the session lifetime; and (c) the checkpoint
+    * is a LogicalRDD — a MultiInstanceRelation — so the self-joins
+    * below resolve even for inputs whose leaf cannot deduplicate
+    * attributes (a streaming memory-sink view trips Catalyst's
+    * conflicting-reference check if handed here raw). */
+  def ksOfHist(histDf: DataFrame): DataFrame = {
+    val shist = histDf.localCheckpoint()
     val ns = shist.groupBy(col("source")).agg(sum(col("cnt")).as("ns"))
     val support = shist.select(col("c")).distinct()
     val gcum = shist.groupBy(col("c")).agg(sum(col("cnt")).as("gcnt"))
@@ -1591,9 +1599,12 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(max(col("ns")).as("n_docs"), max(col("n")).as("n_all"),
         max(col("dist")).as("ks_num"))
+      // single-source corpus: n_all == n_docs leaves no "rest" CDF to
+      // drift from — 0 by definition, never a NULL through a 0 DIV 0
       .withColumn("ks_ppm", expr(
-        "CAST((ks_num * 1000000) DIV (CAST(n_docs AS DECIMAL(38,0)) * " +
-          "(n_all - n_docs)) AS BIGINT)"))
+        "CASE WHEN n_all = n_docs THEN CAST(0 AS BIGINT) ELSE " +
+          "CAST((ks_num * 1000000) DIV (CAST(n_docs AS DECIMAL(38,0)) * " +
+          "(n_all - n_docs)) AS BIGINT) END"))
       .select(col("source"), col("n_docs"), col("ks_ppm"))
       .orderBy(col("source"))
   }
@@ -1619,8 +1630,9 @@ object TextAnalysis {
       |        CAST(gcum.gcum - scum.scum AS HUGEINT) * scum.ns) AS dist
       |  FROM scum JOIN gcum USING (c) CROSS JOIN tot)
       |SELECT source, MAX(ns) AS n_docs,
-      |  CAST((MAX(dist) * 1000000) //
-      |    (CAST(MAX(ns) AS HUGEINT) * (MAX(n) - MAX(ns))) AS BIGINT)
-      |    AS ks_ppm
+      |  CASE WHEN MAX(n) = MAX(ns) THEN CAST(0 AS BIGINT)
+      |    ELSE CAST((MAX(dist) * 1000000) //
+      |      (CAST(MAX(ns) AS HUGEINT) * (MAX(n) - MAX(ns))) AS BIGINT)
+      |  END AS ks_ppm
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 }

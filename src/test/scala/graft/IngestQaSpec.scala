@@ -167,6 +167,9 @@ class IngestQaSpec extends AnyFunSuite {
     val disjoint = ksOf(
       Seq(1L, 2L, 3L).map("lo" -> _) ++ Seq(90L, 95L).map("hi" -> _))
     assert(disjoint == Map("lo" -> 1000000L, "hi" -> 1000000L))
+    // single source: no "rest" CDF to drift from — 0, never NULL
+    val solo = ksOf(Seq(5L, 7L, 7L).map("only" -> _))
+    assert(solo == Map("only" -> 0L))
   }
 
   test("drift_ks equals a pure-Scala leave-one-out KS replay on the " +

@@ -114,18 +114,15 @@ class IngestStreamingSpec extends AnyFunSuite {
       .outputMode("complete").start()
     try {
       q.processAllAvailable()
-      // re-materialize locally: ksOfHist self-joins its input many
-      // times, and self-joining a memory-sink VIEW trips Catalyst's
-      // conflicting-reference resolution; the cells are domain-bounded
-      // so the collect is the size of the histogram, not the corpus
-      val rows = spark.table("drift_hist").collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val cells = spark.table("drift_hist")
       // state bounded by the value domain, never the corpus
       val bound = d.select(col("source")).distinct().count() *
         d.select(col("n_chars")).distinct().count()
-      assert(rows.size <= bound)
-      import spark.implicits._
-      val cells = rows.toDF("source", "c", "cnt")
+      assert(cells.count() <= bound)
+      // the DOCUMENTED consumer path — memory-sink view straight into
+      // ksOfHist; its internal localCheckpoint is what makes the
+      // self-joins resolve (a raw memory view would trip Catalyst's
+      // conflicting-reference check)
       val got = graft.operators.TextAnalysis.ksOfHist(cells).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       val want = graft.operators.TextAnalysis.ksBySource(d).collect()
