@@ -25,7 +25,9 @@ object SparkEntry {
     "q4_topk" -> (RelationalQueries.q4TopK _),
     "q5_window" -> (RelationalQueries.q5Window _),
     "q6_distinct" -> (RelationalQueries.q6Distinct _),
-    "hll_distinct" -> (RelationalQueries.hllDistinct _),
+    // md5-register HLL (fully oracled; the native approx_count_distinct
+    // variant stays as RelationalQueries.hllDistinct + SketchSpec gate)
+    "hll_distinct" -> (SketchOps.hllDistinct _),
     "hll_md5" -> (SketchOps.hllMd5 _),
     "hll_by_source" -> (SketchOps.hllBySource _),
     "q7_setops" -> (RelationalQueries.q7SetOps _),
@@ -85,13 +87,17 @@ object SparkEntry {
     // int8 scalar quantization: representation + reconstruction-error
     // QA, and shortlist-on-codes / exact-re-rank top-k. Both fully
     // oracled (absmax/floor-half-up/integer-cosine replay bit-exactly).
-    "embed_quantize" -> (ScalarQuantOps.embedQuantize _),
+    // The registered rows use the *Flat shapes (code arrays rendered as
+    // comma-joined integer strings) because the driver's comparator
+    // cannot sort/hash array cells; the array-typed API stays for
+    // composition.
+    "embed_quantize" -> (ScalarQuantOps.embedQuantizeFlat _),
     "ann_int8" -> ((s: SparkSession, d: String) =>
       ScalarQuantOps.annInt8(s, d)),
     // JL sign random projection over the code table (coarse index
     // layer; all-integer, fully oracled via the md5-derived signs)
     "embed_project" -> ((s: SparkSession, d: String) =>
-      ScalarQuantOps.embedProject(s, d)),
+      ScalarQuantOps.embedProjectFlat(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) =>
       SimilarityOps.dedupEmbeddingBlocked(s, d)),
     "dedup_embedding_lsh" -> (SimilarityOps.dedupEmbeddingLshQuery _),
@@ -291,6 +297,7 @@ object SparkEntry {
     "char_entropy" -> TextAnalysis.charEntropySql,
     "heavy_hitters" -> SketchOps.heavyHittersSql,
     "cms_counts" -> SketchOps.cmsCountsSql,
+    "hll_distinct" -> SketchOps.hllDistinctSql,
     "hll_md5" -> SketchOps.hllMd5Sql,
     "hll_by_source" -> SketchOps.hllBySourceSql,
     "group_sample" -> PipelineOps.groupSampleSql,

@@ -81,6 +81,17 @@ object ScalarQuantOps {
       .select("vec_id", "scale", "qvec", "err_max")
       .orderBy(col("vec_id"))
 
+  /** Driver-facing shape of [[embedQuantize]]: identical rows, with the
+    * int8 code array rendered as one comma-joined exact-integer string.
+    * The driver's comparator sorts columns through pandas, which cannot
+    * hash array cells (r5 gate crash) — integers render byte-identically
+    * in both engines, so the string form hash-matches while the
+    * array-typed [[embedQuantize]] stays the composition API
+    * ([[annInt8]] consumes `qvec` directly). */
+  def embedQuantizeFlat(spark: SparkSession, dir: String): DataFrame =
+    embedQuantize(spark, dir)
+      .withColumn("qvec", concat_ws(",", col("qvec").cast("array<string>")))
+
   /** The DuckDB fragments mirroring [[quantCols]], kept adjacent so
     * the two can't drift. `%V%` is the vector expression. */
   private def scaleSql(v: String) =
@@ -104,7 +115,7 @@ object ScalarQuantOps {
        |  SELECT vec_id, embedding, scale,
        |    ${qvecSql("embedding", "scale")} AS qvec
        |  FROM s)
-       |SELECT vec_id, scale, qvec,
+       |SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec,
        |  ${errSql("embedding", "qvec", "scale")} AS err_max
        |FROM q ORDER BY vec_id""".stripMargin
 
@@ -162,6 +173,13 @@ object ScalarQuantOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Driver-facing shape of [[embedProject]] — same rows, `proj`
+    * comma-joined to a string (see [[embedQuantizeFlat]]). */
+  def embedProjectFlat(spark: SparkSession, dir: String,
+      k: Int = ProjDim): DataFrame =
+    embedProject(spark, dir, k)
+      .withColumn("proj", concat_ws(",", col("proj").cast("array<string>")))
+
   val embedProjectSql: String =
     s"""WITH s AS (
        |  SELECT vec_id, embedding, ${scaleSql("embedding")} AS scale
@@ -171,13 +189,13 @@ object ScalarQuantOps {
        |    ${qvecSql("embedding", "scale")} AS qvec
        |  FROM s)
        |SELECT vec_id, scale,
-       |  list_transform(range(0, $ProjDim), j ->
+       |  array_to_string(list_transform(range(0, $ProjDim), j ->
        |    CAST(list_sum(list_transform(range(0, $Dim), i ->
        |      CAST(qvec[CAST(i AS INTEGER) + 1] AS BIGINT) *
        |      (CASE WHEN substring(md5(CAST(i AS VARCHAR) || '_' ||
        |          CAST(j AS VARCHAR)), 1, 1)
        |        IN ('0','1','2','3','4','5','6','7')
-       |        THEN 1 ELSE -1 END))) AS BIGINT)) AS proj
+       |        THEN 1 ELSE -1 END))) AS BIGINT)), ',') AS proj
        |FROM q ORDER BY vec_id""".stripMargin
 
   /** Top-k cosine via int8 shortlist + exact fixed-point re-rank.

@@ -334,6 +334,45 @@ object SketchOps {
        |ORDER BY $keyAlias""".stripMargin
   }
 
+  /** The `hll_distinct` catalog row, rebuilt on the md5-register
+    * sketch so the driver can verify it (Spark's native
+    * `approx_count_distinct` — kept as
+    * [[RelationalQueries.hllDistinct]] with a SketchSpec error-bound
+    * gate — hashes with an engine-private family the oracle can't
+    * replay; r1–r5 it was the last legacy rows-only row). Key space is
+    * (l_returnflag × {partkey, suppkey}) packed as `flag|column`, so
+    * the same one-pass, ≤m-registers-per-key merge shape covers the
+    * grouped-two-column report the old row produced. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val vals = li.select(
+        concat(col("l_returnflag"), lit("|partkey")).as("key"),
+        col("l_partkey").cast("string").as("v"))
+      .unionAll(li.select(
+        concat(col("l_returnflag"), lit("|suppkey")).as("key"),
+        col("l_suppkey").cast("string").as("v")))
+    hllEstimate(vals)
+      .select(substring_index(col("key"), "|", 1).as("l_returnflag"),
+        substring_index(col("key"), "|", -1).as("column_name"),
+        col("n_exact"), col("hll_estimate"), col("v_empty"))
+      .orderBy(col("l_returnflag"), col("column_name"))
+  }
+
+  val hllDistinctSql: String = {
+    val inner = hllSqlOver(
+      """SELECT l_returnflag || '|partkey' AS key,
+        |    CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag || '|suppkey' AS key,
+        |    CAST(l_suppkey AS VARCHAR) AS v FROM lineitem""".stripMargin,
+      "k")
+    s"""SELECT string_split(k, '|')[1] AS l_returnflag,
+       |  string_split(k, '|')[2] AS column_name,
+       |  n_exact, hll_estimate, v_empty
+       |FROM ($inner) t
+       |ORDER BY l_returnflag, column_name""".stripMargin
+  }
+
   val hllMd5Sql: String = hllSqlOver(
     """SELECT 'user_id' AS key, CAST(user_id AS VARCHAR) AS v
       |  FROM events

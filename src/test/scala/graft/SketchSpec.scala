@@ -114,4 +114,18 @@ class SketchSpec extends AnyFunSuite {
       "small-cardinality column should leave most buckets empty")
     assert(rows("event_id")._1 > 2 * rows("user_id")._1)
   }
+
+  test("hll_distinct (md5 family): per-returnflag estimates within the " +
+    "5-sigma sketch bound, two columns per flag") {
+    val rows = SketchOps.hllDistinct(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    assert(rows.keys.map(_._2).toSet == Set("partkey", "suppkey"))
+    rows.foreach { case ((flag, c), (exact, est, vEmpty)) =>
+      val err = math.abs(est - exact).toDouble / exact
+      assert(err <= 0.08, s"$flag/$c: exact=$exact est=$est err=$err")
+      assert(vEmpty >= 0 && vEmpty <= SketchOps.HllM)
+    }
+  }
 }

@@ -21,13 +21,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # arrays/lists aren't sortable/hashable in pandas — tuple-ize
+    # The DRIVER's comparator crashes on array cells (pandas sort_values:
+    # "unhashable type: numpy.ndarray" — CORRECTNESS_r05 embed_quantize/
+    # embed_project). Earlier versions of this stand-in tuple-ized arrays
+    # and so passed rows the real gate rejects; fail loudly instead so a
+    # registered output can never carry an array column unnoticed.
     for c in df.columns:
         if df[c].map(lambda v: isinstance(v, (list, tuple))
                      or type(v).__name__ == 'ndarray').any():
-            df[c] = df[c].map(
-                lambda v: tuple(v) if v is not None and not
-                (isinstance(v, float)) else v)
+            raise TypeError(
+                f"array-typed column '{c}' would crash the driver's "
+                "comparator — flatten it (concat_ws/array_to_string) "
+                "in the registered query")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -51,7 +56,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: no spark output")
             n_bad += 1
             continue
-        got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        try:
+            got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        except TypeError as e:
+            print(f"FAIL {name}: spark output: {e}")
+            n_bad += 1
+            continue
         try:
             exp = norm(con.execute(sql).fetchdf())
         except Exception as e:
