@@ -323,6 +323,20 @@ class PlanSpec extends AnyFunSuite {
       s"centroids not broadcast:\n$p")
   }
 
+  test("drift_ks: one corpus scan — all five derived subtrees read the " +
+    "checkpointed histogram, never the parquet") {
+    // The corpus's single FileScan runs INSIDE ksOfHist's eager
+    // histogram localCheckpoint; the final plan must therefore contain
+    // ZERO parquet scans (a re-scan sneaking back under any derived
+    // subtree re-introduces the measured five-scan plan) and its
+    // consumers must read the materialized histogram RDD.
+    val p = plan(operators.TextAnalysis.driftKs(spark, dir))
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      s"a derived subtree re-scans the corpus:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 3,
+      s"derived subtrees no longer read the checkpointed histogram:\n$p")
+  }
+
   test("whole-stage codegen covers the word_freq pipeline") {
     val cg = operators.TextQueries.wordFreq(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
