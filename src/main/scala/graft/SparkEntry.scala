@@ -200,6 +200,10 @@ object SparkEntry {
       ClusterOps.semDedupShortlist(s, d)),
     "prototype_prune" -> (ClusterOps.prototypePrune _),
     "multimodal_features" -> (MultimodalOps.multimodalFeatures _),
+    // real RIFF/WAVE byte parsing: planted spec-conformant WAVs parsed
+    // back via codegen'd byte arithmetic; oracle re-derives each field
+    // directly from (doc_id, text)
+    "multimodal_meta" -> (MultimodalOps.multimodalMeta _),
     "text_classifier" -> (TextClassifier.classify _),
     "phone_to_url" -> (PhoneToUrl.phoneToUrl _),
   )
@@ -332,5 +336,6 @@ object SparkEntry {
     "text_classifier" -> TextClassifier.classifySql,
     "phone_to_url" -> PhoneToUrl.phoneToUrlSql,
     "multimodal_features" -> MultimodalOps.multimodalFeaturesSql,
+    "multimodal_meta" -> MultimodalOps.multimodalMetaSql,
   )
 }

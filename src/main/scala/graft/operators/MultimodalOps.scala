@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -97,6 +97,151 @@ object MultimodalOps {
       .select(col("id"), col("byte_len"), col("checksum"))
       .orderBy(col("id"))
   }
+
+  // ---------------- real binary-format parsing (WAV / RIFF) --------
+
+  /** Max PCM frames synthesized per doc — keeps each payload ≤ 300 B
+    * while still exercising a variable-length data chunk. */
+  val WavMaxFrames = 64
+
+  case class WavBlob(id: Long, payload: Array[Byte])
+
+  /** Plants a REAL RIFF/WAVE fixture: each document becomes a
+    * spec-conformant PCM WAV whose header fields and samples derive
+    * deterministically from (doc_id, text) — the binary analog of the
+    * WARC fixture behind phone_to_url (reference precedent:
+    * mrjob/examples/mr_phone_to_url.py:77-85 parses a real binary
+    * container byte-by-byte). sample_rate ∈ {8,16,24} kHz by doc_id,
+    * mono/stereo by doc_id, 16-bit PCM; sample k encodes text char
+    * k mod len as ((c·523+7) mod 2¹⁶) − 2¹⁵. The 44-byte canonical
+    * header layout (RIFF size, fmt chunk, byte rate, block align,
+    * data size) is pinned byte-for-byte against an independent
+    * ByteBuffer builder and a hand-derived golden in MultimodalSpec. */
+  def asWavTable(spark: SparkSession, dir: String): Dataset[WavBlob] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 1)
+      .as[(Long, String)]
+      .map { case (id, text) => WavBlob(id, synthWav(id, text)) }
+  }
+
+  /** Pure function (doc_id, text) → WAV bytes; little-endian
+    * throughout, per the RIFF spec. */
+  private[graft] def synthWav(id: Long, text: String): Array[Byte] = {
+    val sr = 8000 * (1 + (id % 3)).toInt
+    val ch = 1 + (id % 2).toInt
+    val nf = math.min(text.length, WavMaxFrames)
+    val nSamples = nf * ch
+    val dataSize = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort).putInt(sr).putInt(sr * ch * 2)
+      .putShort((ch * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    (0 until nSamples).foreach { k =>
+      val c = text.charAt(k % text.length).toInt
+      bb.putShort((((c * 523 + 7) % 65536) - 32768).toShort)
+    }
+    bb.array()
+  }
+
+  /** Little-endian integer reads over `hex(payload)` — ONE hex() per
+    * row, then pure string slicing + conv: all codegen'd builtins, no
+    * UDF in the decode path. `off` is 1-based byte offset. */
+  private def byteAt(hexs: Column, off: Int): Column =
+    conv(substring(hexs, (off - 1) * 2 + 1, 2), 16, 10).cast("long")
+  private def u16le(hexs: Column, off: Int): Column =
+    byteAt(hexs, off) + byteAt(hexs, off + 1) * 256L
+  private def u32le(hexs: Column, off: Int): Column =
+    byteAt(hexs, off) + byteAt(hexs, off + 1) * 256L +
+      byteAt(hexs, off + 2) * 65536L + byteAt(hexs, off + 3) * 16777216L
+
+  /** Driver-facing query: parse the planted WAVs back out of their
+    * BYTES — every output field is read from the binary header /
+    * data chunk at its RIFF-spec offset by byte arithmetic (not
+    * smuggled alongside), then verified two ways: the DuckDB oracle
+    * recomputes each field directly from (doc_id, text), so a
+    * synthesis bug or a parse-offset bug breaks the match, and
+    * `chk_ok` pins the internal RIFF size identity
+    * riff_size = 36 + data_size + tag checks, which only byte-true
+    * headers satisfy.
+    *
+    * Scale shape: one scan, zero shuffles before the final order —
+    * the whole decode is a per-row codegen'd projection (hex once,
+    * then slicing), exactly how a 100 TB metadata-extraction pass
+    * over binary payload columns should run; the signed-PCM sum
+    * aggregates over the data chunk via sequence+aggregate, bounded
+    * by the data_size the header declares. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    parseWav(asWavTable(spark, dir).toDF("id", "payload"))
+
+  /** The parse itself over any (id, payload BINARY) frame — factored
+    * so the spec can feed corrupted headers and planted goldens. */
+  def parseWav(wav: DataFrame): DataFrame = {
+    val parsed = wav
+      .withColumn("hexs", hex(col("payload")))
+      .withColumn("tags_ok",
+        substring(col("hexs"), 1, 8) === lit("52494646") &&   // "RIFF"
+        substring(col("hexs"), 17, 8) === lit("57415645") &&  // "WAVE"
+        substring(col("hexs"), 25, 8) === lit("666D7420") &&  // "fmt "
+        substring(col("hexs"), 73, 8) === lit("64617461"))    // "data"
+      .withColumn("riff_size", u32le(col("hexs"), 5))
+      .withColumn("channels", u16le(col("hexs"), 23))
+      .withColumn("sample_rate", u32le(col("hexs"), 25))
+      .withColumn("block_align", u16le(col("hexs"), 33))
+      .withColumn("bits", u16le(col("hexs"), 35))
+      .withColumn("data_size", u32le(col("hexs"), 41))
+      .withColumn("n_frames", expr("data_size DIV block_align"))
+      .withColumn("dur_ms", expr("(n_frames * 1000) DIV sample_rate"))
+      .withColumn("n_samples", expr("CAST(data_size DIV 2 AS INT)"))
+      // signed 16-bit LE samples summed straight off the data chunk
+      .withColumn("pcm_sum", aggregate(
+        sequence(lit(0), col("n_samples") - 1), lit(0L),
+        (acc, k) => {
+          val off = lit(45L) + k.cast("long") * 2L   // 1-based data start
+          val v = conv(col("hexs").substr(
+              ((off - 1L) * 2L + 1L).cast("int"), lit(2)), 16, 10)
+              .cast("long") +
+            conv(col("hexs").substr(
+              (off * 2L + 1L).cast("int"), lit(2)), 16, 10)
+              .cast("long") * 256L
+          acc + when(v >= 32768L, v - 65536L).otherwise(v)
+        }))
+      .withColumn("chk_ok", col("tags_ok") &&
+        col("riff_size") === col("data_size") + 36L &&
+        col("bits") === 16L)
+    parsed.select(col("id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("dur_ms"), col("data_size").cast("long").as("data_size"),
+        col("pcm_sum"), col("chk_ok"))
+      .orderBy(col("id"))
+  }
+
+  /** Direct derivation of every field from (doc_id, text) — if the
+    * engine's synthesized bytes OR its parse offsets are wrong, at
+    * least one column diverges. */
+  val multimodalMetaSql: String =
+    s"""SELECT doc_id AS id,
+       |  CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+       |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       |  CAST(least(length(text), $WavMaxFrames) AS BIGINT) AS n_frames,
+       |  CAST(least(length(text), $WavMaxFrames) AS BIGINT) * 1000 //
+       |    CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS dur_ms,
+       |  CAST(least(length(text), $WavMaxFrames) * (1 + doc_id % 2) * 2
+       |    AS BIGINT) AS data_size,
+       |  CAST(list_sum(list_transform(
+       |    range(least(length(text), $WavMaxFrames) * (1 + doc_id % 2)),
+       |    k -> ((unicode(text[CAST(k % length(text) AS INT) + 1])
+       |           * 523 + 7) % 65536) - 32768)) AS BIGINT) AS pcm_sum,
+       |  TRUE AS chk_ok
+       |FROM documents WHERE length(text) >= 1
+       |ORDER BY id""".stripMargin
 
   val multimodalFeaturesSql: String =
     """SELECT doc_id AS id,

@@ -290,4 +290,75 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(schema("payload") == "binary")
     assert(media.count() > 0)
   }
+
+  test("synthWav(1, \"AB\") emits the hand-derived RIFF golden " +
+    "byte-for-byte") {
+    // Derived by hand from the RIFF spec (little-endian throughout):
+    // sr = 8000*(1+1%3) = 16000 = 0x3E80, ch = 2, byteRate = 64000 =
+    // 0xFA00, blockAlign = 4, dataSize = 2 frames * 2 ch * 2 B = 8,
+    // riffSize = 44 = 0x2C. Samples: 'A'(65) -> (65*523+7)%65536 -
+    // 32768 = 34002 - 32768 = 1234 = 0x04D2 LE "D2 04"; 'B'(66) ->
+    // 34525 - 32768 = 1757 = 0x06DD LE "DD 06"; interleaved twice
+    // (stereo frames).
+    val want = Array[Int](
+      0x52, 0x49, 0x46, 0x46, 0x2C, 0x00, 0x00, 0x00, // "RIFF", 44
+      0x57, 0x41, 0x56, 0x45, 0x66, 0x6D, 0x74, 0x20, // "WAVE", "fmt "
+      0x10, 0x00, 0x00, 0x00, 0x01, 0x00, 0x02, 0x00, // 16, PCM, ch=2
+      0x80, 0x3E, 0x00, 0x00, 0x00, 0xFA, 0x00, 0x00, // 16000, 64000
+      0x04, 0x00, 0x10, 0x00, 0x64, 0x61, 0x74, 0x61, // 4, 16, "data"
+      0x08, 0x00, 0x00, 0x00,                         // dataSize = 8
+      0xD2, 0x04, 0xDD, 0x06, 0xD2, 0x04, 0xDD, 0x06  // PCM samples
+    ).map(_.toByte)
+    assert(MultimodalOps.synthWav(1L, "AB").toSeq == want.toSeq)
+  }
+
+  test("parseWav reads every field back out of the planted bytes") {
+    import spark.implicits._
+    val wav = Seq((1L, MultimodalOps.synthWav(1L, "AB")))
+      .toDF("id", "payload")
+    val r = MultimodalOps.parseWav(wav).collect().head
+    assert(r.getLong(1) == 16000L, "sample_rate")
+    assert(r.getLong(2) == 2L, "channels")
+    assert(r.getLong(3) == 2L, "n_frames")
+    assert(r.getLong(4) == 0L, "dur_ms: 2 frames at 16 kHz")
+    assert(r.getLong(5) == 8L, "data_size")
+    assert(r.getLong(6) == 2L * 1234 + 2L * 1757, "pcm_sum")
+    assert(r.getBoolean(7), "chk_ok")
+  }
+
+  test("parseWav flags corrupted headers instead of trusting them") {
+    import spark.implicits._
+    val good = MultimodalOps.synthWav(2L, "hello")
+    val badTag = good.clone(); badTag(0) = 'X'.toByte
+    val badSize = good.clone(); badSize(4) = (badSize(4) + 1).toByte
+    val rows = MultimodalOps.parseWav(
+        Seq((1L, good), (2L, badTag), (3L, badSize)).toDF("id", "payload"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    assert(rows(1L), "pristine header must verify")
+    assert(!rows(2L), "broken RIFF tag must fail chk_ok")
+    assert(!rows(3L), "riff_size != 36 + data_size must fail chk_ok")
+  }
+
+  test("multimodal_meta: every corpus WAV verifies and matches a " +
+    "direct Scala recomputation") {
+    import spark.implicits._
+    val got = MultimodalOps.multimodalMeta(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getBoolean(7))).toMap
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._2.nonEmpty)
+    assert(got.size == texts.length)
+    texts.foreach { case (id, text) =>
+      val sr = 8000L * (1 + id % 3); val ch = 1L + id % 2
+      val nf = math.min(text.length, MultimodalOps.WavMaxFrames).toLong
+      val pcm = (0L until nf * ch).map { k =>
+        ((text.charAt((k % text.length).toInt).toInt * 523 + 7) % 65536) -
+          32768L
+      }.sum
+      assert(got(id) ==
+        (sr, ch, nf, nf * 1000 / sr, nf * ch * 2, pcm, true), s"doc $id")
+    }
+  }
 }
