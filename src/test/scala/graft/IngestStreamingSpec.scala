@@ -130,4 +130,48 @@ class IngestStreamingSpec extends AnyFunSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("streaming drift survives a restart: checkpointed histogram " +
+    "state + source log resume mid-corpus and still match batch") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+    val landing = Files.createTempDirectory("graft_drift_restart")
+    val ckpt = Files.createTempDirectory("graft_drift_ckpt")
+    def ks(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    def startQ() = IngestStreaming
+      .driftHistStream(spark, landing.toString)
+      .writeStream.format("memory").queryName("drift_hist_restart")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("complete").start()
+
+    // first half lands, monitor runs, then goes DOWN
+    d.filter(col("doc_id") % 2 === 0)
+      .write.mode("append").parquet(landing.toString)
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      assert(ks(graft.operators.TextAnalysis.ksOfHist(
+          spark.table("drift_hist_restart"))) ==
+        ks(graft.operators.TextAnalysis.ksBySource(
+          d.filter(col("doc_id") % 2 === 0))),
+        "pre-restart cells must already score the first half")
+    } finally q1.stop()
+
+    // second half arrives while the monitor is down; the restarted
+    // query must resume from the checkpoint — recovering the
+    // aggregation state AND the source's processed-file log (a re-read
+    // of the first half would double its counts and break the match)
+    d.filter(col("doc_id") % 2 === 1)
+      .write.mode("append").parquet(landing.toString)
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      assert(ks(graft.operators.TextAnalysis.ksOfHist(
+          spark.table("drift_hist_restart"))) ==
+        ks(graft.operators.TextAnalysis.ksBySource(d)),
+        "post-restart cells must equal the full-corpus batch score")
+    } finally q2.stop()
+  }
 }
