@@ -61,6 +61,18 @@ object Bench {
       else ok.sorted.apply((ok.size - 1) / 2)
     }
 
+    // Host 1-minute load average (OS-level, includes other containers
+    // on the box): sampled at run start / after the timed catalog /
+    // at the end, so the "uniform per-query inflation = machine
+    // contention" signature (BASELINE §C) is machine-checkable from
+    // the artifact instead of argued from load-history anecdotes.
+    def loadAvg(): Double = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(l * 100.0) / 100.0
+    }
+    val loadStart = loadAvg()
+
     // Dev-only subset filter (the driver sets no env): restricts both
     // the timed loop and the blow-up probe, for fast probe iteration.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -76,6 +88,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val loadAfterCatalog = loadAvg()
     // Superlinearity probe (round-2 verdict #9): the heaviest queries
     // re-timed on a 10× blow-up of documents/embeddings whose
     // similarity structure grows LINEARLY with the factor (see
@@ -148,8 +161,10 @@ object Bench {
       val t = best2(blowDir)
       s""""$nm":{"base":$base,"x10":$t}"""
     }.mkString("{", ",", "}")
+    val load =
+      s"""{"start":$loadStart,"after_catalog":$loadAfterCatalog,"end":${loadAvg()}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","blowup10x":$probe}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","blowup10x":$probe,"load":$load}"""
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) are dev probes — they must
     // NOT clobber the committed full-catalog artifact that BASELINE.md
     // §C cites (the r3→r4 drift was exactly that: three single-query
