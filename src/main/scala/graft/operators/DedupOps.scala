@@ -22,6 +22,23 @@ object DedupOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
+  /** Spread an UNSPLITTABLE input across the executors before
+    * CPU-heavy per-row work (shingle/minhash hashing): the test
+    * corpus is one single-row-group parquet file — the same shape as
+    * a gzip text input at production scale — so the scan yields ONE
+    * partition and every downstream hash runs single-threaded unless
+    * explicitly redistributed. The shuffle moves only the raw doc
+    * rows (kilobytes here; one pass of the input at any scale),
+    * against a 32× parallelism unlock for the hashing above it. On an
+    * already-split source the round-robin exchange is wasted work —
+    * so only the hash-heavy pipelines call this, right below their
+    * scan, where the per-row compute dominates the row movement. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(parallelism(df))
+
+  private def parallelism(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
   /** Exact duplicate summary: hash-groupBy on full text. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).agg(
@@ -98,16 +115,25 @@ object DedupOps {
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     // sorted once per doc → candidate verify is a codegen'd
     // two-pointer merge (SortedIntersectCount), not a per-pair hash set
-    val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("source"),
-      sort_array(array_distinct(
-        transform(split(col("text"), " "), t => xxhash64(t)))).as("toks"))
+    // d and banded each feed two join sides; left as views, the
+    // tokenize/minhash prep re-runs under every AQE stage build over
+    // the one-partition scan (the r6 prefix-join lesson — this one
+    // pipeline also feeds dedup_clusters and near_dup_clean, so the
+    // materialization pays off three rows deep).
+    val d = spread(docs(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"),
+        sort_array(array_distinct(
+          transform(split(col("text"), " "), t => xxhash64(t)))).as("toks"))
+      .localCheckpoint()
     // blocking keys ride through the signature aggregation (no
     // metadata re-join) and join as part of the bucket key
-    val sigs = minhashSignaturesFromSets(docs(spark, dir),
+    val sigs = minhashSignaturesFromSets(spread(docs(spark, dir)),
       array_distinct(tokenHashes(col("text"))), k = 32,
       carry = Seq("lang", "source"))
     val banded = lshBands(sigs, k = 32, bands = 16,
       carry = Seq("lang", "source"))
+      .repartition(parallelism(sigs), col("band"), col("bh"))
+      .localCheckpoint()
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.lang") === col("y.lang") &&
@@ -1154,7 +1180,7 @@ object DedupOps {
     * double is a division of two exactly-agreed integers, so it is
     * bit-identical across engines. */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
-    containmentPairs(docs(spark, dir))
+    containmentPairs(spread(docs(spark, dir)))
 
   /** Core of [[dedupContainment]] over any (doc_id, text) frame —
     * factored for the planted-corpus spec. */
@@ -1163,14 +1189,28 @@ object DedupOps {
     val d = docsDf
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
+    // Same duplicated-prep pathology the prefix join had (r6): grams
+    // is planned under BOTH the df-filter subtree and the join's left
+    // side, and rare under THREE consumers (pair join a/b + the na
+    // agg) — each AQE stage build re-ran the shingle hashing from the
+    // scan. Materialize each once.
     val grams = d
       .select(col("doc_id"), explode(shingleHashes64(col("ts"))).as("sh"))
       .distinct()
+      .localCheckpoint()
     val rareSh = grams.groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= cap)
       .select(col("sh"))
+    // hash-partitioned by the join key BEFORE the checkpoint (the
+    // checkpoint preserves outputPartitioning), so the pair self-join
+    // below needs no exchange AND keeps this parallelism — left to
+    // AQE, the few-MB shuffle coalesces to ONE partition and the
+    // Σ min(df,cap)² pair expansion runs single-threaded (measured
+    // 1.8 s of the row's 4 s)
     val rare = grams.join(rareSh, Seq("sh"))
+      .repartition(parallelism(grams), col("sh"))
+      .localCheckpoint()
     val na = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
     val shared = rare.as("a")
       .join(rare.as("b"), col("a.sh") === col("b.sh") &&
@@ -1218,7 +1258,7 @@ object DedupOps {
     * density rather than staying band-bounded — the classic
     * exact-vs-LSH trade. */
   def dedupPrefixJoin(spark: SparkSession, dir: String): DataFrame =
-    prefixJoinPairs(docs(spark, dir))
+    prefixJoinPairs(spread(docs(spark, dir)))
 
   /** Core of [[dedupPrefixJoin]] over any (doc_id, text) frame; docs
     * under 3 tokens have no shingles and are excluded (mirrored by the
@@ -1262,7 +1302,9 @@ object DedupOps {
     // ksOfHist idiom: reference-tracked blocks, freed by the
     // ContextCleaner, unlike an unpaired persist) materializes each
     // ONCE and all four consumers read the cached rows.
-    val prefixC = prefix.localCheckpoint()
+    val prefixC = prefix
+      .repartition(parallelism(prefix), col("h"))
+      .localCheckpoint()
     val cands = prefixC.as("a").join(prefixC.as("b"),
         col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id") &&
