@@ -333,13 +333,18 @@ object DedupOps {
   def minhashPairs(d: DataFrame, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val sigs = minhashSignatures(d, k)
+    // materialized once, co-partitioned on the bucket key: the band
+    // self-join then needs no exchange and keeps its parallelism
+    // (the dedupJaccard/containment lesson, r6)
     val banded = lshBands(sigs, k, bands)
+      .repartition(parallelism(sigs), col("band"), col("bh"))
+      .localCheckpoint()
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    val sh = shingleSets(d)
+    val sh = shingleSets(d).localCheckpoint()
     val inter = graft.functions.SortedIntersectCount.count(
       col("si"), col("sj"))
     val uni = size(col("si")) + size(col("sj")) - inter
@@ -383,7 +388,8 @@ object DedupOps {
     * a 3-shingle measure still vanishes for unrelated docs — the
     * candidate join stays Σ bucket², never N². */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    minhashPairs(docs(spark, dir), k = 32, bands = 32, threshold = 0.5)
+    minhashPairs(spread(docs(spark, dir)), k = 32, bands = 32,
+      threshold = 0.5)
       .orderBy(col("i"), col("j"))
 
   val dedupMinhashSql: String =
@@ -517,11 +523,15 @@ object DedupOps {
     * (pigeonhole-complete) + exact bit_count verify. */
   def simhashOraclePairs(d: DataFrame): DataFrame = {
     val s = simhashOracle(d)
+    // one fingerprint row per doc, materialized once and co-partitioned
+    // on the chunk-bucket key for an exchange-free self-join (r6)
     val chunked = s.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 15)
           .bitwiseAND(lit(0x7FFFL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
+      .repartition(parallelism(s), col("chunk"), col("cv"))
+      .localCheckpoint()
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -535,7 +545,7 @@ object DedupOps {
   /** Driver-facing SimHash query: the oracled variant's complete
     * hamming-≤3 pair list. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashOraclePairs(docs(spark, dir))
+    simhashOraclePairs(spread(docs(spark, dir)))
       .select(col("i"), col("j"), col("hamming"))
       .orderBy(col("i"), col("j"))
 
