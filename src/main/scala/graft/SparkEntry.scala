@@ -98,6 +98,10 @@ object SparkEntry {
     // layer; all-integer, fully oracled via the md5-derived signs)
     "embed_project" -> ((s: SparkSession, d: String) =>
       ScalarQuantOps.embedProjectFlat(s, d)),
+    // exact fixed-point PCA: integer covariance + integer power
+    // iteration, projection onto the dominant direction (whitening
+    // primitive); fully oracled via an unrolled DuckDB replay
+    "embed_pca" -> (PcaOps.embedPca _),
     "dedup_embedding" -> ((s: SparkSession, d: String) =>
       SimilarityOps.dedupEmbeddingBlocked(s, d)),
     "dedup_embedding_lsh" -> (SimilarityOps.dedupEmbeddingLshQuery _),
@@ -255,6 +259,7 @@ object SparkEntry {
     "embed_quantize" -> ScalarQuantOps.embedQuantizeSql,
     "ann_int8" -> ScalarQuantOps.annInt8Sql,
     "embed_project" -> ScalarQuantOps.embedProjectSql,
+    "embed_pca" -> PcaOps.embedPcaSql,
     // bits=0 LSH: candidate set provably complete ⇒ result ≡ exact top-k
     "ann_lsh_topk" -> SimilarityOps.annTopKSql,
     "input_file_counts" -> TextQueries.inputFileCountsSql,
