@@ -84,6 +84,9 @@ object SparkEntry {
     "ann_ingest" -> ((s: SparkSession, d: String) =>
       SimilarityOps.annIngest(s, d)),
     "embedding_qa" -> (SimilarityOps.embeddingQa _),
+    // MMR diversified re-rank over the exact candidate pool (RAG
+    // diversification pass); fully oracled via unrolled greedy rounds
+    "mmr_rerank" -> (SimilarityOps.mmrRerank _),
     // int8 scalar quantization: representation + reconstruction-error
     // QA, and shortlist-on-codes / exact-re-rank top-k. Both fully
     // oracled (absmax/floor-half-up/integer-cosine replay bit-exactly).
@@ -256,6 +259,7 @@ object SparkEntry {
     "ann_ivf_topk" -> SimilarityOps.annTopKSql,
     "ann_ingest" -> SimilarityOps.annIngestSql,
     "embedding_qa" -> SimilarityOps.embeddingQaSql,
+    "mmr_rerank" -> SimilarityOps.mmrRerankSql,
     "embed_quantize" -> ScalarQuantOps.embedQuantizeSql,
     "ann_int8" -> ScalarQuantOps.annInt8Sql,
     "embed_project" -> ScalarQuantOps.embedProjectSql,

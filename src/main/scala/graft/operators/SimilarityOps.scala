@@ -526,4 +526,159 @@ object SimilarityOps {
        |  FROM embeddings) t
        |GROUP BY label
        |ORDER BY label""".stripMargin
+
+  // ---------------- MMR diversified re-rank ----------------
+
+  /** Candidate pool per query for [[mmrRerank]]. */
+  val MmrCand = 10
+  /** Diversified results returned per query. */
+  val MmrK = 3
+  /** Relevance weight λ (similarity-to-selected weight is 1−λ). */
+  val MmrLambda = 0.7
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * from each query's [[MmrCand]]-candidate cosine pool, greedily
+    * select [[MmrK]] results maximizing
+    * λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s) — the diversification
+    * pass RAG retrieval runs so the k passages aren't near-duplicates
+    * of each other (directly composable with the near-dup problem
+    * this engine's dedup stack measures).
+    *
+    * Determinism: rel and sim are the engine-agreed integer-dot
+    * cosines ([[VectorOps.cosineFrom]]); the MMR combination is
+    * literal-double arithmetic on them (λ = 0.7 parses to the same
+    * IEEE double in both engines, products/subtraction are correctly
+    * rounded) with ties broken on c_vec_id — so the greedy trace is
+    * bit-identical and the row is FULLY ORACLED via unrolled
+    * selection rounds in DuckDB.
+    *
+    * Scale shape: candidate generation is the ANN index's job (the
+    * pool here is the exact top-[[MmrCand]], provably what
+    * [[annIvfTopK]] at probes=cells returns); MMR itself touches
+    * Q×C rel rows and Q×C² pairwise sims — query-bounded, never
+    * corpus-bounded — and each greedy round is a window over
+    * per-query partitions (WindowGroupLimit-prunable, no global
+    * sort). The [[MmrK]] rounds are a statically-bounded job DAG over
+    * those few rows (the BpeOps bounded-round idiom). */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val sided = e.select(col("vec_id"),
+        VectorOps.quantize(col("embedding")).as("v"))
+      .withColumn("n2", VectorOps.norm2Q(col("v")))
+    val queries = sided.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q"), col("v").as("qv"), col("n2").as("qn"))
+    val wRel = Window.partitionBy(col("q"))
+      .orderBy(col("rel").desc, col("c").asc)
+    // per-query candidate pool: exact top-MmrCand with vectors carried
+    // for the pairwise sims below
+    val cand = broadcast(queries)
+      .join(sided, col("q") =!= col("vec_id"))
+      .select(col("q"), col("vec_id").as("c"), col("v"), col("n2"),
+        VectorOps.cosineFrom(VectorOps.dotQ(col("qv"), col("v")),
+          col("qn"), col("n2")).as("rel"))
+      .withColumn("cr", row_number().over(wRel))
+      .filter(col("cr") <= MmrCand)
+      .select(col("q"), col("c"), col("v"), col("n2"), col("rel"))
+      .localCheckpoint() // feeds the pair-sim self-join + every round
+    val pairSim = cand.as("a").join(cand.as("b"),
+        col("a.q") === col("b.q") && col("a.c") =!= col("b.c"))
+      .select(col("a.q").as("q"), col("a.c").as("c1"), col("b.c").as("c2"),
+        VectorOps.cosineFrom(VectorOps.dotQ(col("a.v"), col("b.v")),
+          col("a.n2"), col("b.n2")).as("sim"))
+      .localCheckpoint() // Q×C² rows, reused every round
+    val rel = cand.select(col("q"), col("c"), col("rel"))
+
+    var selected = rel
+      .withColumn("rk", row_number().over(wRelOn(col("q"), col("rel"),
+        col("c"))))
+      .filter(col("rk") === 1)
+      .select(col("q"), col("c"), lit(1L).as("round"),
+        col("rel").as("score"))
+      .localCheckpoint()
+    (2 to MmrK).foreach { r =>
+      val remaining = rel.join(selected.select(col("q"), col("c")),
+        Seq("q", "c"), "left_anti")
+      val maxSim = pairSim
+        .join(selected.select(col("q"), col("c").as("c2")), Seq("q", "c2"))
+        .groupBy(col("q"), col("c1").as("c"))
+        .agg(max(col("sim")).as("maxsim"))
+      val scored = remaining.join(maxSim, Seq("q", "c"))
+        .withColumn("score", lit(MmrLambda) * col("rel") -
+          lit(1.0 - MmrLambda) * col("maxsim"))
+      val pick = scored
+        .withColumn("rk", row_number().over(wRelOn(col("q"), col("score"),
+          col("c"))))
+        .filter(col("rk") === 1)
+        .select(col("q"), col("c"), lit(r.toLong).as("round"), col("score"))
+      selected = selected.unionAll(pick).localCheckpoint()
+    }
+    selected
+      .select(col("q").as("q_vec_id"), col("c").as("c_vec_id"),
+        col("round"), col("score"))
+      .orderBy(col("q_vec_id"), col("round"))
+  }
+
+  private def wRelOn(q: Column, s: Column, c: Column) =
+    Window.partitionBy(q).orderBy(s.desc, c.asc)
+
+  val mmrRerankSql: String = {
+    val selRounds = (2 to MmrK).map { r =>
+      val prev = (1 until r).map(i => s"SELECT q, c FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""ms$r AS MATERIALIZED (
+         |  SELECT ps.q, ps.c1 AS c, MAX(ps.sim) AS maxsim
+         |  FROM ps JOIN ($prev) s ON s.q = ps.q AND s.c = ps.c2
+         |  GROUP BY 1, 2),
+         |sc$r AS MATERIALIZED (
+         |  SELECT rel.q, rel.c,
+         |    $MmrLambda * rel.rel - ${1.0 - MmrLambda} * ms$r.maxsim
+         |      AS score
+         |  FROM rel JOIN ms$r ON ms$r.q = rel.q AND ms$r.c = rel.c
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM ($prev) s WHERE s.q = rel.q AND s.c = rel.c)),
+         |sel$r AS MATERIALIZED (
+         |  SELECT q, c, CAST($r AS BIGINT) AS round, score FROM (
+         |    SELECT q, c, score, ROW_NUMBER() OVER (PARTITION BY q
+         |      ORDER BY score DESC, c ASC) AS rk FROM sc$r)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sided AS MATERIALIZED (
+       |  SELECT vec_id, ${VectorOps.QuantizeSql} AS v,
+       |    CAST(list_sum(list_transform(${VectorOps.QuantizeSql},
+       |      t -> t * t)) AS BIGINT) AS n2
+       |  FROM embeddings),
+       |cand AS MATERIALIZED (
+       |  SELECT q, c, v, n2, rel FROM (
+       |    SELECT qs.vec_id AS q, cs.vec_id AS c, cs.v, cs.n2,
+       |      CAST(list_sum(list_transform(list_zip(qs.v, cs.v),
+       |        z -> z[1] * z[2])) AS DOUBLE) /
+       |      (sqrt(CAST(qs.n2 AS DOUBLE)) * sqrt(CAST(cs.n2 AS DOUBLE)))
+       |        AS rel,
+       |      ROW_NUMBER() OVER (PARTITION BY qs.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(qs.v, cs.v),
+       |          z -> z[1] * z[2])) AS DOUBLE) /
+       |        (sqrt(CAST(qs.n2 AS DOUBLE)) * sqrt(CAST(cs.n2 AS DOUBLE)))
+       |          DESC, cs.vec_id ASC) AS cr
+       |    FROM (SELECT * FROM sided WHERE vec_id < $QueryCount) qs
+       |    JOIN sided cs ON cs.vec_id <> qs.vec_id)
+       |  WHERE cr <= $MmrCand),
+       |rel AS MATERIALIZED (SELECT q, c, rel FROM cand),
+       |ps AS MATERIALIZED (
+       |  SELECT a.q, a.c AS c1, b.c AS c2,
+       |    CAST(list_sum(list_transform(list_zip(a.v, b.v),
+       |      z -> z[1] * z[2])) AS DOUBLE) /
+       |    (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+       |      AS sim
+       |  FROM cand a JOIN cand b ON a.q = b.q AND a.c <> b.c),
+       |sel1 AS MATERIALIZED (
+       |  SELECT q, c, CAST(1 AS BIGINT) AS round, rel AS score FROM (
+       |    SELECT q, c, rel, ROW_NUMBER() OVER (PARTITION BY q
+       |      ORDER BY rel DESC, c ASC) AS rk FROM rel)
+       |  WHERE rk = 1),
+       |$selRounds
+       |SELECT q AS q_vec_id, c AS c_vec_id, round, score
+       |FROM (${(1 to MmrK).map(i => s"SELECT * FROM sel$i")
+          .mkString(" UNION ALL ")})
+       |ORDER BY q_vec_id, round""".stripMargin
+  }
 }
