@@ -84,6 +84,11 @@ object SparkEntry {
     "ann_ingest" -> ((s: SparkSession, d: String) =>
       SimilarityOps.annIngest(s, d)),
     "embedding_qa" -> (SimilarityOps.embeddingQa _),
+    // label-constrained (filtered) vector search through the IVF
+    // index, pre-filtering inside the probed cells; probes == cells
+    // => provably the exact filtered brute force, fully oracled
+    "ann_filtered" -> ((s: SparkSession, d: String) =>
+      SimilarityOps.annIvfFiltered(s, d)),
     // MMR diversified re-rank over the exact candidate pool (RAG
     // diversification pass); fully oracled via unrolled greedy rounds
     "mmr_rerank" -> (SimilarityOps.mmrRerank _),
@@ -260,6 +265,7 @@ object SparkEntry {
     "ann_ingest" -> SimilarityOps.annIngestSql,
     "embedding_qa" -> SimilarityOps.embeddingQaSql,
     "mmr_rerank" -> SimilarityOps.mmrRerankSql,
+    "ann_filtered" -> SimilarityOps.annIvfFilteredSql,
     "embed_quantize" -> ScalarQuantOps.embedQuantizeSql,
     "ann_int8" -> ScalarQuantOps.annInt8Sql,
     "embed_project" -> ScalarQuantOps.embedProjectSql,

@@ -353,6 +353,88 @@ object SimilarityOps {
     ivfSearch(queries, cents, assigned, probes)
   }
 
+  /** Metadata-FILTERED vector search through the IVF index: top-k
+    * cosine among candidates satisfying a predicate (here: same
+    * `label` as the query — the tenant/collection-scoped search every
+    * production vector store must answer). The predicate is applied
+    * INSIDE the probed cells ("pre-filtering" in the
+    * filtered-vector-search taxonomy, e.g. Qdrant/Milvus docs; Wang
+    * et al. 2021 Milvus §6.2), not after the top-k — post-filtering
+    * k results and then dropping mismatches collapses recall whenever
+    * the predicate is selective, since the k survivors may all fail
+    * it. Registered at probes == cells, where the probed set is
+    * provably the whole corpus and the result is EXACTLY the
+    * filtered brute-force top-k → fully oracled against the
+    * label-constrained exact SQL; probes < cells is the approximate
+    * production setting (same contract as [[annIvfTopK]]).
+    *
+    * Scale shape: identical to [[annIvfTopK]] (broadcast centroid
+    * probe, cell equi-join, WindowGroupLimit top-k) plus one
+    * label-equality conjunct riding the cell join — at 100 TB with
+    * the corpus bucketed by (cell, label), the predicate prunes
+    * partitions before any dot is paid. */
+  def annIvfFiltered(spark: SparkSession, dir: String, cells: Int = 16,
+      probes: Int = 16): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = ivfCentroids(e, cells)
+    val labeled = ivfAssignTo(e, cents)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val queries = labeled.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
+        col("n2").as("qn"), col("label").as("q_label"))
+    val pw = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("probe_cos").desc, col("cell").asc)
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col("q_vec_id"), col("qv"), col("qn"), col("q_label"),
+        col("cell"),
+        VectorOps.cosineFrom(VectorOps.dotQ(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("probe_cos"))
+      .withColumn("rk", row_number().over(pw))
+      .filter(col("rk") <= probes)
+      .select(col("q_vec_id"), col("qv"), col("qn"), col("q_label"),
+        col("cell"))
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("cos").desc, col("c_vec_id").asc)
+    probed.join(labeled.select(col("cell"), col("vec_id").as("c_vec_id"),
+        col("v").as("cv"), col("n2").as("cn"),
+        col("label").as("c_label")), Seq("cell"))
+      .filter(col("q_vec_id") =!= col("c_vec_id") &&
+        col("q_label") === col("c_label"))
+      .select(col("q_vec_id"),
+        col("q_label").cast("long").as("q_label"), col("c_vec_id"),
+        VectorOps.cosineFrom(VectorOps.dotQ(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("cos"))
+      .dropDuplicates("q_vec_id", "c_vec_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_vec_id"), col("q_label"), col("c_vec_id"),
+        col("rank"), col("cos"))
+      .orderBy(col("q_vec_id"), col("rank"))
+  }
+
+  val annIvfFilteredSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_vec_id, CAST(label AS BIGINT) AS q_label,
+       |    ${VectorOps.QuantizeSql} AS qv
+       |  FROM embeddings WHERE vec_id < $QueryCount),
+       |c AS (
+       |  SELECT vec_id AS c_vec_id, CAST(label AS BIGINT) AS c_label,
+       |    ${VectorOps.QuantizeSql} AS cv
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q_vec_id, q_label, c_vec_id,
+       |    CAST(list_sum(list_transform(list_zip(qv, cv), z -> z[1] * z[2])) AS DOUBLE) /
+       |    (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) *
+       |     sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE))) AS cos
+       |  FROM q JOIN c ON q_vec_id <> c_vec_id AND q_label = c_label),
+       |r AS (
+       |  SELECT q_vec_id, q_label, c_vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, c_vec_id ASC) AS rank
+       |  FROM p)
+       |SELECT q_vec_id, q_label, c_vec_id, rank, cos FROM r
+       |WHERE rank <= $K
+       |ORDER BY q_vec_id, rank""".stripMargin
+
   /** The IVF probe + exact-rerank tail shared by [[annIvfTopK]] and
     * [[annIngest]]: `queries` (q_vec_id, qv, qn) each probe their
     * `probes` best-cosine cells of `cents`, then exact-rerank only the
