@@ -216,6 +216,9 @@ object SparkEntry {
     // back via codegen'd byte arithmetic; oracle re-derives each field
     // directly from (doc_id, text)
     "multimodal_meta" -> (MultimodalOps.multimodalMeta _),
+    // second real binary format: 24bpp BMP with the row-stride padding
+    // quirk in both synthesis and parse verification
+    "multimodal_bmp" -> (MultimodalOps.multimodalBmp _),
     "text_classifier" -> (TextClassifier.classify _),
     "phone_to_url" -> (PhoneToUrl.phoneToUrl _),
   )
@@ -352,5 +355,6 @@ object SparkEntry {
     "phone_to_url" -> PhoneToUrl.phoneToUrlSql,
     "multimodal_features" -> MultimodalOps.multimodalFeaturesSql,
     "multimodal_meta" -> MultimodalOps.multimodalMetaSql,
+    "multimodal_bmp" -> MultimodalOps.multimodalBmpSql,
   )
 }

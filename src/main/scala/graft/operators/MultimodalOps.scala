@@ -223,6 +223,108 @@ object MultimodalOps {
       .orderBy(col("id"))
   }
 
+  // ---------------- BMP (DIB) — the second real format ------------
+
+  /** Max image width synthesized per doc (pixels). */
+  val BmpMaxW = 16
+
+  /** Plants real 24-bpp BITMAPINFOHEADER BMPs: width = 1 + doc_id mod
+    * [[BmpMaxW]], height = 1 + n_chars mod 8, pixel bytes derived from
+    * the text. The format's one genuine quirk — every pixel row pads
+    * to a 4-byte boundary (stride = ((3·w + 3) DIV 4)·4) — is part of
+    * both the synthesis and the parse verification, so an
+    * off-by-padding bug breaks the oracle match. */
+  private[graft] def synthBmp(id: Long, text: String): Array[Byte] = {
+    val w = 1 + (id % BmpMaxW).toInt
+    val h = 1 + (text.length % 8)
+    val stride = ((3 * w + 3) / 4) * 4
+    val dataSize = stride * h
+    val fileSize = 54 + dataSize
+    val bb = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)          // reserved, data offset
+      .putInt(40).putInt(w).putInt(h)              // DIB header, w, h
+      .putShort(1).putShort(24)                    // planes, bpp
+      .putInt(0).putInt(dataSize)                  // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI, palette
+    (0 until h).foreach { row =>
+      (0 until stride).foreach { b =>
+        val v =
+          if (b >= 3 * w) 0 // padding bytes are zero per convention
+          else text.charAt((row * stride + b) % text.length).toInt % 256
+        bb.put(v.toByte)
+      }
+    }
+    bb.array()
+  }
+
+  case class BmpBlob(id: Long, payload: Array[Byte])
+
+  def asBmpTable(spark: SparkSession, dir: String): Dataset[BmpBlob] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 1)
+      .as[(Long, String)]
+      .map { case (id, text) => BmpBlob(id, synthBmp(id, text)) }
+  }
+
+  /** Parse the planted BMPs back out of their bytes: magic, header
+    * fields, the stride identity file_size = 54 + stride·height, and
+    * the first pixel row's byte sum (padding excluded — reading the
+    * row through the stride, not 3·w, is exactly the bug the check
+    * catches). Same one-hex()-per-row codegen'd decode as
+    * [[parseWav]]. */
+  def parseBmp(bmp: DataFrame): DataFrame = {
+    val parsed = bmp
+      .withColumn("hexs", hex(col("payload")))
+      .withColumn("magic_ok", substring(col("hexs"), 1, 4) === lit("424D"))
+      .withColumn("file_size", u32le(col("hexs"), 3))
+      .withColumn("data_off", u32le(col("hexs"), 11))
+      .withColumn("width", u32le(col("hexs"), 19))
+      .withColumn("height", u32le(col("hexs"), 23))
+      .withColumn("bpp", u16le(col("hexs"), 29))
+      .withColumn("img_size", u32le(col("hexs"), 35))
+      .withColumn("stride", expr("((3 * width + 3) DIV 4) * 4"))
+      .withColumn("row0_sum", aggregate(
+        sequence(lit(0), (col("width") * 3 - 1).cast("int")), lit(0L),
+        (acc, k) => acc + conv(col("hexs").substr(
+            ((lit(54L) + k.cast("long")) * 2L + 1L).cast("int"), lit(2)),
+          16, 10).cast("long")))
+      .withColumn("chk_ok", col("magic_ok") &&
+        col("bpp") === 24L && col("data_off") === 54L &&
+        col("img_size") === col("stride") * col("height") &&
+        col("file_size") === lit(54L) + col("stride") * col("height"))
+    parsed.select(col("id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("bpp").cast("long").as("bpp"),
+        col("file_size").cast("long").as("file_size"),
+        col("row0_sum"), col("chk_ok"))
+      .orderBy(col("id"))
+  }
+
+  def multimodalBmp(spark: SparkSession, dir: String): DataFrame =
+    parseBmp(asBmpTable(spark, dir).toDF("id", "payload"))
+
+  /** Direct field derivation from (doc_id, text); row0_sum replays the
+    * pixel generator for row 0 (char k mod len, mod 256 — padding
+    * bytes excluded by summing only 3·w bytes). */
+  val multimodalBmpSql: String =
+    s"""SELECT doc_id AS id,
+       |  CAST(1 + doc_id % $BmpMaxW AS BIGINT) AS width,
+       |  CAST(1 + length(text) % 8 AS BIGINT) AS height,
+       |  CAST(24 AS BIGINT) AS bpp,
+       |  CAST(54 + ((3 * (1 + doc_id % $BmpMaxW) + 3) // 4) * 4 *
+       |    (1 + length(text) % 8) AS BIGINT) AS file_size,
+       |  CAST(list_sum(list_transform(
+       |    range(3 * (1 + doc_id % $BmpMaxW)),
+       |    k -> unicode(text[CAST(k % length(text) AS INT) + 1]) % 256))
+       |    AS BIGINT) AS row0_sum,
+       |  TRUE AS chk_ok
+       |FROM documents WHERE length(text) >= 1
+       |ORDER BY id""".stripMargin
+
   /** Direct derivation of every field from (doc_id, text) — if the
     * engine's synthesized bytes OR its parse offsets are wrong, at
     * least one column diverges. */

@@ -339,6 +339,60 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(!rows(3L), "riff_size != 36 + data_size must fail chk_ok")
   }
 
+  test("synthBmp(1, \"AB\") emits the hand-derived BMP golden " +
+    "byte-for-byte, including row padding") {
+    // w = 1+1%16 = 2, h = 1+2%8 = 3, stride = ((3*2+3) DIV 4)*4 = 8,
+    // dataSize = 24, fileSize = 78 = 0x4E. Each row: 'A' 'B' repeated
+    // 3 times (byte index parity) + TWO zero padding bytes.
+    val row = Array[Int](0x41, 0x42, 0x41, 0x42, 0x41, 0x42, 0x00, 0x00)
+    val want = (Array[Int](
+      0x42, 0x4D, 0x4E, 0x00, 0x00, 0x00, 0x00, 0x00, // "BM", 78
+      0x00, 0x00, 0x36, 0x00, 0x00, 0x00, 0x28, 0x00, // off 54, DIB 40
+      0x00, 0x00, 0x02, 0x00, 0x00, 0x00, 0x03, 0x00, // w=2, h=3
+      0x00, 0x00, 0x01, 0x00, 0x18, 0x00, 0x00, 0x00, // planes, 24bpp
+      0x00, 0x00, 0x18, 0x00, 0x00, 0x00,             // BI_RGB, 24
+      0x13, 0x0B, 0x00, 0x00, 0x13, 0x0B, 0x00, 0x00, // 2835 ppm x/y
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00  // palette
+    ) ++ row ++ row ++ row).map(_.toByte)
+    assert(MultimodalOps.synthBmp(1L, "AB").toSeq == want.toSeq)
+  }
+
+  test("parseBmp reads the header back and rejects a stride-violating " +
+    "file size") {
+    import spark.implicits._
+    val good = MultimodalOps.synthBmp(1L, "AB")
+    val badSize = good.clone(); badSize(2) = (badSize(2) + 1).toByte
+    val rows = MultimodalOps.parseBmp(
+        Seq((1L, good), (2L, badSize)).toDF("id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5),
+          r.getBoolean(6))).toMap
+    assert(rows(1L) == ((2L, 3L, 78L, 393L, true)))
+    assert(!rows(2L)._5, "file_size != 54 + stride*height must fail")
+  }
+
+  test("multimodal_bmp: corpus-wide fields match a direct Scala " +
+    "recomputation (padding excluded from row0_sum)") {
+    import spark.implicits._
+    val got = MultimodalOps.multimodalBmp(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6))).toMap
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._2.nonEmpty)
+    assert(got.size == texts.length)
+    texts.foreach { case (id, text) =>
+      val w = 1L + id % MultimodalOps.BmpMaxW
+      val h = 1L + text.length % 8
+      val stride = ((3 * w + 3) / 4) * 4
+      val sum = (0L until 3 * w).map(k =>
+        (text.charAt((k % text.length).toInt).toInt % 256).toLong).sum
+      assert(got(id) == ((w, h, 24L, 54L + stride * h, sum, true)),
+        s"doc $id")
+    }
+  }
+
   test("multimodal_meta: every corpus WAV verifies and matches a " +
     "direct Scala recomputation") {
     import spark.implicits._
