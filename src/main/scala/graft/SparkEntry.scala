@@ -126,6 +126,9 @@ object SparkEntry {
     "dedup_ingest" -> (DedupOps.dedupIngest _),
     "dedup_bloom" -> (DedupOps.dedupBloom _),
     "dedup_clusters" -> (DedupOps.dedupClusters _),
+    // soft dedup: cluster-derived training weights (reweight, don't
+    // drop) — weight_ppm = 1e6 DIV cluster_size per doc
+    "dedup_soft" -> (DedupOps.dedupSoftWeights _),
     "dedup_passage" -> ((s: SparkSession, d: String) =>
       DedupOps.passageDedup(s, d)),
     // per-source duplicate n-gram mass (Wimbd-style corpus stat)
@@ -289,6 +292,7 @@ object SparkEntry {
     "dedup_jaccard" -> DedupOps.dedupJaccardSql,
     "dedup_simhash" -> DedupOps.dedupSimhashSql,
     "dedup_clusters" -> DedupOps.dedupClustersSql,
+    "dedup_soft" -> DedupOps.dedupSoftWeightsSql,
     "dedup_passage" -> DedupOps.passageDedupSql,
     "ngram_dup_mass" -> DedupOps.ngramDupMassSql,
     "para_dedup" -> DedupOps.paraDedupSql,

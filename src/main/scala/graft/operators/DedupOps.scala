@@ -701,6 +701,64 @@ object DedupOps {
     resolveDupClusters(dedupJaccard(spark, dir))
       .orderBy(col("doc_id"))
 
+  /** Soft dedup: per-doc TRAINING WEIGHTS from the near-dup cluster
+    * structure instead of hard removal — weight_ppm = 10⁶ DIV
+    * cluster_size, so a cluster's total sampling mass is ~one doc's
+    * regardless of how many near-copies exist (the reweight-don't-drop
+    * alternative: SoftDeDup, She et al. 2024; similar spirit to
+    * D4's cluster-aware resampling, Tirumala et al. 2023). Hard
+    * dedup throws away benign variation inside a cluster; the soft
+    * form keeps every variant visible to training at
+    * proportionally-reduced weight, and downstream samplers consume
+    * `weight_ppm` directly (the mix_sample keep-rate idiom).
+    *
+    * Scale shape: reuses [[dedupJaccard]]'s pair list and
+    * [[resolveDupClusters]]' labels verbatim, then ONE window count
+    * over the cluster key (singletons coalesce to their own id) —
+    * output-linear, no new pair-scale work. */
+  def dedupSoftWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = resolveDupClusters(dedupJaccard(spark, dir))
+    docs(spark, dir).select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("keep_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cl", coalesce(col("keep_id"), col("doc_id")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cl"))))
+      .select(col("doc_id"), col("cluster_size"),
+        expr("1000000 DIV cluster_size").as("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSoftWeightsSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j
+      |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+      |    AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    >= 0.8),
+      |edges AS (
+      |  SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+      |reach(a, b) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lab AS (SELECT a AS doc_id, MIN(b) AS keep_id FROM reach GROUP BY a),
+      |cl AS (
+      |  SELECT doc.doc_id, COALESCE(lab.keep_id, doc.doc_id) AS cl
+      |  FROM (SELECT doc_id FROM documents) doc
+      |  LEFT JOIN lab ON lab.doc_id = doc.doc_id),
+      |sz AS (SELECT cl AS ck, COUNT(*) AS cluster_size FROM cl GROUP BY 1)
+      |SELECT cl.doc_id, sz.cluster_size,
+      |  1000000 // sz.cluster_size AS weight_ppm
+      |FROM cl JOIN sz ON sz.ck = cl.cl
+      |ORDER BY cl.doc_id""".stripMargin
+
   val dedupClustersSql: String =
     """WITH RECURSIVE d AS (
       |  SELECT doc_id, lang, source,

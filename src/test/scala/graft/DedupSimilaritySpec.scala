@@ -298,4 +298,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-5)
     }
   }
+
+  test("dedup_soft: weights agree with the cluster labels, singletons " +
+    "get full weight, and per-cluster mass is conserved up to DIV " +
+    "truncation") {
+    val dir = SparkFixture.Sf0001
+    val weights = DedupOps.dedupSoftWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val labels = DedupOps.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(weights.size == nDocs)
+    // cluster sizes recomputed independently from the labels
+    val sizes = labels.values.groupBy(identity).view.mapValues(_.size).toMap
+    weights.foreach { case (doc, (size, ppm)) =>
+      labels.get(doc) match {
+        case Some(keep) =>
+          assert(size == sizes(keep).toLong, s"doc $doc size")
+        case None => assert(size == 1L, s"doc $doc should be a singleton")
+      }
+      assert(ppm == 1000000L / size, s"doc $doc weight")
+    }
+    // per-cluster mass: size * (1e6 DIV size) in (1e6 - size, 1e6]
+    weights.values.groupBy(_._1).foreach { case (size, ws) =>
+      val mass = size * ws.head._2
+      assert(mass <= 1000000L && mass > 1000000L - size, s"size $size")
+    }
+    // the fixture has real clusters, so the weights do something
+    assert(weights.values.exists(_._2 < 1000000L),
+      "corpus has near-dups; some weight must be reduced")
+  }
 }
