@@ -537,13 +537,31 @@ object SimilarityOps {
       probes: Int = 16): DataFrame = {
     val e = emb(spark, dir)
     val isNew = col("vec_id") % IngestVecMod === IngestVecRem
-    val cents = ivfCentroids(e.filter(!isNew), cells)
-    val assigned = ivfAssignTo(e.filter(!isNew), cents)
-    val queries = ivfVecs(e.filter(isNew))
-      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
-        col("n2").as("qn"))
-    ivfSearch(queries, cents, assigned, probes)
+    ivfProbe(e.filter(isNew), buildIvfIndex(e.filter(!isNew), cells),
+      probes)
   }
+
+  /** The live-corpus IVF structure [[annIngest]] probes — factored so
+    * the streaming twin ([[graft.streaming.IngestStreaming
+    * .annIngestStream]]) can build it ONCE, persist both relations,
+    * and probe it per micro-batch. */
+  case class IvfIndex(cents: DataFrame, assigned: DataFrame)
+
+  def buildIvfIndex(live: DataFrame, cells: Int = 16): IvfIndex = {
+    val cents = ivfCentroids(live, cells)
+    IvfIndex(cents, ivfAssignTo(live, cents))
+  }
+
+  /** Probe a prebuilt live index with an arriving embedding batch —
+    * the per-arrival work of [[annIngest]], shared verbatim with the
+    * streaming twin: per-batch cost ∝ batch·cells probe dots +
+    * probed-cell join, never a corpus rescan. */
+  def ivfProbe(batch: DataFrame, idx: IvfIndex,
+      probes: Int = 16): DataFrame =
+    ivfSearch(ivfVecs(batch)
+        .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
+          col("n2").as("qn")),
+      idx.cents, idx.assigned, probes)
 
   val annIngestSql: String =
     s"""WITH q AS (

@@ -63,6 +63,51 @@ object IngestStreaming {
       .start()
   }
 
+  /** embeddings.parquet schema (pinned by SchemaContractSpec). */
+  private val EmbSchema =
+    "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+
+  /** Streaming ANN at the door: each micro-batch of arriving
+    * embeddings probes the PERSISTENT live-corpus IVF index
+    * ([[graft.operators.SimilarityOps.buildIvfIndex]], built once and
+    * persisted here; a bucketed table at 100 TB) and appends each new
+    * vector's top-K live neighbors — the ingest-time
+    * duplicate/neighbor lookup of [[graft.operators.SimilarityOps
+    * .annIngest]], run continuously. [[graft.operators.SimilarityOps
+    * .ivfProbe]] is shared verbatim with the batch row, so per-batch
+    * cost is batch·cells probe dots + the probed-cell join — never a
+    * corpus rescan — and at probes == cells the per-batch result is
+    * provably the exact batch×live brute force (the annIngest
+    * exactness contract, inherited).
+    *
+    * State story (the nearDupIngestStream argument): the index is
+    * static, every micro-batch independent under foreachBatch's batch
+    * semantics, so the stream holds NOTHING beyond the source offset
+    * log; delivery at-least-once on retry (parquet append — a
+    * production sink dedups on (q_vec_id, c_vec_id)). */
+  def annIngestStream(spark: SparkSession, landingDir: String,
+      liveVecs: DataFrame, outDir: String, checkpointDir: String,
+      cells: Int = 16, probes: Int = 16,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val idx = graft.operators.SimilarityOps.buildIvfIndex(liveVecs, cells)
+    val cents = idx.cents.persist(StorageLevel.MEMORY_AND_DISK)
+    val assigned = idx.assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    val pinned = graft.operators.SimilarityOps.IvfIndex(cents, assigned)
+    val reader = spark.readStream.schema(EmbSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.SimilarityOps.ivfProbe(batch, pinned, probes)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming count-min sketch over document words — the frequency
     * counterpart of EventStreaming.heavyHitterStream, with a stronger
     * state story: the CMS cell table IS a plain streaming aggregation

@@ -56,6 +56,51 @@ class IngestStreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("two-landing ANN ingest stream equals the batch annIngest " +
+    "neighbor list") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val isNew = col("vec_id") % graft.operators.SimilarityOps.IngestVecMod ===
+      graft.operators.SimilarityOps.IngestVecRem
+    val live = e.filter(!isNew)
+    val arriving = e.filter(isNew)
+
+    val tmp = Files.createTempDirectory("graft_ann_ingest_stream")
+    val landing = tmp.resolve("landing").toString
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    Files.createDirectory(java.nio.file.Paths.get(landing))
+    Seq(0, 1).foreach { chunk =>
+      val stage = tmp.resolve(s"stage$chunk").toString
+      arriving.filter(col("vec_id") % 2 === chunk)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, s"part-$chunk.parquet"))
+    }
+
+    val q = IngestStreaming.annIngestStream(
+      spark, landing, live, out, ckpt, maxFilesPerTrigger = Some(1))
+    try q.awaitTermination() finally q.stop()
+
+    val got = spark.read.parquet(out)
+      .orderBy("q_vec_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val want = graft.operators.SimilarityOps.annIngest(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(want.nonEmpty)
+    assert(got == want,
+      "per-micro-batch IVF probes must reproduce the batch ingest " +
+        "search exactly (probes == cells exactness, batch-split " +
+        "invariant because each query's result depends only on the " +
+        "live index)")
+  }
+
   test("streaming CMS cells: bounded key space, stream equals batch, " +
     "point queries never underestimate") {
     import org.apache.spark.sql.functions._
