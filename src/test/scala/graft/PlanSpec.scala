@@ -113,6 +113,7 @@ class PlanSpec extends AnyFunSuite {
       "ann_ivf_topk" -> "broadcast sides = `cells` (16) centroids",
       "ann_ivf_probe" -> "broadcast sides = `cells` (16) centroids",
       "ann_ingest" -> "broadcast sides = `cells` (16) live centroids",
+      "ann_filtered" -> "broadcast sides = `cells` (16) centroids (probe phase; the label predicate rides the cell equi-join)",
       "ann_int8" -> "broadcast side = QueryCount (8) query vectors (int8-code shortlist phase)",
       "tf_idf" -> "broadcast side = single-row corpus doc count",
       "word_pmi" -> "broadcast side = single-row corpus totals",
