@@ -122,6 +122,11 @@ object MultimodalOps {
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 1)
+      // spread the unsplittable single-file scan: the synthesis map
+      // AND the downstream per-sample PCM parse (higher-order
+      // functions evaluate interpreted, not codegen'd) otherwise run
+      // single-threaded — this row read 8.9 s serial, ~0.6 s spread
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, text) => WavBlob(id, synthWav(id, text)) }
   }
@@ -266,6 +271,7 @@ object MultimodalOps {
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 1)
+      .repartition(spark.sparkContext.defaultParallelism) // see asWavTable
       .as[(Long, String)]
       .map { case (id, text) => BmpBlob(id, synthBmp(id, text)) }
   }
