@@ -339,6 +339,23 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(!rows(3L), "riff_size != 36 + data_size must fail chk_ok")
   }
 
+  test("PcmS16LeSum: hand sum, sign reconstruction, odd trailing " +
+    "byte ignored, offset past payload sums to zero") {
+    import spark.implicits._
+    import graft.functions.PcmS16LeSum
+    // samples: 1234 (D2 04), -2 (FE FF), -32768 (00 80) from offset 2
+    val payload = Array[Int](0x7F, 0x7F, 0xD2, 0x04, 0xFE, 0xFF,
+      0x00, 0x80, 0x2A).map(_.toByte) // trailing 0x2A is an odd byte
+    val df = Seq(Tuple1(payload)).toDF("payload")
+    def sumAt(off: Int): Long =
+      df.select(PcmS16LeSum.sum(col("payload"), lit(off)).as("s"))
+        .head().getLong(0)
+    assert(sumAt(2) == 1234L - 2L - 32768L)
+    assert(sumAt(0) == (0x7F7F).toLong + 1234L - 2L - 32768L)
+    assert(sumAt(100) == 0L, "offset beyond payload")
+    assert(sumAt(-4) == sumAt(0), "negative offset clamps to start")
+  }
+
   test("synthBmp(1, \"AB\") emits the hand-derived BMP golden " +
     "byte-for-byte, including row padding") {
     // w = 1+1%16 = 2, h = 1+2%8 = 3, stride = ((3*2+3) DIV 4)*4 = 8,
