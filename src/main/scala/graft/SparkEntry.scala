@@ -129,6 +129,8 @@ object SparkEntry {
     // soft dedup: cluster-derived training weights (reweight, don't
     // drop) — weight_ppm = 1e6 DIV cluster_size per doc
     "dedup_soft" -> (DedupOps.dedupSoftWeights _),
+    // quality-arbitrated survivor selection within near-dup clusters
+    "dedup_keep_best" -> (DedupOps.dedupKeepBest _),
     "dedup_passage" -> ((s: SparkSession, d: String) =>
       DedupOps.passageDedup(s, d)),
     // per-source duplicate n-gram mass (Wimbd-style corpus stat)
@@ -293,6 +295,7 @@ object SparkEntry {
     "dedup_simhash" -> DedupOps.dedupSimhashSql,
     "dedup_clusters" -> DedupOps.dedupClustersSql,
     "dedup_soft" -> DedupOps.dedupSoftWeightsSql,
+    "dedup_keep_best" -> DedupOps.dedupKeepBestSql,
     "dedup_passage" -> DedupOps.passageDedupSql,
     "ngram_dup_mass" -> DedupOps.ngramDupMassSql,
     "para_dedup" -> DedupOps.paraDedupSql,

@@ -730,6 +730,67 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-arbitrated survivor selection: within each near-dup
+    * cluster keep the HIGHEST-QUALITY member (ties on doc_id), not the
+    * min-id — the arbitration real cleaning pipelines run (RefinedWeb
+    * §3.4 keeps one representative per cluster; which one matters,
+    * because near-dup clusters mix clean and boilerplate-damaged
+    * variants and min-id keeps whichever crawled first). Reuses
+    * [[dedupJaccard]]'s pairs, [[resolveDupClusters]]' labels, and
+    * [[TextAnalysis.qualityScore]]'s integer quality_ppm verbatim, so
+    * every ingredient is already oracled; the arbitration itself is
+    * ONE window over the cluster key. Output: every doc with its
+    * cluster id, quality, and the kept flag (survivors of singletons
+    * are trivially themselves). */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = resolveDupClusters(dedupJaccard(spark, dir))
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_ppm"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_ppm").desc, col("doc_id").asc)
+    docs(spark, dir).select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("keep_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("keep_id"), col("doc_id")))
+      .join(q, Seq("doc_id"))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality_ppm"),
+        col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, lang, source,
+       |    list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents),
+       |p AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j
+       |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+       |    AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |    >= 0.8),
+       |edges AS (
+       |  SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lab AS (SELECT a AS doc_id, MIN(b) AS keep_id FROM reach GROUP BY a),
+       |q AS (SELECT doc_id, quality_ppm FROM
+       |  (${graft.operators.TextAnalysis.qualityScoreSql}) qs),
+       |cl AS (
+       |  SELECT q.doc_id, COALESCE(lab.keep_id, q.doc_id) AS cluster_id,
+       |    q.quality_ppm
+       |  FROM q LEFT JOIN lab ON lab.doc_id = q.doc_id)
+       |SELECT doc_id, cluster_id, quality_ppm,
+       |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |    ORDER BY quality_ppm DESC, doc_id ASC) = 1 AS kept
+       |FROM cl
+       |ORDER BY doc_id""".stripMargin
+
   val dedupSoftWeightsSql: String =
     """WITH RECURSIVE d AS (
       |  SELECT doc_id, lang, source,

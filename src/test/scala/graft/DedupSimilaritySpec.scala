@@ -328,4 +328,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(weights.values.exists(_._2 < 1000000L),
       "corpus has near-dups; some weight must be reduced")
   }
+
+  test("dedup_keep_best: exactly one survivor per cluster, and it is " +
+    "the quality argmax (ties on doc_id)") {
+    val dir = SparkFixture.Sf0001
+    val rows = DedupOps.dedupKeepBest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cl, members) =>
+      assert(members.count(_._4) == 1, s"cluster $cl survivor count")
+      val kept = members.find(_._4).get
+      val best = members.minBy { case (id, _, q, _) => (-q, id) }
+      assert(kept._1 == best._1, s"cluster $cl kept ${kept._1}, " +
+        s"quality argmax is ${best._1}")
+    }
+    // survivor selection must actually differ from min-id somewhere,
+    // otherwise the operator is indistinguishable from dedup_clusters
+    val multi = byCluster.filter(_._2.length > 1)
+    assert(multi.nonEmpty, "fixture needs real multi-doc clusters")
+    assert(multi.exists { case (_, members) =>
+      members.find(_._4).get._1 != members.map(_._1).min
+    }, "at least one cluster's best member should not be its min id " +
+      "(else the arbitration is vacuous on this fixture)")
+  }
 }
