@@ -197,6 +197,9 @@ object SparkEntry {
     "events_quantiles" -> ((s: SparkSession, d: String) =>
       EventQueries.eventsQuantiles(s, d)),
     "events_quantiles_exact" -> (EventQueries.eventsQuantilesExact _),
+    // exact leave-one-out KS drift on the VALUE distribution per
+    // event type (the drift_ks algebra reused on the metrics domain)
+    "events_drift_ks" -> (EventQueries.eventsDriftKs _),
     "events_winsorize" -> (EventQueries.eventsWinsorize _),
     "events_gap_stats" -> (EventQueries.eventsGapStats _),
     "events_attribution" -> (EventQueries.eventsAttribution _),
@@ -349,6 +352,7 @@ object SparkEntry {
     "events_cube" -> EventQueries.eventsCubeSql,
     "events_anomaly" -> EventQueries.eventsAnomalySql,
     "events_quantiles_exact" -> EventQueries.eventsQuantilesExactSql,
+    "events_drift_ks" -> EventQueries.eventsDriftKsSql,
     "events_winsorize" -> EventQueries.eventsWinsorizeSql,
     "events_gap_stats" -> EventQueries.eventsGapStatsSql,
     "events_moving_avg" -> EventQueries.eventsMovingAvgSql,

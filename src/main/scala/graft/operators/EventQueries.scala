@@ -272,6 +272,31 @@ object EventQueries {
     * partial+final agg builds the histogram, one tiny window, one
     * 5-row summary agg. A corpus-sorting percentile would shuffle
     * 100 TB; this shuffles the value domain. */
+  /** Exact leave-one-out KS drift per EVENT TYPE over the value
+    * distribution (integer cents) — [[TextAnalysis.ksOfHist]]'s
+    * algebra applied to the metrics domain: "did purchase amounts /
+    * click values shift for one event type vs everything else" is the
+    * same early-warning gate drift_ks runs on document lengths, and
+    * the operator REUSES the scoring path verbatim (one histogram
+    * pass, every window over the |types|×|support| grid — the
+    * domain-bounded shape). value→cents uses the
+    * events_quantiles_exact conversion, so the histogram domain is
+    * integers both engines agree on. */
+  def eventsDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("event_type").as("source"),
+      round(col("value") * 100d).cast("long").as("c"))
+    graft.operators.TextAnalysis.ksOfHist(
+        e.groupBy(col("source"), col("c")).agg(count(lit(1)).as("cnt")))
+      .select(col("source").as("event_type"),
+        col("n_docs").as("n_events"), col("ks_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsDriftKsSql: String =
+    graft.operators.TextAnalysis.driftKsSqlOver(
+      "SELECT event_type AS source, CAST(round(value * 100) AS BIGINT) AS c FROM events",
+      "event_type", "n_events")
+
   def eventsQuantilesExact(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
       .select(col("event_type"),

@@ -1609,8 +1609,13 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
-  val driftKsSql: String =
-    """WITH d AS (SELECT source, n_chars AS c FROM documents),
+  /** The KS-score SQL over any (source, c) CTE — factored so the
+    * events-value twin ([[EventQueries.eventsDriftKs]]) replays the
+    * identical algebra over a different domain. `keyAlias`/`nAlias`
+    * rename the output columns for the consumer's schema. */
+  def driftKsSqlOver(srcSelect: String, keyAlias: String,
+      nAlias: String): String =
+    s"""WITH d AS ($srcSelect),
       |sup AS (SELECT DISTINCT c FROM d),
       |ns AS (SELECT source, COUNT(*) AS ns FROM d GROUP BY 1),
       |tot AS (SELECT COUNT(*) AS n FROM d),
@@ -1629,10 +1634,14 @@ object TextAnalysis {
       |    ABS(CAST(scum.scum AS HUGEINT) * (tot.n - scum.ns) -
       |        CAST(gcum.gcum - scum.scum AS HUGEINT) * scum.ns) AS dist
       |  FROM scum JOIN gcum USING (c) CROSS JOIN tot)
-      |SELECT source, MAX(ns) AS n_docs,
+      |SELECT source AS $keyAlias, MAX(ns) AS $nAlias,
       |  CASE WHEN MAX(n) = MAX(ns) THEN CAST(0 AS BIGINT)
       |    ELSE CAST((MAX(dist) * 1000000) //
       |      (CAST(MAX(ns) AS HUGEINT) * (MAX(n) - MAX(ns))) AS BIGINT)
       |  END AS ks_ppm
-      |FROM j GROUP BY source ORDER BY source""".stripMargin
+      |FROM j GROUP BY source ORDER BY $keyAlias""".stripMargin
+
+  val driftKsSql: String = driftKsSqlOver(
+    "SELECT source, n_chars AS c FROM documents", "source", "n_docs")
+
 }

@@ -193,4 +193,19 @@ class IngestQaSpec extends AnyFunSuite {
     val got = ksOf(d.toSeq)
     assert(got == want)
   }
+
+  test("events_drift_ks rides the same ksOfHist algebra: equals " +
+    "ksBySource over the (event_type, value-cents) projection") {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.round(col("value") * 100d)
+          .cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = ksOf(e.toSeq)
+    val got = operators.EventQueries.eventsDriftKs(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
