@@ -129,7 +129,11 @@ object Bench {
       // (Σ min(df,cap)² fan-out, same bound family as doc_sim_sparse),
       // the zero-shuffle codegen'd char-entropy scan, and the
       // prefix-filter exact similarity join (Σ prefix-df² fan-out)
-      "dedup_containment", "char_entropy", "dedup_prefix_join")
+      "dedup_containment", "char_entropy", "dedup_prefix_join",
+      // round-6 additions: the one-pass integer-covariance PCA, the
+      // two cluster-derived arbitration rows (full dedupJaccard chain
+      // each), and the WAV byte-decode scan
+      "embed_pca", "dedup_soft", "dedup_keep_best", "multimodal_meta")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up
