@@ -140,6 +140,7 @@ class PlanSpec extends AnyFunSuite {
       "zorder_layout" -> "broadcast side = single-row key-range bounds",
       "events_gap_stats" -> "broadcast side = single-row gap count",
       "drift_ks" -> "broadcast sides = distinct-n_chars support grid (value-domain-bounded) + single-row corpus count",
+      "events_drift_ks" -> "broadcast sides = distinct-value-cents support grid (value-domain-bounded) + single-row event count (the drift_ks shape on the metrics domain)",
     )
     for ((name, q) <- SparkEntry.queries) {
       val p = plan(q(spark, dir))
