@@ -620,14 +620,54 @@ object DedupOps {
     *    DataFrame version cloned the whole upstream pair-generation
     *    subtree 2^rounds times and froze the planner).
     */
+  /** Pair count at or below which [[resolveDupClusters]] resolves
+    * components with DRIVER-SIDE union-find instead of the iterative
+    * RDD loop. The pair list is OUTPUT-bounded by the candidate
+    * generation contract (near-dup pairs ≪ corpus — the entire design
+    * of the banded/blocked/capped candidate paths), so on all but
+    * pathological corpora it fits the bounded-collect family (MG's
+    * ≤P×k partials, BPE's argmax, PCA's Dim² moments) and the 2-3
+    * convergence rounds of multi-stage RDD jobs are pure overhead
+    * (~1.5 s × four registered rows at sf0.1 for a 25-pair graph).
+    * Above the limit the RDD propagation runs unchanged — the 100 TB
+    * path for genuinely huge duplicate graphs. Both paths compute the
+    * identical min-label contract; DedupSimilaritySpec pins their
+    * equality on planted graphs. */
+  val CollectPairLimit: Long = 1L << 20
+
   def resolveDupClusters(pairs: DataFrame, maxIters: Int = 50,
-      shortcutAfter: Int = 4, checkEvery: Int = 2): DataFrame = {
+      shortcutAfter: Int = 4, checkEvery: Int = 2,
+      collectLimit: Long = CollectPairLimit): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    val pc = pairs.select(col("i"), col("j")).localCheckpoint()
+    if (pc.count() <= collectLimit) {
+      // union-find with path halving; label = component MIN (identical
+      // to the converged min-label propagation)
+      val es = pc.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) {
+          val p = parent.getOrElse(r, r)
+          parent(r) = parent.getOrElse(p, p) // path halving
+          r = parent.getOrElse(r, r)
+        }
+        r
+      }
+      es.foreach { case (i, j) =>
+        parent.getOrElseUpdate(i, i); parent.getOrElseUpdate(j, j)
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+      val labels = parent.keys.toSeq.map(n => (n, find(n)))
+      return spark.createDataset(labels).toDF("doc_id", "keep_id")
+        .localCheckpoint()
+    }
     val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val part = new org.apache.spark.HashPartitioner(np)
     // (dst → src): the join side that must NOT move each round
-    val edgesByDst = pairs.select(col("i"), col("j")).as[(Long, Long)].rdd
+    val edgesByDst = pc.as[(Long, Long)].rdd
       .flatMap { case (i, j) => Iterator((i, j), (j, i)) }
       .partitionBy(part)
       .persist()

@@ -225,6 +225,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
+    // the RDD propagation path must agree exactly
+    val viaRdd = DedupOps.resolveDupClusters(pairs, collectLimit = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaRdd == labels)
     // dedup keeps exactly one doc per component
     val kept = labels.filter { case (d, k) => d == k }.keySet
     assert(kept == Set(1L, 10L))
@@ -236,11 +240,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // would exhaust the default cap; the shortcut step must collapse
     // it in O(log d) rounds
     val chain = (0L until 299L).map(i => (i, i + 1)).toDF("i", "j")
-    val labels = DedupOps.resolveDupClusters(chain)
+    // collectLimit = -1 forces the RDD propagation path (the fast
+    // union-find path would otherwise absorb this graph)
+    val labels = DedupOps.resolveDupClusters(chain, collectLimit = -1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 300)
     assert(labels.values.forall(_ == 0L),
       s"chain not fully collapsed: ${labels.filter(_._2 != 0L).take(5)}")
+  }
+
+  test("union-find fast path equals the RDD propagation on a mixed " +
+    "planted graph (deep chain + triangle + pair)") {
+    import spark.implicits._
+    val pairs = ((0L until 120L).map(i => (i, i + 1)) ++
+      Seq((1000L, 1001L), (1001L, 1002L), (1000L, 1002L),
+        (2000L, 2001L))).toDF("i", "j")
+    def labelsOf(limit: Long) =
+      DedupOps.resolveDupClusters(pairs, collectLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = labelsOf(DedupOps.CollectPairLimit)
+    val rdd = labelsOf(-1L)
+    assert(fast == rdd)
+    assert((0L to 120L).forall(fast(_) == 0L))
+    assert(Seq(1000L, 1001L, 1002L).forall(fast(_) == 1000L))
+    assert(fast(2001L) == 2000L)
   }
 
   test("resolveDupClusters on an empty pair set returns no labels") {
