@@ -266,6 +266,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fast(2001L) == 2000L)
   }
 
+  test("cluster resolution 3-way equality on a seeded random graph: " +
+    "union-find == RDD propagation == independent BFS reference") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260814L)
+    // 400 nodes, 250 random edges: a mix of isolated pairs, mid-size
+    // components, and (whp) one giant component
+    val edges = Seq.fill(250)((rng.nextInt(400).toLong,
+      rng.nextInt(400).toLong)).filter { case (i, j) => i != j }
+    val pairs = edges.toDF("i", "j")
+    def labelsOf(limit: Long) =
+      DedupOps.resolveDupClusters(pairs, collectLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: BFS component labels, min id per component
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    edges.foreach { case (i, j) =>
+      adj(i) = j :: adj.getOrElse(i, Nil)
+      adj(j) = i :: adj.getOrElse(j, Nil)
+    }
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    adj.keys.toSeq.sorted.foreach { n =>
+      if (!want.contains(n)) {
+        val seen = scala.collection.mutable.Set(n)
+        var frontier = List(n)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj(_)).filterNot(seen)
+          seen ++= frontier
+        }
+        val mn = seen.min
+        seen.foreach(want(_) = mn)
+      }
+    }
+    val fast = labelsOf(DedupOps.CollectPairLimit)
+    assert(fast == want.toMap, "union-find vs BFS reference")
+    assert(labelsOf(-1L) == want.toMap, "RDD propagation vs BFS reference")
+  }
+
   test("resolveDupClusters on an empty pair set returns no labels") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("i", "j")

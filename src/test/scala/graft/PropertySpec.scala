@@ -124,4 +124,20 @@ object PropertySpec extends Properties("graft.kernels") {
       val (x, y) = (q(7L), q(19L))
       x >= 0 && x < P && y >= 0 && y < P && q(7L) == x
     }
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte))
+
+  property("PcmS16LeSum eval equals a BigInt int16-LE reference for " +
+    "arbitrary payloads and offsets") =
+    Prop.forAll(bytesGen, Gen.chooseNum(-4, 64)) { (buf, off) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val got = graft.functions.PcmS16LeSum(
+        Literal(buf), Literal(off)).eval(null).asInstanceOf[Long]
+      val start = math.max(off, 0)
+      val want = Iterator.range(start, buf.length - 1, 2).map { i =>
+        BigInt((buf(i) & 0xFF) | (buf(i + 1).toInt << 8))
+      }.sum
+      BigInt(got) == want
+    }
 }
