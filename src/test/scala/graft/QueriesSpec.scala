@@ -23,6 +23,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries entry: $missing")
   }
 
+  test("the rows-only set is exactly the declared approximate/iterative " +
+    "queries — a new operator cannot silently skip its oracle") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val declared = Set(
+      "ann_ivf_probe",      // probes < cells: seed-defined recall
+      "ann_lsh_probe",      // production LSH parameters: seed-defined
+      "bpe_vocab",          // lookbehind + data-dependent rounds ∉ SQL
+      "dedup_embedding_lsh", // hyperplane tables: seed-defined
+      "events_quantiles",   // GK sketch: merge-order-dependent
+      "semdedup_scaled",    // k ∝ N: cluster count not SQL-unrollable
+      "semdedup_shortlist") // IVF shortlist assignment: same
+    assert(rowsOnly == declared,
+      s"undeclared rows-only: ${rowsOnly -- declared}; " +
+        s"stale declarations: ${declared -- rowsOnly}")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
