@@ -66,10 +66,14 @@ object Bench {
     // at the end, so the "uniform per-query inflation = machine
     // contention" signature (BASELINE §C) is machine-checkable from
     // the artifact instead of argued from load-history anecdotes.
-    def loadAvg(): Double = {
+    // getSystemLoadAverage returns a NEGATIVE value when the platform
+    // can't provide one — emit JSON null then, so downstream tooling
+    // distinguishes "unavailable" from a real sample (round-6 advice:
+    // a silent -1.0 would defeat the contention check this exists for).
+    def loadAvg(): String = {
       val l = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
-      math.round(l * 100.0) / 100.0
+      if (l < 0) "null" else (math.round(l * 100.0) / 100.0).toString
     }
     val loadStart = loadAvg()
 

@@ -11,6 +11,15 @@ import org.apache.spark.sql.SparkSession
   * round-6 dedup_prefix_join diagnosis: two serial 3 s one-task
   * stage builds under a 7 s row).
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.StageProfile <query ...>
+  *
+  * KNOWN LIMITATION (dev tool, accepted): listener-bus delivery is
+  * asynchronous, so stage rows can straggle past the end of the job
+  * that produced them. Each timed run registers its OWN listener
+  * (warm-run events can never bleed into a timed report) and settles
+  * with `sc.listenerBus.waitUntilEmpty()`-style sleep, configurable
+  * via SPARK_GRAFT_PROFILE_SETTLE_MS (default 300); a pathologically
+  * slow bus can still drop a late row — cross-check totals against
+  * bench wall time before trusting a surprising profile.
   */
 object StageProfile {
   def main(args: Array[String]): Unit = {
@@ -25,21 +34,27 @@ object StageProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val stages = mutable.ArrayBuffer[(Int, String, Long, Int, Long)]()
-    val runByStage = mutable.Map[Int, Long]()
-    spark.sparkContext.addSparkListener(new SparkListener {
+    // One listener per timed run (see header): warm-run events go to
+    // no listener at all, and a previous query's stragglers land in a
+    // listener that has already been removed and reported.
+    class Collector extends SparkListener {
+      val stages = mutable.ArrayBuffer[(Int, String, Long, Int, Long)]()
+      val runByStage = mutable.Map[Int, Long]()
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
-        if (m != null) runByStage(te.stageId) =
-          runByStage.getOrElse(te.stageId, 0L) + m.executorRunTime
+        if (m != null) runByStage.synchronized { runByStage(te.stageId) =
+          runByStage.getOrElse(te.stageId, 0L) + m.executorRunTime }
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
-        stages += ((si.stageId, si.name.take(60),
+        stages.synchronized { stages += ((si.stageId, si.name.take(60),
           si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
-          si.numTasks, runByStage.getOrElse(si.stageId, 0L)))
+          si.numTasks,
+          runByStage.synchronized(runByStage.getOrElse(si.stageId, 0L)))) }
       }
-    })
+    }
+    val settleMs =
+      sys.env.getOrElse("SPARK_GRAFT_PROFILE_SETTLE_MS", "300").toLong
 
     args.foreach { name =>
       def run(): Double = {
@@ -49,11 +64,13 @@ object StageProfile {
         (System.nanoTime() - t0) / 1e9
       }
       run() // warm: JIT + codegen
-      stages.clear(); runByStage.clear()
+      val c = new Collector
+      spark.sparkContext.addSparkListener(c)
       val sec = run()
-      Thread.sleep(300)
+      Thread.sleep(settleMs)
+      spark.sparkContext.removeSparkListener(c)
       println(f"\n========== $name: $sec%.2f s ==========")
-      stages.sortBy(-_._3).take(12).foreach { case (id, n, ms, nt, cpu) =>
+      c.stages.sortBy(-_._3).take(12).foreach { case (id, n, ms, nt, cpu) =>
         println(f"stage $id%5d wall=$ms%6d ms tasks=$nt%4d cpu=$cpu%6d ms  $n")
       }
     }

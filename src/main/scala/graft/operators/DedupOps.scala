@@ -640,11 +640,23 @@ object DedupOps {
       collectLimit: Long = CollectPairLimit): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val pc = pairs.select(col("i"), col("j")).localCheckpoint()
-    if (pc.count() <= collectLimit) {
+    val sel = pairs.select(col("i"), col("j"))
+    // Size probe doubles as the driver-branch collect: LIMIT limit+1
+    // bounds driver memory (≤ (2²⁰+1)·16 B) and, when the set fits,
+    // IS the complete pair list — one computation, no eager
+    // full-materialization before the branch decision (round-6 advice:
+    // the old shape localCheckpoint'd + counted the full pair list
+    // even when the RDD propagation path was about to be taken, an
+    // extra non-recomputable materialization on exactly the
+    // huge-graph path that can least afford it).
+    val probe: Array[(Long, Long)] =
+      if (collectLimit >= 0L && collectLimit < Int.MaxValue.toLong)
+        sel.limit(collectLimit.toInt + 1).as[(Long, Long)].collect()
+      else Array.empty
+    if (collectLimit >= 0L && probe.length <= collectLimit) {
       // union-find with path halving; label = component MIN (identical
       // to the converged min-label propagation)
-      val es = pc.as[(Long, Long)].collect()
+      val es = probe
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -666,8 +678,10 @@ object DedupOps {
     }
     val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val part = new org.apache.spark.HashPartitioner(np)
-    // (dst → src): the join side that must NOT move each round
-    val edgesByDst = pc.as[(Long, Long)].rdd
+    // (dst → src): the join side that must NOT move each round.
+    // persist() (not localCheckpoint) — materialized once below, and
+    // RECOMPUTABLE from lineage on executor loss.
+    val edgesByDst = sel.as[(Long, Long)].rdd
       .flatMap { case (i, j) => Iterator((i, j), (j, i)) }
       .partitionBy(part)
       .persist()
@@ -729,6 +743,37 @@ object DedupOps {
     out
   }
 
+  /** Per-(session, dir) memo of the resolved near-dup cluster labels.
+    *
+    * Four registered rows consume the identical
+    * `resolveDupClusters(dedupJaccard(dir))` chain
+    * ([[dedupClusters]], [[dedupSoftWeights]], [[dedupKeepBest]],
+    * [[nearDupClean]]); before this memo each ran the whole
+    * candidate-generation + verify + cluster-resolution pipeline from
+    * scratch — ~8% of the full catalog bench was that recomputation
+    * (round-6 verdict #1). [[resolveDupClusters]] already returns a
+    * materialized (localCheckpoint'd or createDataset'd) relation, so
+    * caching the DataFrame reference makes every consumer after the
+    * first a plain scan of the resolved labels.
+    *
+    * 100 TB posture: this is the session-scoped analog of what a real
+    * pipeline does — write the cluster-label relation to a table once
+    * and join it from every downstream stage. Keyed by
+    * (SparkSession, dir) so concurrent sessions and different
+    * fixtures never share state (DedupMemoSpec pins per-directory
+    * isolation); entries hold localCheckpoint blocks, so tests that
+    * stop their session should [[clearClusterLabelMemo]]. */
+  private val labelMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  private[graft] def clearClusterLabelMemo(): Unit = labelMemo.clear()
+
+  /** The memoized labels relation; see [[labelMemo]]. */
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    labelMemo.computeIfAbsent((spark, dir),
+      k => resolveDupClusters(dedupJaccard(k._1, k._2)))
+
   /** Driver-facing cluster resolution: near-dup pairs from the
     * (oracled) [[dedupJaccard]] contract resolved into per-doc
     * KEEP/DROP labels — the output a dedup pipeline actually applies.
@@ -738,7 +783,7 @@ object DedupOps {
     * the shape that scales — a recursive CTE materializes all
     * reachable pairs, quadratic per clique). */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    resolveDupClusters(dedupJaccard(spark, dir))
+    clusterLabels(spark, dir)
       .orderBy(col("doc_id"))
 
   /** Soft dedup: per-doc TRAINING WEIGHTS from the near-dup cluster
@@ -758,7 +803,7 @@ object DedupOps {
     * output-linear, no new pair-scale work. */
   def dedupSoftWeights(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val labels = resolveDupClusters(dedupJaccard(spark, dir))
+    val labels = clusterLabels(spark, dir)
     docs(spark, dir).select(col("doc_id"))
       .join(labels.select(col("doc_id"), col("keep_id")),
         Seq("doc_id"), "left")
@@ -784,7 +829,7 @@ object DedupOps {
     * are trivially themselves). */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val labels = resolveDupClusters(dedupJaccard(spark, dir))
+    val labels = clusterLabels(spark, dir)
     val q = TextAnalysis.qualityScore(spark, dir)
       .select(col("doc_id"), col("quality_ppm"))
     val w = Window.partitionBy(col("cluster_id"))
@@ -1106,7 +1151,7 @@ object DedupOps {
     * via ONE left-anti equi-join on doc_id (docs in no pair never
     * enter the cluster step and survive by construction). */
   def nearDupClean(spark: SparkSession, dir: String): DataFrame = {
-    val drop = resolveDupClusters(dedupJaccard(spark, dir))
+    val drop = clusterLabels(spark, dir)
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"))
     docs(spark, dir)

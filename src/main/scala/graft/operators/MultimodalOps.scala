@@ -132,11 +132,17 @@ object MultimodalOps {
   }
 
   /** Pure function (doc_id, text) → WAV bytes; little-endian
-    * throughout, per the RIFF spec. */
+    * throughout, per the RIFF spec. Iterates CODE POINTS, not UTF-16
+    * units, so length/indexing agree with the oracle's
+    * length(text)/unicode() (code-point semantics) even on astral
+    * (surrogate-pair) characters — round-6 advice; on the BMP-only
+    * planted corpus the bytes are unchanged (MultimodalSpec pins the
+    * astral case directly). */
   private[graft] def synthWav(id: Long, text: String): Array[Byte] = {
+    val cps = text.codePoints().toArray
     val sr = 8000 * (1 + (id % 3)).toInt
     val ch = 1 + (id % 2).toInt
-    val nf = math.min(text.length, WavMaxFrames)
+    val nf = math.min(cps.length, WavMaxFrames)
     val nSamples = nf * ch
     val dataSize = nSamples * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
@@ -148,7 +154,7 @@ object MultimodalOps {
       .putShort((ch * 2).toShort).putShort(16)
       .put("data".getBytes("US-ASCII")).putInt(dataSize)
     (0 until nSamples).foreach { k =>
-      val c = text.charAt(k % text.length).toInt
+      val c = cps(k % cps.length)
       bb.putShort((((c * 523 + 7) % 65536) - 32768).toShort)
     }
     bb.array()
@@ -207,7 +213,8 @@ object MultimodalOps {
       // composable aggregate/sequence/conv HOF form ran interpreted
       // per sample and cost this row 8.9 s at sf0.1 (see PcmS16LeSum)
       .withColumn("pcm_sum",
-        graft.functions.PcmS16LeSum.sum(col("payload"), lit(44)))
+        graft.functions.PcmS16LeSum.sum(col("payload"), lit(44),
+          col("data_size").cast("int")))
       .withColumn("chk_ok", col("tags_ok") &&
         col("riff_size") === col("data_size") + 36L &&
         col("bits") === 16L)
@@ -232,8 +239,9 @@ object MultimodalOps {
     * both the synthesis and the parse verification, so an
     * off-by-padding bug breaks the oracle match. */
   private[graft] def synthBmp(id: Long, text: String): Array[Byte] = {
+    val cps = text.codePoints().toArray // code points ↔ oracle unicode()
     val w = 1 + (id % BmpMaxW).toInt
-    val h = 1 + (text.length % 8)
+    val h = 1 + (cps.length % 8)
     val stride = ((3 * w + 3) / 4) * 4
     val dataSize = stride * h
     val fileSize = 54 + dataSize
@@ -249,7 +257,7 @@ object MultimodalOps {
       (0 until stride).foreach { b =>
         val v =
           if (b >= 3 * w) 0 // padding bytes are zero per convention
-          else text.charAt((row * stride + b) % text.length).toInt % 256
+          else cps((row * stride + b) % cps.length) % 256
         bb.put(v.toByte)
       }
     }

@@ -410,4 +410,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }, "at least one cluster's best member should not be its min id " +
       "(else the arbitration is vacuous on this fixture)")
   }
+
+  test("clusterLabels memo: same (session, dir) returns the SAME " +
+    "materialized relation (the chain runs once); different dirs " +
+    "never share labels") {
+    DedupOps.clearClusterLabelMemo()
+    val a1 = DedupOps.clusterLabels(spark, SparkFixture.Sf0001)
+    val a2 = DedupOps.clusterLabels(spark, SparkFixture.Sf0001)
+    assert(a1 eq a2, "second call must hit the memo, not recompute")
+    // per-directory isolation: a second fixture dir (a copied subset
+    // with shifted doc_ids would do, but any distinct dir key works —
+    // here the same data under a DIFFERENT path) gets its own entry
+    val alt = java.nio.file.Files
+      .createTempDirectory("graft-memo-alt").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkFixture.Sf0001}/documents.parquet"),
+      java.nio.file.Paths.get(s"$alt/documents.parquet"))
+    val b = DedupOps.clusterLabels(spark, alt)
+    assert(!(a1 eq b), "distinct dirs must not share a memo entry")
+    // and the memoized labels are the ones the four consumers see:
+    // dedup_clusters output == the memo relation, ordered
+    val viaQuery = DedupOps.dedupClusters(spark, SparkFixture.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = a1.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(viaQuery == direct)
+    DedupOps.clearClusterLabelMemo()
+  }
 }

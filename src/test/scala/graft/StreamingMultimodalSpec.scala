@@ -432,4 +432,53 @@ class StreamingMultimodalSpec extends AnyFunSuite {
         (sr, ch, nf, nf * 1000 / sr, nf * ch * 2, pcm, true), s"doc $id")
     }
   }
+
+  test("synthWav/synthBmp use CODE-POINT semantics on astral chars — " +
+    "lengths and sample values match a code-point reference, not " +
+    "UTF-16 units (oracle unicode()/length() parity)") {
+    import spark.implicits._
+    // "A😀B": 3 code points (U+41, U+1F600, U+42), 4 UTF-16 units —
+    // a UTF-16 (charAt) implementation would emit n_frames=4,
+    // height=1+4%8=5, and sum SURROGATE HALVES instead of U+1F600.
+    val text = "A😀B"
+    val cps = text.codePoints().toArray
+    assert(cps.toSeq == Seq(0x41, 0x1F600, 0x42) && text.length == 4)
+    // WAV: doc 1 → 16 kHz stereo; 3 frames × 2 ch, sample k encodes
+    // cps(k % 3)
+    val wavRow = MultimodalOps.parseWav(
+        Seq((1L, MultimodalOps.synthWav(1L, text))).toDF("id", "payload"))
+      .head()
+    assert(wavRow.getLong(3) == 3L, "n_frames = code points, not chars")
+    val wantPcm = (0 until 6).map { k =>
+      (((cps(k % 3).toLong * 523 + 7) % 65536) - 32768)
+    }.sum
+    assert(wavRow.getLong(6) == wantPcm && wavRow.getBoolean(7))
+    // BMP: height = 1 + 3 % 8 = 4; row0 bytes cycle cps(k % 3) % 256
+    val bmpRow = MultimodalOps.parseBmp(
+        Seq((1L, MultimodalOps.synthBmp(1L, text))).toDF("id", "payload"))
+      .head()
+    assert(bmpRow.getLong(2) == 4L, "height = 1 + codePoints % 8")
+    val wantRow0 = (0 until 6).map(k => cps(k % 3) % 256).sum.toLong
+    assert(bmpRow.getLong(5) == wantRow0 && bmpRow.getBoolean(6))
+  }
+
+  test("PcmS16LeSum limit bounds the window: trailing junk past the " +
+    "declared data_size is excluded from pcm_sum") {
+    import spark.implicits._
+    import graft.functions.PcmS16LeSum
+    val clean = MultimodalOps.synthWav(2L, "AB") // header declares data
+    val junk = clean ++ Array[Byte](0x7F, 0x7F, 0x7F, 0x7F) // +2 samples
+    val df = Seq((1L, clean), (2L, junk)).toDF("id", "payload")
+    val sums = MultimodalOps.parseWav(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(sums(1L) == sums(2L),
+      "pcm_sum must stop at 44 + data_size, not end-of-payload")
+    // and the raw expression: limit 4 reads exactly two samples
+    val payload = Array[Int](0x01, 0x00, 0x02, 0x00, 0x7F, 0x7F)
+      .map(_.toByte)
+    val two = Seq(Tuple1(payload)).toDF("payload")
+      .select(PcmS16LeSum.sum(col("payload"), lit(0), lit(4)).as("s"))
+      .head().getLong(0)
+    assert(two == 3L, "limit must bound the summed window")
+  }
 }
