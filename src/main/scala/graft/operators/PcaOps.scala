@@ -31,11 +31,14 @@ import graft.sources.Tables
   *  - the final projection is one codegen'd integer dot per vector
   *    against the LITERAL iterated direction.
   *
-  * Scale shape: the corpus is touched by exactly ONE self-join+agg
-  * pass producing a DIMENSION²-bounded (64×64) moment table — never
-  * corpus-bounded — with partial map-side aggregation; the power
-  * iteration runs on the driver over those 4 096 entries (the
-  * bounded-collect family: MG's ≤P×k partials, BPE's 1-row argmax);
+  * Scale shape: the corpus is touched by exactly ONE partition-local
+  * mapPartitions pass that folds each vector into a triangular
+  * Dim·(Dim+1)/2 Gram accumulator and emits only the ≤2 145 partial
+  * moments per task — never a corpus-bounded intermediate (the
+  * round-6 posexplode self-join built ~Dim²/2 rows PER VECTOR for
+  * the same table); the power iteration runs on the driver over the
+  * merged DIMENSION²-bounded entries (the bounded-collect family:
+  * MG's ≤P×k partials, BPE's 1-row argmax);
   * the projection pass is a zero-shuffle codegen'd map with the
   * direction inlined as a literal. At 100 TB the moment agg IS the
   * whole cost: one linear scan.
@@ -65,39 +68,118 @@ object PcaOps {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
+  /** Vectors accumulated into the Long triangular Gram between
+    * BigInteger spills. Bound: |quantized component| can reach ~8·10⁶
+    * before the Long products risk anything, and 6.4·10¹³ (the
+    * worst-case single product at that magnitude) × 2¹⁴ ≈ 10¹⁸ still
+    * clears Long.MaxValue with ~9× headroom — the hot loop stays
+    * all-primitive and the BigInteger adds amortize to noise. */
+  private val GramSpillEvery = 1 << 14
+
   /** The reduced integer covariance as a driver-side Dim×Dim array —
     * Cred_ij = sign(C_ij)·(|C_ij| DIV scale), scale = max(1,
     * max|C| DIV 2²⁰), C_ij = N·Σxᵢxⱼ − Σxᵢ·Σxⱼ over quantized
-    * components. Dimension²-bounded collect. */
+    * components.
+    *
+    * ONE mapPartitions pass: each task folds its vectors into a
+    * triangular Dim·(Dim+1)/2 Long Gram + Dim component sums + a
+    * count (primitive per-element loop, BigInteger spill every
+    * [[GramSpillEvery]] vectors so no partition size can overflow),
+    * then emits ≤ 2 145 exact partial rows; a tiny groupBy-sum over
+    * DECIMAL(38,0) merges the ≤ P partials and the centered
+    * covariance, rescale, and sign-split reduction run on the driver
+    * in exact BigInteger over those Dimension²-bounded entries (the
+    * bounded-collect family). The round-6 shape built the same Gram
+    * by a posexploded self-join — ~Dim²/2× the row traffic (8.2 M
+    * intermediate join rows at sf0.1 for the same 4 096 moments);
+    * this pass reads each vector once and shuffles only the partials.
+    * Quantization stays IN Spark SQL ([[VectorOps.quantize]]) so the
+    * HALF_UP rounding is bit-identical to the oracle's replay
+    * (JVM math.round floors ties on negatives — not equivalent). */
   private[graft] def reducedCovariance(spark: SparkSession,
       dir: String): Array[Array[Long]] = {
-    val el = emb(spark, dir)
-      .select(col("vec_id"), posexplode(VectorOps.quantize(col("embedding"))))
-      .toDF("vec_id", "i", "xi")
-      .localCheckpoint() // feeds the self-join twice + the sums once
-    val nRows = el.select(countDistinct(col("vec_id"))).head().getLong(0)
-    val t = el.groupBy(col("i"))
-      .agg(sum(col("xi").cast("decimal(38,0)")).as("ti"))
-    val s = el.as("a").join(el.as("b"), Seq("vec_id"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(col("a.xi").cast("decimal(38,0)") * col("b.xi")).as("sij"))
-    val c0 = s
-      .join(t.select(col("i"), col("ti").as("tia")), Seq("i"))
-      .join(t.select(col("i").as("j"), col("ti").as("tib")), Seq("j"))
-      .select(col("i"), col("j"),
-        (col("sij") * lit(nRows) - col("tia") * col("tib")).as("c"))
-      .localCheckpoint() // consumed by the max and the reduction
-    val maxAbs = c0.select(max(abs(col("c")))).head()
-      .getDecimal(0).toBigInteger
-    val scale = (maxAbs.divide(java.math.BigInteger.valueOf(VScale)))
-      .max(java.math.BigInteger.ONE)
-    val rows = c0.select(col("i"), col("j"),
-        expr(s"CAST(CASE WHEN c >= 0 THEN c DIV $scale " +
-          s"ELSE -((-c) DIV $scale) END AS BIGINT)").as("cr"))
+    import spark.implicits._
+    val tri = Dim * (Dim + 1) / 2
+    val partials = emb(spark, dir)
+      .select(VectorOps.quantize(col("embedding")).as("qx"))
+      .as[Array[Long]]
+      .mapPartitions { it =>
+        var n = 0L
+        var sinceSpill = 0
+        val sumB = Array.fill(Dim)(java.math.BigInteger.ZERO)
+        val gramB = Array.fill(tri)(java.math.BigInteger.ZERO)
+        val sumL = new Array[Long](Dim)
+        val gramL = new Array[Long](tri)
+        def spill(): Unit = {
+          var k = 0
+          while (k < Dim) {
+            if (sumL(k) != 0L) sumB(k) =
+              sumB(k).add(java.math.BigInteger.valueOf(sumL(k)))
+            sumL(k) = 0L; k += 1
+          }
+          k = 0
+          while (k < tri) {
+            if (gramL(k) != 0L) gramB(k) =
+              gramB(k).add(java.math.BigInteger.valueOf(gramL(k)))
+            gramL(k) = 0L; k += 1
+          }
+          sinceSpill = 0
+        }
+        it.foreach { qx =>
+          n += 1L
+          var i = 0
+          var t = 0
+          while (i < Dim) {
+            val xi = qx(i)
+            sumL(i) += xi
+            var j = i
+            while (j < Dim) { gramL(t) += xi * qx(j); j += 1; t += 1 }
+            i += 1
+          }
+          sinceSpill += 1
+          if (sinceSpill == GramSpillEvery) spill()
+        }
+        spill()
+        if (n == 0L) Iterator.empty
+        else {
+          val buf = new scala.collection.mutable.ArrayBuffer[
+            (Int, Int, String)](tri + Dim + 1)
+          buf += (((-1, -1, n.toString)))
+          var i = 0
+          var t = 0
+          while (i < Dim) {
+            buf += (((i, -1, sumB(i).toString)))
+            var j = i
+            while (j < Dim) {
+              buf += (((i, j, gramB(t).toString))); j += 1; t += 1
+            }
+            i += 1
+          }
+          buf.iterator
+        }
+      }
+    val merged = partials.toDF("i", "j", "v")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("v").cast("decimal(38,0)")).as("v"))
       .collect()
-    val m = Array.ofDim[Long](Dim, Dim)
-    rows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-    m
+    // exact BigInteger reduction over the ≤2145 merged moments
+    import java.math.BigInteger
+    var nRows = BigInteger.ZERO
+    val ts = Array.fill(Dim)(BigInteger.ZERO)
+    val ss = Array.ofDim[BigInteger](Dim, Dim)
+    merged.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDecimal(2).toBigInteger)
+      if (i < 0) nRows = v
+      else if (j < 0) ts(i) = v
+      else { ss(i)(j) = v; ss(j)(i) = v } // Gram is symmetric
+    }
+    val c = Array.tabulate(Dim, Dim)((i, j) =>
+      nRows.multiply(ss(i)(j)).subtract(ts(i).multiply(ts(j))))
+    val maxAbs = c.flatten.map(_.abs).max
+    val scale = maxAbs.divide(BigInteger.valueOf(VScale)).max(BigInteger.ONE)
+    // BigInteger.divide truncates toward zero == the sign-split DIV
+    // both engines replay
+    Array.tabulate(Dim, Dim)((i, j) => c(i)(j).divide(scale).longValueExact())
   }
 
   /** [[Rounds]] integer power-iteration steps from the all-ones×2²⁰
