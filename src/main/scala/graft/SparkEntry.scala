@@ -361,6 +361,7 @@ object SparkEntry {
     "kmeans_assign" -> ClusterOps.kmeansAssignSql,
     "semdedup" -> ClusterOps.semDedupSql,
     "bpe_encode" -> BpeOps.bpeEncodeSql,
+    "bpe_vocab" -> BpeOps.bpeVocabSql,
     "prototype_prune" -> ClusterOps.prototypePruneSql,
     "text_classifier" -> TextClassifier.classifySql,
     "phone_to_url" -> PhoneToUrl.phoneToUrlSql,

@@ -29,7 +29,6 @@ class QueriesSpec extends AnyFunSuite {
     val declared = Set(
       "ann_ivf_probe",      // probes < cells: seed-defined recall
       "ann_lsh_probe",      // production LSH parameters: seed-defined
-      "bpe_vocab",          // lookbehind + data-dependent rounds ∉ SQL
       "dedup_embedding_lsh", // hyperplane tables: seed-defined
       "events_quantiles",   // GK sketch: merge-order-dependent
       "semdedup_scaled",    // k ∝ N: cluster count not SQL-unrollable
