@@ -137,7 +137,11 @@ object Bench {
       // round-6 additions: the one-pass integer-covariance PCA, the
       // two cluster-derived arbitration rows (full dedupJaccard chain
       // each), and the WAV byte-decode scan
-      "embed_pca", "dedup_soft", "dedup_keep_best", "multimodal_meta")
+      "embed_pca", "dedup_soft", "dedup_keep_best", "multimodal_meta",
+      // round-7 additions: the dHash chunk-collision image near-dup
+      // (Σ bucket² over the 2¹⁶-value chunk space) and the end-to-end
+      // pretraining composition row
+      "dedup_image", "pretrain_pipeline")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up

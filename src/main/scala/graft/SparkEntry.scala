@@ -227,6 +227,7 @@ object SparkEntry {
     // second real binary format: 24bpp BMP with the row-stride padding
     // quirk in both synthesis and parse verification
     "multimodal_bmp" -> (MultimodalOps.multimodalBmp _),
+    "dedup_image" -> (MultimodalOps.dedupImage _),
     "text_classifier" -> (TextClassifier.classify _),
     "phone_to_url" -> (PhoneToUrl.phoneToUrl _),
   )
@@ -368,5 +369,6 @@ object SparkEntry {
     "multimodal_features" -> MultimodalOps.multimodalFeaturesSql,
     "multimodal_meta" -> MultimodalOps.multimodalMetaSql,
     "multimodal_bmp" -> MultimodalOps.multimodalBmpSql,
+    "dedup_image" -> MultimodalOps.dedupImageSql,
   )
 }

@@ -313,6 +313,144 @@ object MultimodalOps {
   def multimodalBmp(spark: SparkSession, dir: String): DataFrame =
     parseBmp(asBmpTable(spark, dir).toDF("id", "payload"))
 
+  // ------------- perceptual-hash image near-dup (dHash) -----------
+
+  /** dHash grid: 8 rows × 9 sampled columns → 64 adjacent-comparison
+    * bits (Krawetz's difference hash — the standard perceptual hash
+    * for near-identical image detection; deterministic integer
+    * sampling, no resampling kernel, so DuckDB replays it bit-exact). */
+  val DHashRows = 8
+  val DHashCols = 9
+
+  /** Verified pair threshold. 3 is pigeonhole-complete for the 4×16-bit
+    * chunk bucketing below: ≤3 differing bits can touch at most 3 of
+    * the 4 chunks, so every qualifying pair shares at least one chunk
+    * — the bucket join provably equals the all-pairs scan the oracle
+    * runs (the dedup_simhash chunk-collision argument). */
+  val DHashMaxHamming = 3
+
+  /** Per-image dHash as FOUR 16-bit chunk columns (c0..c3) — chunked
+    * at hash time because (a) the bucket join keys on chunks directly
+    * and (b) 16-bit non-negative values sidestep any cross-engine
+    * sign/shift semantics a packed 64-bit hash would drag in.
+    *
+    * Every input is read from the PAYLOAD BYTES: width/height come
+    * off the BITMAPINFOHEADER at their spec offsets, the stride
+    * (4-byte row padding) is recomputed from width, and each of the
+    * 72 grid luminances is the BLUE byte of the nearest-neighbor
+    * pixel at (row = gy·height DIV 8, col = gx·width DIV 9) — one
+    * hex() per row, then codegen'd slicing; stride-aware byte
+    * arithmetic exactly like [[parseBmp]]. */
+  def imageDHash(bmp: DataFrame): DataFrame = {
+    val lums = for (gy <- 0 until DHashRows; gx <- 0 until DHashCols)
+      yield s"""CAST(conv(substr(hexs, CAST((54 +
+        (($gy * height) DIV $DHashRows) * stride +
+        3 * (($gx * width) DIV $DHashCols)) * 2 + 1 AS INT), 2), 16, 10)
+        AS BIGINT) AS l${gy}_$gx"""
+    val withLums = bmp
+      .withColumn("hexs", hex(col("payload")))
+      .withColumn("width", expr(
+        "CAST(" + (19 to 22).map(o =>
+          s"CAST(conv(substr(hexs, ${(o - 1) * 2 + 1}, 2), 16, 10) AS BIGINT)" +
+          s" * ${1L << ((o - 19) * 8)}").mkString(" + ") + " AS INT)"))
+      .withColumn("height", expr(
+        "CAST(" + (23 to 26).map(o =>
+          s"CAST(conv(substr(hexs, ${(o - 1) * 2 + 1}, 2), 16, 10) AS BIGINT)" +
+          s" * ${1L << ((o - 23) * 8)}").mkString(" + ") + " AS INT)"))
+      .withColumn("stride", expr("((3 * width + 3) DIV 4) * 4"))
+      .selectExpr("id" +: lums: _*)
+    val chunks = (0 until 4).map { c =>
+      val bits = (0 until 16).map { t =>
+        val b = c * 16 + t
+        val (gy, gx) = (b / 8, b % 8) // 8 comparison bits per grid row
+        s"(CASE WHEN l${gy}_$gx < l${gy}_${gx + 1} THEN ${1L << t} ELSE 0 END)"
+      }.mkString(" + ")
+      s"CAST($bits AS BIGINT) AS c$c"
+    }
+    withLums.selectExpr("id" +: chunks: _*)
+  }
+
+  /** Near-duplicate IMAGE pairs over any (id, payload) frame:
+    * [[imageDHash]] per image, candidates from the 4-chunk collision
+    * join (Σ bucket², never N² — and by the pigeonhole argument on
+    * [[DHashMaxHamming]] the candidate set is provably complete, so
+    * the output is EXACTLY the all-pairs result the oracle computes),
+    * then one codegen'd xor/bit_count verify per candidate.
+    *
+    * Scale shape: hashes are localCheckpoint'd once (corpus-linear),
+    * the bucket self-join is co-partitioned on the chunk key (the r6
+    * checkpoint-preserves-partitioning idiom — exchange-free pair
+    * join), and the verify joins are narrow hash joins on id. At
+    * 100 TB the 2¹⁶-value chunk space is the knob: band the chunks
+    * wider (or add a dims blocking key) as the image count grows,
+    * exactly like simhash's bands. */
+  def imageDedupPairs(bmp: DataFrame): DataFrame = {
+    val spark = bmp.sparkSession
+    val np = spark.sparkContext.defaultParallelism
+    val h = imageDHash(bmp).localCheckpoint() // feeds buckets + verify ×2
+    val chunks = h.select(col("id"), posexplode(
+        array(col("c0"), col("c1"), col("c2"), col("c3"))))
+      .toDF("id", "ci", "cv")
+      .repartition(np, col("ci"), col("cv"))
+      .localCheckpoint() // both self-join sides, co-partitioned
+    val cands = chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("i"), col("y.id").as("j"))
+      .distinct()
+    cands
+      .join(h.select(col("id").as("i"), col("c0").as("x0"),
+        col("c1").as("x1"), col("c2").as("x2"), col("c3").as("x3")), Seq("i"))
+      .join(h.select(col("id").as("j"), col("c0").as("y0"),
+        col("c1").as("y1"), col("c2").as("y2"), col("c3").as("y3")), Seq("j"))
+      .withColumn("hamming", expr(
+        """CAST(bit_count(x0 ^ y0) + bit_count(x1 ^ y1) +
+          |bit_count(x2 ^ y2) + bit_count(x3 ^ y3) AS BIGINT)""".stripMargin))
+      .filter(col("hamming") <= DHashMaxHamming)
+      .select(col("i"), col("j"), col("hamming"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Registered query: perceptual near-dup pairs over the planted
+    * corpus BMPs — multimodal columns DEDUPED, not just parsed (the
+    * round-6 growth edge). */
+  def dedupImage(spark: SparkSession, dir: String): DataFrame =
+    imageDedupPairs(asBmpTable(spark, dir).toDF("id", "payload"))
+
+  /** Oracle: replay the dHash from (doc_id, text) synthesis directly
+    * (sampled pixels never land on padding — 3·col ≤ 3·width−3 — so
+    * the byte at (row·stride + 3·col) is text char ((row·stride +
+    * 3·col) mod len) mod 256), then the ALL-PAIRS hamming filter,
+    * which the pigeonhole argument on [[DHashMaxHamming]] makes
+    * exactly equal to the engine's chunk-collision join. */
+  val dedupImageSql: String = {
+    val w = s"(1 + doc_id % $BmpMaxW)"
+    val h = "(1 + length(text) % 8)"
+    val stride = s"(((3 * $w + 3) // 4) * 4)"
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_transform(range(${DHashRows * DHashCols}), k ->
+       |      unicode(text[CAST((((((k // $DHashCols) * $h) // $DHashRows)
+       |        * $stride + 3 * (((k % $DHashCols) * $w) // $DHashCols))
+       |        % length(text)) AS INT) + 1]) % 256) AS lums
+       |  FROM documents WHERE length(text) >= 1),
+       |ph AS MATERIALIZED (
+       |  SELECT doc_id, list_transform(range(64), b ->
+       |    CASE WHEN lums[CAST((b // 8) * $DHashCols + (b % 8) AS INT) + 1]
+       |       < lums[CAST((b // 8) * $DHashCols + (b % 8) AS INT) + 2]
+       |    THEN 1 ELSE 0 END) AS bits
+       |  FROM g)
+       |SELECT x.doc_id AS i, y.doc_id AS j,
+       |  CAST(len(list_filter(range(64), k ->
+       |    x.bits[CAST(k AS INT) + 1] != y.bits[CAST(k AS INT) + 1]))
+       |    AS BIGINT) AS hamming
+       |FROM ph x JOIN ph y ON x.doc_id < y.doc_id
+       |WHERE len(list_filter(range(64), k ->
+       |  x.bits[CAST(k AS INT) + 1] != y.bits[CAST(k AS INT) + 1]))
+       |  <= $DHashMaxHamming
+       |ORDER BY i, j""".stripMargin
+  }
+
   /** Direct field derivation from (doc_id, text); row0_sum replays the
     * pixel generator for row 0 (char k mod len, mod 256 — padding
     * bytes excluded by summing only 3·w bytes). */

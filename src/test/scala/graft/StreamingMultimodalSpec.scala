@@ -462,6 +462,75 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(bmpRow.getLong(5) == wantRow0 && bmpRow.getBoolean(6))
   }
 
+  test("dedup_image: planted near-dup BMPs are found by the " +
+    "chunk-collision join, and the output equals an independent " +
+    "all-pairs dHash reference (pigeonhole completeness)") {
+    import spark.implicits._
+    // independent reference: re-derive the dHash straight from payload
+    // bytes with plain Scala (different code path from the SQL exprs)
+    def u32(p: Array[Byte], off: Int): Int =
+      (0 until 4).map(k => (p(off + k) & 0xFF) << (8 * k)).sum
+    def refBits(p: Array[Byte]): IndexedSeq[Int] = {
+      val w = u32(p, 18); val h = u32(p, 22)
+      val stride = ((3 * w + 3) / 4) * 4
+      def lum(gy: Int, gx: Int): Int =
+        p(54 + (gy * h / 8) * stride + 3 * (gx * w / 9)) & 0xFF
+      (0 until 64).map { b =>
+        if (lum(b / 8, b % 8) < lum(b / 8, b % 8 + 1)) 1 else 0
+      }
+    }
+    def ham(a: IndexedSeq[Int], b: IndexedSeq[Int]): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    // ids 15/31/47 share width 16; text of 15 chars → height 8, so
+    // each pixel maps to at most one grid cell and a one-pixel edit
+    // moves ≤2 hash bits — a controlled NEAR duplicate
+    val tA = "abcdefghijklmno"
+    // drive the sampled pixel to an extreme: one of {0, 255} must flip
+    // at least one of the two adjacent comparisons (they can't both
+    // already hold for both extremes)
+    val near = Seq(0x00, 0xFF).map { v =>
+      val p = MultimodalOps.synthBmp(47L, tA)
+      p(54 + 2 * 48 + 9) = v.toByte
+      p
+    }.find { p =>
+      val d = (0 until 64).count { b =>
+        def u32(q: Array[Byte], off: Int): Int =
+          (0 until 4).map(k => (q(off + k) & 0xFF) << (8 * k)).sum
+        def bit(q: Array[Byte]): Int = {
+          val w = u32(q, 18); val h = u32(q, 22)
+          val stride = ((3 * w + 3) / 4) * 4
+          def lum(gy: Int, gx: Int): Int =
+            q(54 + (gy * h / 8) * stride + 3 * (gx * w / 9)) & 0xFF
+          if (lum(b / 8, b % 8) < lum(b / 8, b % 8 + 1)) 1 else 0
+        }
+        bit(p) != bit(MultimodalOps.synthBmp(47L, tA))
+      }
+      d >= 1 && d <= 2
+    }.get
+    val planted = Seq(
+      15L -> MultimodalOps.synthBmp(15L, tA),
+      31L -> MultimodalOps.synthBmp(31L, tA), // identical image to 15
+      47L -> near,                            // one pixel flipped
+      5L -> MultimodalOps.synthBmp(5L, "totally different words here"),
+      2L -> MultimodalOps.synthBmp(2L, "and another unrelated string"))
+    val bits = planted.map { case (id, p) => id -> refBits(p) }.toMap
+    val refPairs = (for {
+      (i, bi) <- bits; (j, bj) <- bits if i < j
+      d = ham(bi, bj) if d <= MultimodalOps.DHashMaxHamming
+    } yield (i, j, d.toLong)).toSet
+    // semantic expectations of the plant itself
+    assert(refPairs.contains((15L, 31L, 0L)), "identical images, ham 0")
+    val nearHam = ham(bits(15L), bits(47L))
+    assert(nearHam >= 1 && nearHam <= 2, s"one-pixel edit moved $nearHam bits")
+    assert(ham(bits(15L), bits(5L)) > MultimodalOps.DHashMaxHamming,
+      "distinct-content images must not be near-dups on this plant")
+    val got = MultimodalOps.imageDedupPairs(
+        planted.toDF("id", "payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == refPairs,
+      s"engine pairs $got != reference all-pairs $refPairs")
+  }
+
   test("PcmS16LeSum limit bounds the window: trailing junk past the " +
     "declared data_size is excluded from pcm_sum") {
     import spark.implicits._
