@@ -166,6 +166,8 @@ object SparkEntry {
     "novelty_score" -> (TextAnalysis.noveltyScore _),
     "dsir_select" -> ((s: SparkSession, d: String) =>
       TextAnalysis.dsirSelect(s, d)),
+    "pretrain_pipeline" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.pretrainPipeline(s, d)),
     "quality_topp" -> ((s: SparkSession, d: String) =>
       TextAnalysis.qualityTopP(s, d)),
     "quality_calibrate" -> (TextAnalysis.qualityCalibrate _),
@@ -321,6 +323,7 @@ object SparkEntry {
     "length_curriculum" -> TextAnalysis.lengthCurriculumSql,
     "novelty_score" -> TextAnalysis.noveltyScoreSql,
     "dsir_select" -> TextAnalysis.dsirSelectSql,
+    "pretrain_pipeline" -> TextAnalysis.pretrainPipelineSql,
     "quality_topp" -> TextAnalysis.qualityTopPSql,
     "quality_calibrate" -> TextAnalysis.qualityCalibrateSql,
     "drift_ks" -> TextAnalysis.driftKsSql,

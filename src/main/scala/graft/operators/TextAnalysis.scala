@@ -185,6 +185,186 @@ object TextAnalysis {
        |FROM deduped WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  /** The END-TO-END pretraining assembly — the composition the whole
+    * operator catalog exists for, as ONE registered query:
+    * corpus_clean (quality+language gate, exact-dedup survivor) →
+    * near-dup survivors ([[DedupOps.clusterLabels]] — the memoized
+    * Jaccard cluster chain, consumed not recomputed) → per-source
+    * top-P quality selection computed over the SURVIVING corpus →
+    * decontamination against the doc_id%97 benchmark slice (bench
+    * docs leave the corpus too — they're the eval set) → per-source
+    * concat-and-chunk sequence packing of what remains. Every stage
+    * reuses the exact contract its standalone row oracles; the
+    * composed DuckDB replay chains those same CTEs.
+    *
+    * Scale shape: TWO corpus scans total — one for the quality gate,
+    * one for the shingle expansion (localCheckpoint'd so bench and
+    * corpus sides share it) — which equals the heaviest constituent
+    * stage (decontaminate alone scans twice); PlanSpec pins that scan
+    * count. The near-dup labels arrive as a checkpointed relation
+    * (zero additional scans), the top-P thresholds are
+    * histogram-sized, the pack window shuffles once on source. */
+  def pretrainPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    // A: quality + language gate, exact-dedup min-id survivor
+    val scored = docs(spark, dir)
+      .select(Seq(col("doc_id"), col("lang"), col("source"),
+        col("text")) ++ qualityPartCols(toks): _*)
+      .withColumn("quality_ppm", expr(QualityPpmExpr))
+      .filter(col("quality_ppm") >= 600000L &&
+        col("lang").isInCollection(Seq("en", "de", "fr", "es")))
+    val wDedup = Window.partitionBy(col("text")).orderBy(col("doc_id").asc)
+    val s1 = scored.withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("n").as("n_tok"),
+        col("quality_ppm"))
+    // B: drop near-dup cluster losers (labels computed once per
+    // session+dir — the dedup_clusters/dedup_soft/near_dup_clean memo)
+    val losers = DedupOps.clusterLabels(spark, dir)
+      .filter(col("doc_id") =!= col("keep_id")).select(col("doc_id"))
+    // s2 feeds the histogram, the per-source totals AND the final
+    // filter — localCheckpoint'd so the quality-gate scan runs ONCE
+    // (un-materialized, each consumer re-ran the whole stage-A
+    // subtree: a measured 6-parquet-scan plan). Narrow survivor
+    // metadata (4 columns), the standard between-stage materialization.
+    val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // C: per-source top-P thresholds over the surviving corpus (the
+    // qualityTopP histogram idiom — no doc-level window)
+    val hist = s2.groupBy(col("source"), col("quality_ppm"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.select(col("source"), col("quality_ppm"),
+      sum(col("c")).over(Window.partitionBy(col("source"))
+        .orderBy(col("quality_ppm").desc)).as("cum"))
+    val nPer = s2.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val thr = cum.join(nPer, Seq("source"))
+      .filter(col("cum") * 100 >= col("n") * QualityTopPct)
+      .groupBy(col("source")).agg(max(col("quality_ppm")).as("thr"))
+    val s3 = s2.join(broadcast(thr), Seq("source"))
+      .filter(col("quality_ppm") >= col("thr"))
+    // D: decontaminate — one shingle expansion feeds both sides
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"),
+        explode(array_distinct(DedupOps.shingleHashes64(col("ts"))))
+          .as("g"))
+      .localCheckpoint()
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+    val contaminated = sh.join(s3.select(col("doc_id")), Seq("doc_id"))
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(bench, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= 3).select(col("doc_id"))
+    val s4 = s3.filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // E: concat-and-chunk pack per source over the final survivors
+    val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    s4.withColumn("start_tok",
+        coalesce(sum(col("n_tok")).over(wPack), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("start_tok"),
+        expr(s"start_tok DIV ${PipelineOps.PackLen}").as("seq_first"),
+        expr(s"(start_tok + n_tok - 1) DIV ${PipelineOps.PackLen}")
+          .as("seq_last"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Composed replay: the same five stage contracts chained as CTEs —
+    * quality gate + exact dedup (corpus_clean), recursive-closure
+    * near-dup labels (near_dup_clean), surviving-corpus top-P
+    * histogram (quality_topp), string-shingle decontamination
+    * (decontaminate; hash-vs-string equivalence under 64-bit
+    * collision-freedom as there), per-source pack window (seq_pack).
+    * `lazy` is load-bearing: [[QualityTopPct]] is declared later in
+    * this object, and a strict val here would interpolate its
+    * pre-initialization 0 (caught by a 64-vs-20-row oracle mismatch). */
+  lazy val pretrainPipelineSql: String =
+    s"""WITH RECURSIVE qscored AS (
+       |  SELECT doc_id, lang, source, text, n, quality_ppm FROM (
+       |    SELECT doc_id, lang, source, text, n, d, s, c,
+       |      $QualityPpmSqlExpr AS quality_ppm
+       |    FROM (
+       |      SELECT doc_id, lang, source, text,
+       |      $QualityPartsSql
+       |      FROM (SELECT doc_id, lang, source, text,
+       |              string_split(text, ' ') AS ts
+       |            FROM documents) x) y) z
+       |  WHERE quality_ppm >= 600000
+       |    AND lang IN ('en', 'de', 'fr', 'es')),
+       |s1 AS (
+       |  SELECT doc_id, source, n AS n_tok, quality_ppm FROM (
+       |    SELECT doc_id, source, n, quality_ppm,
+       |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+       |    FROM qscored) w WHERE rn = 1),
+       |jd AS (
+       |  SELECT doc_id, lang, source,
+       |    list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents),
+       |jp AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j
+       |  FROM jd a JOIN jd b ON a.lang = b.lang AND a.source = b.source
+       |    AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |    >= 0.8),
+       |jedges AS (
+       |  SELECT i AS a, j AS b FROM jp UNION ALL SELECT j, i FROM jp),
+       |jreach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM jedges
+       |  UNION
+       |  SELECT r.a, e.b FROM jreach r JOIN jedges e ON r.b = e.a),
+       |jdrop AS (
+       |  SELECT a AS doc_id FROM jreach GROUP BY a HAVING MIN(b) <> a),
+       |s2 AS (
+       |  SELECT * FROM s1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM jdrop)),
+       |ccum AS (
+       |  SELECT source, quality_ppm,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY quality_ppm DESC) AS cum
+       |  FROM (SELECT source, quality_ppm, COUNT(*) AS c FROM s2
+       |        GROUP BY source, quality_ppm) h),
+       |cn AS (SELECT source, COUNT(*) AS n FROM s2 GROUP BY source),
+       |cthr AS (
+       |  SELECT source, MAX(quality_ppm) AS thr
+       |  FROM ccum JOIN cn USING (source)
+       |  WHERE cum * 100 >= n * $QualityTopPct
+       |  GROUP BY source),
+       |s3 AS (
+       |  SELECT s2.* FROM s2 JOIN cthr t ON s2.source = t.source
+       |  WHERE s2.quality_ppm >= t.thr),
+       |sdoc AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts, text FROM documents),
+       |shl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ts) < 3 THEN [text]
+       |         ELSE list_transform(range(1, len(ts) - 1),
+       |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS sh
+       |  FROM sdoc),
+       |bench AS (
+       |  SELECT DISTINCT unnest(sh) AS g FROM shl WHERE doc_id % 97 = 0),
+       |corp AS (
+       |  SELECT doc_id, unnest(list_distinct(sh)) AS g FROM shl
+       |  WHERE doc_id % 97 <> 0),
+       |contam AS (
+       |  SELECT c.doc_id FROM corp c JOIN bench b USING (g)
+       |  GROUP BY c.doc_id HAVING COUNT(*) >= 3),
+       |s4 AS (
+       |  SELECT * FROM s3 WHERE doc_id % 97 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |o AS (
+       |  SELECT source, doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_tok
+       |  FROM s4)
+       |SELECT source, doc_id, n_tok, start_tok,
+       |  start_tok // ${PipelineOps.PackLen} AS seq_first,
+       |  (start_tok + n_tok - 1) // ${PipelineOps.PackLen} AS seq_last
+       |FROM o
+       |ORDER BY source, doc_id""".stripMargin
+
   /** Boilerplate ratio — the C4-style cleaning signal: a word trigram
     * appearing in ≥ `minDocs` distinct documents is boilerplate
     * (template/navigation text); each document is scored by the ppm of

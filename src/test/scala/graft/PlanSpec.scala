@@ -339,6 +339,24 @@ class PlanSpec extends AnyFunSuite {
       s"derived subtrees no longer read the checkpointed histogram:\n$p")
   }
 
+  test("pretrain_pipeline: the corpus is scanned no more times than " +
+    "the heaviest constituent stage (decontaminate's two)") {
+    // The two corpus scans run INSIDE the two localCheckpoint
+    // materializations (the s2 survivor relation and the shingle
+    // expansion — one each, equal to decontaminate's own two); the
+    // near-dup labels arrive as a checkpointed RDD (zero scans). The
+    // FINAL plan must therefore contain no parquet scan at all — any
+    // that appears means a stage stopped sharing its subtree (the
+    // un-materialized form measured SIX scans: every s2/s3 consumer
+    // re-ran the whole quality-gate subtree).
+    val p = plan(operators.TextAnalysis.pretrainPipeline(spark, dir))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0,
+      s"pretrain_pipeline re-scans the corpus $scans times:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"checkpointed survivor/shingle/label relations not consumed:\n$p")
+  }
+
   test("whole-stage codegen covers the word_freq pipeline") {
     val cg = operators.TextQueries.wordFreq(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
