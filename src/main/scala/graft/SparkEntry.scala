@@ -124,6 +124,7 @@ object SparkEntry {
     "dedup_jaccard" -> (DedupOps.dedupJaccard _),
     "dedup_minhash" -> (DedupOps.dedupMinhash _),
     "dedup_ingest" -> (DedupOps.dedupIngest _),
+    "ingest_jsonl" -> (graft.sources.JsonlZst.ingestJsonl _),
     "dedup_bloom" -> (DedupOps.dedupBloom _),
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     // soft dedup: cluster-derived training weights (reweight, don't
@@ -289,6 +290,7 @@ object SparkEntry {
     "input_file_counts" -> TextQueries.inputFileCountsSql,
     "dedup_minhash" -> DedupOps.dedupMinhashSql,
     "dedup_ingest" -> DedupOps.dedupIngestSql,
+    "ingest_jsonl" -> graft.sources.JsonlZst.ingestJsonlSql,
     "dedup_bloom" -> DedupOps.dedupBloomSql,
     "dedup_embedding" -> SimilarityOps.dedupEmbeddingSql,
     "dedup_exact" -> DedupOps.dedupExactSql,

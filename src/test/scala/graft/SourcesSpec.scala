@@ -153,4 +153,33 @@ class SourcesSpec extends AnyFunSuite {
     val back = spark.read.textFile(out).collect().sorted
     assert(back.toSeq == Seq("line one", "line two"))
   }
+
+  test("jsonl.zst ingest: the landing shards are real zstandard frames " +
+    "and the read-back equals the parquet table row-for-row") {
+    val dir = SparkFixture.Sf0001
+    val landing = graft.sources.JsonlZst.ensure(spark, dir)
+    // every part file starts with the zstd magic (0xFD2FB528 LE)
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(landing))
+      .toArray.map(_.toString).filter(_.contains("part-"))
+      .filter(_.endsWith(".zst"))
+    assert(parts.nonEmpty, "no .zst shards written")
+    parts.foreach { p =>
+      val head = java.nio.file.Files.newInputStream(
+        java.nio.file.Paths.get(p)).readNBytes(4)
+      assert(head.map(_ & 0xFF).toSeq == Seq(0x28, 0xB5, 0x2F, 0xFD),
+        s"$p lacks the zstd magic")
+    }
+    // round trip: JSON escaping + framing preserve every field and
+    // the full text bytes (md5)
+    import org.apache.spark.sql.functions._
+    val got = graft.sources.JsonlZst.ingestJsonl(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4))).toSeq
+    val want = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4))).toSeq.sortBy(_._1)
+    assert(got == want)
+  }
 }
