@@ -141,7 +141,7 @@ object Bench {
       // round-7 additions: the dHash chunk-collision image near-dup
       // (Σ bucket² over the 2¹⁶-value chunk space) and the end-to-end
       // pretraining composition row
-      "dedup_image", "pretrain_pipeline")
+      "dedup_image", "dedup_audio", "pretrain_pipeline")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up

@@ -231,6 +231,7 @@ object SparkEntry {
     // quirk in both synthesis and parse verification
     "multimodal_bmp" -> (MultimodalOps.multimodalBmp _),
     "dedup_image" -> (MultimodalOps.dedupImage _),
+    "dedup_audio" -> (MultimodalOps.dedupAudio _),
     "text_classifier" -> (TextClassifier.classify _),
     "phone_to_url" -> (PhoneToUrl.phoneToUrl _),
   )
@@ -375,5 +376,6 @@ object SparkEntry {
     "multimodal_meta" -> MultimodalOps.multimodalMetaSql,
     "multimodal_bmp" -> MultimodalOps.multimodalBmpSql,
     "dedup_image" -> MultimodalOps.dedupImageSql,
+    "dedup_audio" -> MultimodalOps.dedupAudioSql,
   )
 }

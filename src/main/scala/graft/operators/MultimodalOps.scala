@@ -417,6 +417,120 @@ object MultimodalOps {
   def dedupImage(spark: SparkSession, dir: String): DataFrame =
     imageDedupPairs(asBmpTable(spark, dir).toDF("id", "payload"))
 
+  // ------------- audio fingerprint near-dup (window-sum hash) ------
+
+  /** Windows in the audio fingerprint grid (33 windows → 32
+    * adjacent-comparison bits). */
+  val AudioWindows = 33
+
+  /** Verified pair threshold: 1 is pigeonhole-complete for the 2×16-bit
+    * chunking — one differing bit touches at most one chunk, so the
+    * bucket join equals the all-pairs scan (the [[DHashMaxHamming]]
+    * argument at audio-fingerprint selectivity). */
+  val AudioMaxHamming = 1
+
+  /** Per-recording fingerprint as TWO 16-bit chunks: the PCM data
+    * chunk is cut into [[AudioWindows]] equal sample windows, each
+    * window reduced by the codegen'd [[graft.functions.PcmS16LeSum]]
+    * (offset+limit — the bounded window form), and bit b compares
+    * adjacent window sums — the temporal-shape signature of
+    * Haitsma-Kalker-style audio fingerprinting with an integer
+    * reduction DuckDB replays exactly. Header fields (data_size) are
+    * read off the RIFF bytes as in [[parseWav]]; empty windows (fewer
+    * samples than windows) sum to 0 on both engines. */
+  def audioFingerprint(wav: DataFrame): DataFrame = {
+    val withN = wav
+      .withColumn("hexs", hex(col("payload")))
+      .withColumn("data_size", u32le(col("hexs"), 41))
+      .withColumn("n", (col("data_size") / 2).cast("long"))
+    val wsums = (0 until AudioWindows).map { w =>
+      val lo = expr(s"($w * n) DIV $AudioWindows")
+      val hi = expr(s"(${w + 1} * n) DIV $AudioWindows")
+      graft.functions.PcmS16LeSum.sum(col("payload"),
+        (lit(44L) + lo * 2L).cast("int"),
+        ((hi - lo) * 2L).cast("int")).as(s"w$w")
+    }
+    val withSums = withN.select(col("id") +: wsums: _*)
+    val chunks = (0 until 2).map { c =>
+      val bits = (0 until 16).map { t =>
+        val b = c * 16 + t
+        s"(CASE WHEN w$b < w${b + 1} THEN ${1L << t} ELSE 0 END)"
+      }.mkString(" + ")
+      s"CAST($bits AS BIGINT) AS c$c"
+    }
+    withSums.selectExpr("id" +: chunks: _*)
+  }
+
+  /** Near-duplicate AUDIO pairs: fingerprint once (localCheckpoint),
+    * chunk-collision candidates co-partitioned on the chunk key,
+    * xor/bit_count verify — the [[imageDedupPairs]] shape over the
+    * WAV payloads. */
+  def audioDedupPairs(wav: DataFrame): DataFrame = {
+    val spark = wav.sparkSession
+    val np = spark.sparkContext.defaultParallelism
+    val h = audioFingerprint(wav).localCheckpoint()
+    val chunks = h.select(col("id"),
+        posexplode(array(col("c0"), col("c1"))))
+      .toDF("id", "ci", "cv")
+      .repartition(np, col("ci"), col("cv"))
+      .localCheckpoint()
+    val cands = chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("i"), col("y.id").as("j"))
+      .distinct()
+    cands
+      .join(h.select(col("id").as("i"), col("c0").as("x0"),
+        col("c1").as("x1")), Seq("i"))
+      .join(h.select(col("id").as("j"), col("c0").as("y0"),
+        col("c1").as("y1")), Seq("j"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(x0 ^ y0) + bit_count(x1 ^ y1) AS BIGINT)"))
+      .filter(col("hamming") <= AudioMaxHamming)
+      .select(col("i"), col("j"), col("hamming"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Registered query: near-dup recordings over the planted corpus
+    * WAVs — the audio leg of "multimodal columns deduped, not just
+    * parsed". */
+  def dedupAudio(spark: SparkSession, dir: String): DataFrame =
+    audioDedupPairs(asWavTable(spark, dir).toDF("id", "payload"))
+
+  /** Oracle: replay the window sums from (doc_id, text) synthesis
+    * (sample k = ((unicode(char k mod len)·523+7) mod 2¹⁶) − 2¹⁵),
+    * then the all-pairs hamming filter — pigeonhole-equal to the
+    * chunk-collision join. COALESCE pins empty windows to 0 (DuckDB
+    * list_sum([]) is NULL; the engine's bounded PcmS16LeSum returns
+    * 0). */
+  val dedupAudioSql: String = {
+    val n = s"(least(length(text), $WavMaxFrames) * (1 + doc_id % 2))"
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, text, $n AS n FROM documents
+       |  WHERE length(text) >= 1),
+       |ws AS MATERIALIZED (
+       |  SELECT doc_id, list_transform(range($AudioWindows), w ->
+       |    COALESCE(list_sum(list_transform(
+       |      range((w * n) // $AudioWindows, ((w + 1) * n) // $AudioWindows),
+       |      k -> ((unicode(text[CAST(k % length(text) AS INT) + 1])
+       |             * 523 + 7) % 65536 - 32768))), 0)) AS s
+       |  FROM d),
+       |ph AS MATERIALIZED (
+       |  SELECT doc_id, list_transform(range(32), b ->
+       |    CASE WHEN s[CAST(b AS INT) + 1] < s[CAST(b AS INT) + 2]
+       |    THEN 1 ELSE 0 END) AS bits
+       |  FROM ws)
+       |SELECT x.doc_id AS i, y.doc_id AS j,
+       |  CAST(len(list_filter(range(32), k ->
+       |    x.bits[CAST(k AS INT) + 1] != y.bits[CAST(k AS INT) + 1]))
+       |    AS BIGINT) AS hamming
+       |FROM ph x JOIN ph y ON x.doc_id < y.doc_id
+       |WHERE len(list_filter(range(32), k ->
+       |  x.bits[CAST(k AS INT) + 1] != y.bits[CAST(k AS INT) + 1]))
+       |  <= $AudioMaxHamming
+       |ORDER BY i, j""".stripMargin
+  }
+
   /** Oracle: replay the dHash from (doc_id, text) synthesis directly
     * (sampled pixels never land on padding — 3·col ≤ 3·width−3 — so
     * the byte at (row·stride + 3·col) is text char ((row·stride +

@@ -531,6 +531,46 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"engine pairs $got != reference all-pairs $refPairs")
   }
 
+  test("dedup_audio: identical recordings pair at hamming 0, the " +
+    "output equals an independent all-pairs window-sum reference, " +
+    "and a distinct recording stays unmatched") {
+    import spark.implicits._
+    // reference fingerprint straight from payload bytes (independent
+    // of the SQL expressions): window sums of signed 16-bit LE samples
+    def refBits(p: Array[Byte]): IndexedSeq[Int] = {
+      def u32(off: Int): Long =
+        (0 until 4).map(k => (p(off + k) & 0xFF).toLong << (8 * k)).sum
+      val n = (u32(40) / 2).toInt
+      def sample(k: Int): Int =
+        (p(44 + 2 * k) & 0xFF) | (p(44 + 2 * k + 1) << 8)
+      def wsum(w: Int): Long =
+        (w * n / MultimodalOps.AudioWindows until
+          (w + 1) * n / MultimodalOps.AudioWindows).map(sample(_).toLong).sum
+      (0 until 32).map(b => if (wsum(b) < wsum(b + 1)) 1 else 0)
+    }
+    def ham(a: IndexedSeq[Int], b: IndexedSeq[Int]): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val tA = "the same spoken content here"
+    // ids 2 and 8: same channel parity (mono) + same text → identical
+    // PCM streams (sample rate differs but lives only in the header)
+    val planted = Seq(
+      2L -> MultimodalOps.synthWav(2L, tA),
+      8L -> MultimodalOps.synthWav(8L, tA),
+      3L -> MultimodalOps.synthWav(3L, tA), // stereo: different stream
+      5L -> MultimodalOps.synthWav(5L, "completely different audio"))
+    val bits = planted.map { case (id, p) => id -> refBits(p) }.toMap
+    assert(ham(bits(2L), bits(8L)) == 0, "same text+parity ⇒ identical")
+    assert(ham(bits(2L), bits(5L)) > MultimodalOps.AudioMaxHamming)
+    val refPairs = (for {
+      (i, bi) <- bits; (j, bj) <- bits if i < j
+      d = ham(bi, bj) if d <= MultimodalOps.AudioMaxHamming
+    } yield (i, j, d.toLong)).toSet
+    val got = MultimodalOps.audioDedupPairs(planted.toDF("id", "payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == refPairs, s"engine $got != reference $refPairs")
+    assert(got.contains((2L, 8L, 0L)))
+  }
+
   test("PcmS16LeSum limit bounds the window: trailing junk past the " +
     "declared data_size is excluded from pcm_sum") {
     import spark.implicits._
