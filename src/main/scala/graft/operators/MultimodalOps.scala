@@ -371,43 +371,74 @@ object MultimodalOps {
   }
 
   /** Near-duplicate IMAGE pairs over any (id, payload) frame:
-    * [[imageDHash]] per image, candidates from the 4-chunk collision
-    * join (Σ bucket², never N² — and by the pigeonhole argument on
-    * [[DHashMaxHamming]] the candidate set is provably complete, so
-    * the output is EXACTLY the all-pairs result the oracle computes),
-    * then one codegen'd xor/bit_count verify per candidate.
+    * [[imageDHash]] per image, then FINGERPRINT COMPACTION (the
+    * fuzzy_join distinct-name idiom): the chunk-collision candidate
+    * join runs over the DISTINCT fingerprints only, and member pairs
+    * are expanded afterwards by two output-bound equi-joins.
     *
-    * Scale shape: hashes are localCheckpoint'd once (corpus-linear),
-    * the bucket self-join is co-partitioned on the chunk key (the r6
-    * checkpoint-preserves-partitioning idiom — exchange-free pair
-    * join), and the verify joins are narrow hash joins on id. At
-    * 100 TB the 2¹⁶-value chunk space is the knob: band the chunks
-    * wider (or add a dims blocking key) as the image count grows,
-    * exactly like simhash's bands. */
+    * Why compaction is load-bearing: near-identical-image corpora
+    * concentrate into few fingerprints (the 10× probe measured ~3.9k
+    * distinct hashes carrying 560k images — identical-hash pair mass
+    * 6.78M, an 86× growth for 10× data, i.e. the OUTPUT is quadratic
+    * in this fixture), so a member-level bucket join pays Σ bucket²
+    * ≈ 71M candidate rows where the distinct-level join pays ~10⁴ and
+    * everything past it is proportional to the pairs actually
+    * emitted. Exactness is unchanged: ham(i,j) is a function of the
+    * two fingerprints, and the pigeonhole argument on
+    * [[DHashMaxHamming]] applies verbatim at the distinct level
+    * (including the A=A self-pair for identical images).
+    *
+    * Scale shape: one corpus-linear hash pass (localCheckpoint'd),
+    * a distinct-fingerprint bucket join (content-diversity-bounded,
+    * not corpus-bounded), and member expansion that shuffles only
+    * output rows. At 100 TB the 2¹⁶-value chunk space over DISTINCT
+    * fingerprints is the knob — band wider as content diversity
+    * grows, like simhash's bands. */
   def imageDedupPairs(bmp: DataFrame): DataFrame = {
     val spark = bmp.sparkSession
     val np = spark.sparkContext.defaultParallelism
-    val h = imageDHash(bmp).localCheckpoint() // feeds buckets + verify ×2
-    val chunks = h.select(col("id"), posexplode(
+    // hid packs the 4×16-bit chunks into ONE bijective BIGINT (may go
+    // negative via the sign bit — an arbitrary but consistent total
+    // order is all the unordered-pair dedup below needs)
+    val hid = expr("(c0 << 48) | (c1 << 32) | (c2 << 16) | c3")
+    val h = imageDHash(bmp).withColumn("hid", hid)
+      .localCheckpoint() // member table: feeds expansion twice
+    val d = h.select(col("hid"), col("c0"), col("c1"), col("c2"),
+        col("c3")).distinct()
+      .localCheckpoint() // distinct fingerprints: buckets + verify
+    val chunks = d.select(col("hid"), posexplode(
         array(col("c0"), col("c1"), col("c2"), col("c3"))))
-      .toDF("id", "ci", "cv")
+      .toDF("hid", "ci", "cv")
       .repartition(np, col("ci"), col("cv"))
       .localCheckpoint() // both self-join sides, co-partitioned
+    // ha <= hb keeps each unordered fingerprint pair once, INCLUDING
+    // the A=A self-pair (identical images, hamming 0)
     val cands = chunks.as("x").join(chunks.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("i"), col("y.id").as("j"))
+          col("x.hid") <= col("y.hid"))
+      .select(col("x.hid").as("ha"), col("y.hid").as("hb"))
       .distinct()
-    cands
-      .join(h.select(col("id").as("i"), col("c0").as("x0"),
-        col("c1").as("x1"), col("c2").as("x2"), col("c3").as("x3")), Seq("i"))
-      .join(h.select(col("id").as("j"), col("c0").as("y0"),
-        col("c1").as("y1"), col("c2").as("y2"), col("c3").as("y3")), Seq("j"))
+    val verified = cands
+      .join(d.select(col("hid").as("ha"), col("c0").as("x0"),
+        col("c1").as("x1"), col("c2").as("x2"), col("c3").as("x3")),
+        Seq("ha"))
+      .join(d.select(col("hid").as("hb"), col("c0").as("y0"),
+        col("c1").as("y1"), col("c2").as("y2"), col("c3").as("y3")),
+        Seq("hb"))
       .withColumn("hamming", expr(
         """CAST(bit_count(x0 ^ y0) + bit_count(x1 ^ y1) +
           |bit_count(x2 ^ y2) + bit_count(x3 ^ y3) AS BIGINT)""".stripMargin))
       .filter(col("hamming") <= DHashMaxHamming)
-      .select(col("i"), col("j"), col("hamming"))
+      .select(col("ha"), col("hb"), col("hamming"))
+    // output-bound member expansion; each doc has ONE fingerprint, so
+    // a cross-fingerprint doc pair appears exactly once (ordered by
+    // least/greatest), and self-pairs dedup on id order
+    verified
+      .join(h.select(col("hid").as("ha"), col("id").as("ia")), Seq("ha"))
+      .join(h.select(col("hid").as("hb"), col("id").as("ib")), Seq("hb"))
+      .filter(col("ha") =!= col("hb") || col("ia") < col("ib"))
+      .select(least(col("ia"), col("ib")).as("i"),
+        greatest(col("ia"), col("ib")).as("j"), col("hamming"))
       .orderBy(col("i"), col("j"))
   }
 
