@@ -906,22 +906,37 @@ object TextAnalysis {
     * eval sets usually are — with a shuffle join as the general path),
     * then one per-doc count aggregate. Linear in corpus size; no pair
     * scan anywhere. */
-  def decontaminate(spark: SparkSession, dir: String,
-      minOverlap: Int = 3): DataFrame = {
-    // token array materialized first; the shingle-hash array expression
-    // goes to explode directly (both measured HOF traps avoided), and
-    // hashing chains token triples — no shingle strings are built
-    val sh = docs(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+  /** Per-doc distinct 3-shingle hashes — token array materialized
+    * first; the shingle-hash array expression goes to explode
+    * directly (both measured HOF traps avoided), and hashing chains
+    * token triples — no shingle strings are built. Shared by the
+    * batch row and the streaming door
+    * ([[graft.streaming.IngestStreaming.decontaminateStream]]). */
+  private[graft] def docShingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"),
         explode(array_distinct(DedupOps.shingleHashes64(col("ts"))))
           .as("g"))
-    val bench = sh.filter(col("doc_id") % 97 === 0)
+
+  /** The distinct benchmark shingle set (the doc_id%97 eval slice). */
+  private[graft] def benchShingles(d: DataFrame): DataFrame =
+    docShingles(d.filter(col("doc_id") % 97 === 0))
       .select(col("g")).distinct()
-    sh.filter(col("doc_id") % 97 =!= 0)
+
+  /** Contamination scoring of any (doc_id, text) frame against a
+    * bench shingle set — the stage both the batch row and every
+    * streaming micro-batch run verbatim. */
+  private[graft] def contaminationHits(d: DataFrame, bench: DataFrame,
+      minOverlap: Int): DataFrame =
+    docShingles(d.filter(col("doc_id") % 97 =!= 0))
       .join(bench, Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minOverlap)
+
+  def decontaminate(spark: SparkSession, dir: String,
+      minOverlap: Int = 3): DataFrame = {
+    val d = docs(spark, dir)
+    contaminationHits(d, benchShingles(d), minOverlap)
       .orderBy(col("doc_id"))
   }
 

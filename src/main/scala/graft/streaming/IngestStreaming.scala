@@ -63,6 +63,43 @@ object IngestStreaming {
       .start()
   }
 
+  /** Streaming decontamination at the door: each micro-batch of
+    * arriving documents is scored against the PERSISTENT benchmark
+    * shingle set ([[graft.operators.TextAnalysis.benchShingles]],
+    * built once from the eval slice and persisted — eval sets are
+    * small, so at 100 TB this is a broadcast-friendly static side)
+    * and contaminated doc ids (≥ minOverlap shared 3-shingles) are
+    * appended — the filter-at-ingest shape real pipelines run so
+    * benchmark leakage never lands in the training corpus.
+    * [[graft.operators.TextAnalysis.contaminationHits]] is shared
+    * verbatim with the batch `decontaminate` row, so stream ≡ batch
+    * is an identity of code, pinned by IngestStreamingSpec across a
+    * forced two-micro-batch split. foreachBatch scopes the join to
+    * the arrivals; the stream holds no state beyond source offsets
+    * (per-doc hit counts never straddle batches because scoring is
+    * per-doc within its arrival batch). */
+  def decontaminateStream(spark: SparkSession, landingDir: String,
+      benchDocs: DataFrame, outDir: String, checkpointDir: String,
+      minOverlap: Int = 3,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val bench = graft.operators.TextAnalysis.benchShingles(benchDocs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reader = spark.readStream.schema(DocSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextAnalysis
+          .contaminationHits(batch, bench, minOverlap)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** embeddings.parquet schema (pinned by SchemaContractSpec). */
   private val EmbSchema =
     "vec_id LONG, embedding ARRAY<FLOAT>, label INT"

@@ -219,4 +219,36 @@ class IngestStreamingSpec extends AnyFunSuite {
         "post-restart cells must equal the full-corpus batch score")
     } finally q2.stop()
   }
+
+  test("two-landing decontamination stream equals the batch " +
+    "decontaminate row (per-doc scoring is batch-split invariant)") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+
+    val tmp = Files.createTempDirectory("graft_decontam_stream")
+    val landing = tmp.resolve("landing").toString
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    Files.createDirectory(java.nio.file.Paths.get(landing))
+    Seq(0, 1).foreach { chunk =>
+      val stage = tmp.resolve(s"stage$chunk").toString
+      d.filter(col("doc_id") % 2 === chunk)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, s"part-$chunk.parquet"))
+    }
+
+    val q = IngestStreaming.decontaminateStream(
+      spark, landing, d, out, ckpt, maxFilesPerTrigger = Some(1))
+    try q.awaitTermination() finally q.stop()
+
+    val got = spark.read.parquet(out).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = graft.operators.TextAnalysis.decontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(want.nonEmpty, "fixture must flag at least one doc")
+    assert(got == want)
+  }
 }
