@@ -125,6 +125,7 @@ object SparkEntry {
     "dedup_minhash" -> (DedupOps.dedupMinhash _),
     "dedup_ingest" -> (DedupOps.dedupIngest _),
     "ingest_jsonl" -> (graft.sources.JsonlZst.ingestJsonl _),
+    "ann_matryoshka" -> (SimilarityOps.annMatryoshka _),
     "dedup_bloom" -> (DedupOps.dedupBloom _),
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     // soft dedup: cluster-derived training weights (reweight, don't
@@ -292,6 +293,7 @@ object SparkEntry {
     "dedup_minhash" -> DedupOps.dedupMinhashSql,
     "dedup_ingest" -> DedupOps.dedupIngestSql,
     "ingest_jsonl" -> graft.sources.JsonlZst.ingestJsonlSql,
+    "ann_matryoshka" -> SimilarityOps.annMatryoshkaSql,
     "dedup_bloom" -> DedupOps.dedupBloomSql,
     "dedup_embedding" -> SimilarityOps.dedupEmbeddingSql,
     "dedup_exact" -> DedupOps.dedupExactSql,

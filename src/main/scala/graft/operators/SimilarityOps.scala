@@ -78,6 +78,96 @@ object SimilarityOps {
        |WHERE rank <= $K
        |ORDER BY q_vec_id, rank""".stripMargin
 
+  /** Dimension prefixes evaluated by [[annMatryoshka]]. */
+  val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  /** Matryoshka (truncated-dimension) retrieval evaluation — for each
+    * dimension prefix d ∈ [[MatryoshkaDims]], the per-query recall of
+    * cosine top-K computed on the FIRST d components against the
+    * full-dimension ground truth (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning": serve truncated embeddings, keep most
+    * of the recall — the dim-vs-cost dial every vector store tunes).
+    * recall_ppm = 10⁶·|topK_d ∩ topK_full| DIV K, integer.
+    *
+    * Scale shape: ONE broadcast-queries × candidates pass computes all
+    * four prefix cosines per pair in a single projection (stack —
+    * integer prefix dots via codegen'd [[VectorOps.dotQ]] on slices,
+    * norms precomputed per side per dim); per-(dim, query) top-K is a
+    * WindowGroupLimit-pruned rank; the recall join is K·Q·|dims|
+    * rows. O(Q·N·Σd) total — the same one-scan contract as
+    * [[annTopK]], which is the d=64 leg by construction. */
+  def annMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    def sliced(v: Column, side: String): Seq[(Int, Column, Column)] =
+      MatryoshkaDims.map { d =>
+        val sv = slice(v, 1, d)
+        (d, sv.as(s"${side}v$d"), VectorOps.norm2Q(sv).as(s"${side}n$d"))
+      }
+    val cand = e.select(col("vec_id").as("c_vec_id") +:
+      sliced(VectorOps.quantize(col("embedding")), "c")
+        .flatMap(t => Seq(t._2, t._3)): _*)
+    val queries = e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_vec_id") +:
+        sliced(VectorOps.quantize(col("embedding")), "q")
+          .flatMap(t => Seq(t._2, t._3)): _*)
+    val withCos = broadcast(queries)
+      .join(cand, col("q_vec_id") =!= col("c_vec_id"))
+      .select(Seq(col("q_vec_id"), col("c_vec_id")) ++
+        MatryoshkaDims.map(d => VectorOps.cosineFrom(
+          VectorOps.dotQ(col(s"qv$d"), col(s"cv$d")),
+          col(s"qn$d"), col(s"cn$d")).as(s"cos$d")): _*)
+      .select(col("q_vec_id"), col("c_vec_id"),
+        expr("stack(" + MatryoshkaDims.size + ", " +
+          MatryoshkaDims.map(d => s"CAST($d AS BIGINT), cos$d")
+            .mkString(", ") + ") AS (dim, cos)"))
+    val w = Window.partitionBy(col("dim"), col("q_vec_id"))
+      .orderBy(col("cos").desc, col("c_vec_id").asc)
+    val topk = withCos
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("dim"), col("q_vec_id"), col("c_vec_id"))
+      .localCheckpoint() // feeds itself (the d=64 ground-truth join)
+    val gt = topk.filter(col("dim") === lit(64L))
+      .select(col("q_vec_id"), col("c_vec_id"), lit(1L).as("hit"))
+    topk.join(gt, Seq("q_vec_id", "c_vec_id"), "left")
+      .groupBy(col("dim"), col("q_vec_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("overlap"))
+      .select(col("dim"), col("q_vec_id"),
+        expr(s"1000000 * overlap DIV $K").as("recall_ppm"))
+      .orderBy(col("dim"), col("q_vec_id"))
+  }
+
+  /** DuckDB replay: one block per dimension prefix (list slice),
+    * UNION ALL, rank, then the overlap join against the d=64 leg. */
+  val annMatryoshkaSql: String = {
+    val legs = MatryoshkaDims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim, q_vec_id, c_vec_id,
+         |  ROW_NUMBER() OVER (PARTITION BY q_vec_id
+         |    ORDER BY CAST(list_sum(list_transform(list_zip(qv[1:$d], cv[1:$d]), z -> z[1] * z[2])) AS DOUBLE) /
+         |      (sqrt(CAST(list_sum(list_transform(qv[1:$d], x -> x * x)) AS DOUBLE)) *
+         |       sqrt(CAST(list_sum(list_transform(cv[1:$d], x -> x * x)) AS DOUBLE))) DESC,
+         |      c_vec_id ASC) AS rank
+         |FROM q, c WHERE q_vec_id <> c_vec_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id AS q_vec_id, ${VectorOps.QuantizeSql} AS qv
+       |  FROM embeddings WHERE vec_id < $QueryCount),
+       |c AS MATERIALIZED (
+       |  SELECT vec_id AS c_vec_id, ${VectorOps.QuantizeSql} AS cv
+       |  FROM embeddings),
+       |ranked AS MATERIALIZED (
+       |$legs),
+       |topk AS MATERIALIZED (
+       |  SELECT dim, q_vec_id, c_vec_id FROM ranked WHERE rank <= $K),
+       |gt AS (SELECT q_vec_id, c_vec_id FROM topk WHERE dim = 64)
+       |SELECT t.dim, t.q_vec_id,
+       |  CAST(1000000 * COUNT(g.c_vec_id) // $K AS BIGINT) AS recall_ppm
+       |FROM topk t LEFT JOIN gt g
+       |  ON g.q_vec_id = t.q_vec_id AND g.c_vec_id = t.c_vec_id
+       |GROUP BY t.dim, t.q_vec_id
+       |ORDER BY t.dim, t.q_vec_id""".stripMargin
+  }
+
   /** Negatives per query for [[hardNegatives]]. */
   val NegK = 5
 

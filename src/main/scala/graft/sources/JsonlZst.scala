@@ -42,6 +42,16 @@ object JsonlZst {
     StructField("source", StringType), StructField("n_chars", LongType),
     StructField("text", StringType)))
 
+  /** Register the codec for the `.zst` extension on the session's
+    * Hadoop conf, so both the sink and every later scan resolve it. */
+  def registerCodec(spark: SparkSession): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val cur = hc.get("io.compression.codecs", "")
+    if (!cur.contains(CodecClass))
+      hc.set("io.compression.codecs",
+        if (cur.isEmpty) CodecClass else cur + "," + CodecClass)
+  }
+
   /** Derive (once, marker-cached) the sharded `.jsonl.zst` landing dir
     * for `dir`'s documents table; returns the landing path. */
   def ensure(spark: SparkSession, dir: String): String = synchronized {
@@ -49,13 +59,7 @@ object JsonlZst {
       "graft-jsonl-zst-" + Integer.toHexString(dir.hashCode))
     val marker = out.resolve("_GRAFT_READY")
     if (!Files.exists(marker)) {
-      // register the codec for the .zst extension BEFORE writing so
-      // both the sink and every later scan resolve it
-      val hc = spark.sparkContext.hadoopConfiguration
-      val cur = hc.get("io.compression.codecs", "")
-      if (!cur.contains(CodecClass))
-        hc.set("io.compression.codecs",
-          if (cur.isEmpty) CodecClass else cur + "," + CodecClass)
+      registerCodec(spark)
       Tables.load(spark, dir, "documents")
         .select(to_json(struct(col("doc_id"), col("lang"), col("source"),
           col("n_chars"), col("text"))).as("value"))

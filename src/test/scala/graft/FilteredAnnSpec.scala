@@ -75,4 +75,22 @@ class FilteredAnnSpec extends AnyFunSuite {
         s"query $q: pre-filtered search must still fill k")
     }
   }
+
+  test("ann_matryoshka: the full-dimension leg is its own ground " +
+    "truth (recall 10^6), every recall is a valid K-quantized ppm, " +
+    "and all (dim, query) cells are present") {
+    val rows = SimilarityOps.annMatryoshka(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dims = SimilarityOps.MatryoshkaDims.map(_.toLong).toSet
+    assert(rows.length ==
+      dims.size * SimilarityOps.QueryCount, "one row per (dim, query)")
+    val valid = (0 to SimilarityOps.K)
+      .map(o => 1000000L * o / SimilarityOps.K).toSet
+    rows.foreach { case (d, q, rec) =>
+      assert(dims.contains(d) && valid.contains(rec),
+        s"($d, $q) recall $rec not a K-quantized ppm")
+      if (d == 64L) assert(rec == 1000000L,
+        s"query $q: the full-dim leg must have perfect recall")
+    }
+  }
 }

@@ -182,4 +182,28 @@ class SourcesSpec extends AnyFunSuite {
         r.getLong(3), r.getString(4))).toSeq.sortBy(_._1)
     assert(got == want)
   }
+
+  test("jsonl.zst ingest: a malformed line inside a valid zstd frame " +
+    "surfaces as a PERMISSIVE null row, never a silent drop") {
+    graft.sources.JsonlZst.registerCodec(spark)
+    val d = tmpDir()
+    val f = java.nio.file.Paths.get(d, "bad.jsonl.zst")
+    val os = new io.airlift.compress.zstd.ZstdCodec()
+      .createOutputStream(java.nio.file.Files.newOutputStream(f))
+    os.write(("""{"doc_id": 1, "lang": "en", "source": "s", """ +
+      """"n_chars": 5, "text": "hello"}""" + "\n" +
+      "this line is not json\n").getBytes("UTF-8"))
+    os.close()
+    val rows = spark.read
+      .schema("doc_id LONG, lang STRING, source STRING, " +
+        "n_chars LONG, text STRING")
+      .json(d)
+      .collect()
+    assert(rows.length == 2, "both lines must surface as rows")
+    val good = rows.find(!_.isNullAt(0)).get
+    assert(good.getLong(0) == 1L && good.getString(4) == "hello")
+    assert(rows.exists(_.isNullAt(0)),
+      "the malformed line must land as a null row (PERMISSIVE), " +
+        "so corruption is countable downstream")
+  }
 }
