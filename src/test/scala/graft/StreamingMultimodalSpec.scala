@@ -571,6 +571,63 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got.contains((2L, 8L, 0L)))
   }
 
+  test("randomized kernel gate: engine dHash and audio-fingerprint " +
+    "chunks equal byte-level Scala references on 40 seeded random " +
+    "(id, text) payloads each") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet: Seq[String] = (('a' to 'z') ++ ('A' to 'Z') ++
+      ('0' to '9') ++ Seq(' ', '!', 'é', 'ß', '漢')).map(_.toString) :+
+      "😀" // U+1F600, exercises the surrogate-pair path
+    def randText(): String = Seq.fill(1 + rnd.nextInt(120))(
+      alphabet(rnd.nextInt(alphabet.length))).mkString
+    // ids unique by construction (low byte random, high bits the index)
+    val samples = (0 until 40).map(i =>
+      (((i.toLong << 8) | rnd.nextInt(256)), randText()))
+    def u32(p: Array[Byte], off: Int): Long =
+      (0 until 4).map(k => (p(off + k) & 0xFF).toLong << (8 * k)).sum
+    // image reference
+    def refImg(p: Array[Byte]): Seq[Long] = {
+      val w = u32(p, 18).toInt; val h = u32(p, 22).toInt
+      val stride = ((3 * w + 3) / 4) * 4
+      def lum(gy: Int, gx: Int): Int =
+        p(54 + (gy * h / 8) * stride + 3 * (gx * w / 9)) & 0xFF
+      val bits = (0 until 64).map(b =>
+        if (lum(b / 8, b % 8) < lum(b / 8, b % 8 + 1)) 1L else 0L)
+      (0 until 4).map(c =>
+        (0 until 16).map(t => bits(c * 16 + t) << t).sum)
+    }
+    // audio reference
+    def refAud(p: Array[Byte]): Seq[Long] = {
+      val n = (u32(p, 40) / 2).toInt
+      def sample(k: Int): Int =
+        (p(44 + 2 * k) & 0xFF) | (p(44 + 2 * k + 1) << 8)
+      def wsum(w: Int): Long =
+        (w * n / MultimodalOps.AudioWindows until
+          (w + 1) * n / MultimodalOps.AudioWindows)
+          .map(sample(_).toLong).sum
+      val bits = (0 until 32).map(b =>
+        if (wsum(b) < wsum(b + 1)) 1L else 0L)
+      (0 until 2).map(c => (0 until 16).map(t => bits(c * 16 + t) << t).sum)
+    }
+    val bmp = samples.map { case (id, t) =>
+      (id, MultimodalOps.synthBmp(id, t)) }
+    val wav = samples.map { case (id, t) =>
+      (id, MultimodalOps.synthWav(id, t)) }
+    val gotImg = MultimodalOps.imageDHash(bmp.toDF("id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    bmp.foreach { case (id, p) =>
+      assert(gotImg(id) == refImg(p), s"image chunks diverge for id $id")
+    }
+    val gotAud = MultimodalOps.audioFingerprint(wav.toDF("id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getLong(1), r.getLong(2))).toMap
+    wav.foreach { case (id, p) =>
+      assert(gotAud(id) == refAud(p), s"audio chunks diverge for id $id")
+    }
+  }
+
   test("PcmS16LeSum limit bounds the window: trailing junk past the " +
     "declared data_size is excluded from pcm_sum") {
     import spark.implicits._
