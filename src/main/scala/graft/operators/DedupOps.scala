@@ -112,7 +112,25 @@ object DedupOps {
     * within-block pairs here — output-bound, which is what ANY correct
     * generator must emit. On a realistically sparse corpus the bucket
     * join prunes to near-linear. */
-  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-(session, dir) memo of the verified near-dup PAIR list —
+    * the candidate-generation + verify pipeline below is consumed by
+    * the registered `dedup_jaccard` row AND (via [[clusterLabels]])
+    * the whole cluster family; before this memo the row recomputed
+    * what the label chain had just materialized. The pair list is
+    * output-bounded by the candidate-generation contract, so holding
+    * its checkpoint is cheap at any scale. */
+  private val jaccardMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  private[graft] def clearJaccardMemo(): Unit = jaccardMemo.clear()
+
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardMemo.computeIfAbsent((spark, dir),
+      k => dedupJaccardCompute(k._1, k._2).localCheckpoint())
+
+  private def dedupJaccardCompute(spark: SparkSession,
+      dir: String): DataFrame = {
     // sorted once per doc → candidate verify is a codegen'd
     // two-pointer merge (SortedIntersectCount), not a per-pair hash set
     // d and banded each feed two join sides; left as views, the
