@@ -162,11 +162,14 @@ object PcaOps {
       .groupBy(col("i"), col("j"))
       .agg(sum(col("v").cast("decimal(38,0)")).as("v"))
       .collect()
-    // exact BigInteger reduction over the ≤2145 merged moments
+    // exact BigInteger reduction over the ≤2145 merged moments;
+    // cells default to ZERO (not null) so an EMPTY corpus — zero
+    // partials — degrades to the all-zero covariance instead of an
+    // NPE (caught by the empty-corpus totality sweep)
     import java.math.BigInteger
     var nRows = BigInteger.ZERO
     val ts = Array.fill(Dim)(BigInteger.ZERO)
-    val ss = Array.ofDim[BigInteger](Dim, Dim)
+    val ss = Array.fill(Dim, Dim)(BigInteger.ZERO)
     merged.foreach { r =>
       val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDecimal(2).toBigInteger)
       if (i < 0) nRows = v

@@ -200,8 +200,22 @@ object TextQueries {
     * Aggregation is at the partition-dir granularity because the part-
     * file NAMES inside a group are writer-nondeterministic (task ids),
     * exactly like mapreduce.map.input.file over a dir of splits. */
+  /** True iff the glob matches at least one path — an EMPTY corpus
+    * writes only `_SUCCESS` (no partition dirs), and reading a
+    * zero-match glob throws PATH_NOT_FOUND instead of yielding an
+    * empty frame (empty-corpus totality sweep, r7). */
+  private def globNonEmpty(spark: SparkSession, pattern: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(pattern)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.globStatus(p)
+    st != null && st.nonEmpty
+  }
+
   def inputFileCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val fix = ensureInputFixture(spark, dir)
+    if (!globNonEmpty(spark, s"$fix/bucket=*"))
+      return Seq.empty[(String, Long)].toDF("file", "n_rows")
     spark.read.text(s"$fix/bucket=*")
       .select(regexp_extract(input_file_name(), "(bucket=\\d+)", 1).as("file"))
       .groupBy(col("file")).agg(count(lit(1)).as("n_rows"))
@@ -332,6 +346,11 @@ object TextQueries {
         .select(substring(col("word"), 1, 1).as("first_letter"),
           concat_ws("\t", col("word"), col("n")).as("value"))
         .write.mode("overwrite").partitionBy("first_letter").text(out)
+    }
+    if (!globNonEmpty(spark, s"$out/first_letter=*")) {
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long)]
+        .toDF("first_letter", "n_words", "total")
     }
     spark.read
       .option("basePath", out).text(s"$out/first_letter=*")
