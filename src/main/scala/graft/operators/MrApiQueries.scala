@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.api.{JobArgs, MrPipeline, MrStep, MrsJob}
 import graft.sources.Tables
 
@@ -53,7 +54,9 @@ object MrApiQueries {
   def wordFreqMr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lines = Tables.load(spark, dir, "documents")
-      .select("text").as[String].map(t => (null: String, t))
+      .select("text").filter(col("text").isNotNull) // a text FILE cannot
+      // contain null lines; the table->lines adapter drops them
+      .as[String].map(t => (null: String, t))
     val step = MrStep[String, String, String, Long, String, Long](
       mapper = (_, line) => line.split(" ").iterator.map(w => (w, 1L)),
       combiner = Some((w: String, counts: Iterator[Long]) =>
@@ -68,7 +71,9 @@ object MrApiQueries {
   def wcMr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lines = Tables.load(spark, dir, "documents")
-      .select("text").as[String].map(t => (null: String, t))
+      .select("text").filter(col("text").isNotNull) // a text FILE cannot
+      // contain null lines; the table->lines adapter drops them
+      .as[String].map(t => (null: String, t))
     // per-task tallies, emitted only at partition end
     class Tally extends Serializable {
       var lines = 0L; var words = 0L; var chars = 0L

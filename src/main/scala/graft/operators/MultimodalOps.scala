@@ -31,6 +31,9 @@ object MultimodalOps {
   def asMediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
+      // a NULL text has no payload bytes — the standard
+      // skip-corrupt-record semantic (null-robustness sweep, r7)
+      .filter(col("text").isNotNull)
       .select(col("doc_id").as("id"),
         encode(col("text"), "UTF-8").as("payload"),
         lit("text/plain").as("mime"),

@@ -65,8 +65,12 @@ object PcaOps {
   /** Fixed-point unit for the iterated direction (2²⁰). */
   val VScale = 1L << 20
 
+  /** NULL embeddings carry no components: excluded from the moment
+    * pass AND the projection — a vector that cannot be projected must
+    * not appear in the output (null-robustness sweep, r7). */
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
 
   /** Vectors accumulated into the Long triangular Gram between
     * BigInteger spills. Bound: |quantized component| can reach ~8·10⁶
