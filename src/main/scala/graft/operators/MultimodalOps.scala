@@ -296,11 +296,19 @@ object MultimodalOps {
       .withColumn("bpp", u16le(col("hexs"), 29))
       .withColumn("img_size", u32le(col("hexs"), 35))
       .withColumn("stride", expr("((3 * width + 3) DIV 4) * 4"))
-      .withColumn("row0_sum", aggregate(
-        sequence(lit(0), (col("width") * 3 - 1).cast("int")), lit(0L),
+      // width clamped before driving the sequence: a garbage header
+      // can declare a 4-billion-pixel row, and the unclamped form
+      // both overflowed the ANSI INT cast and would materialize a
+      // multi-billion-element sequence (garbage-payload totality
+      // spec, r7); 4096 is far beyond any planted width and keeps
+      // every position INT-safe. Valid rows are unchanged.
+      .withColumn("wclamp",
+        least(greatest(col("width"), lit(0L)), lit(4096L)))
+      .withColumn("row0_sum", when(col("wclamp") >= 1L, aggregate(
+        sequence(lit(0), (col("wclamp") * 3 - 1).cast("int")), lit(0L),
         (acc, k) => acc + conv(col("hexs").substr(
             ((lit(54L) + k.cast("long")) * 2L + 1L).cast("int"), lit(2)),
-          16, 10).cast("long")))
+          16, 10).cast("long"))).otherwise(lit(null).cast("long")))
       .withColumn("chk_ok", col("magic_ok") &&
         col("bpp") === 24L && col("data_off") === 54L &&
         col("img_size") === col("stride") * col("height") &&
@@ -345,6 +353,12 @@ object MultimodalOps {
     * hex() per row, then codegen'd slicing; stride-aware byte
     * arithmetic exactly like [[parseBmp]]. */
   def imageDHash(bmp: DataFrame): DataFrame = {
+    // width/height are CLAMPED to [0, 4096] before any position
+    // arithmetic: garbage headers declare multi-billion dims, and the
+    // unclamped offsets overflowed the ANSI INT cast (garbage-payload
+    // totality spec, r7); valid rows are unchanged and out-of-range
+    // substr positions read "" → null fingerprints that drop out of
+    // the pair join
     val lums = for (gy <- 0 until DHashRows; gx <- 0 until DHashCols)
       yield s"""CAST(conv(substr(hexs, CAST((54 +
         (($gy * height) DIV $DHashRows) * stride +
@@ -353,13 +367,15 @@ object MultimodalOps {
     val withLums = bmp
       .withColumn("hexs", hex(col("payload")))
       .withColumn("width", expr(
-        "CAST(" + (19 to 22).map(o =>
+        "CAST(least(greatest(" + (19 to 22).map(o =>
           s"CAST(conv(substr(hexs, ${(o - 1) * 2 + 1}, 2), 16, 10) AS BIGINT)" +
-          s" * ${1L << ((o - 19) * 8)}").mkString(" + ") + " AS INT)"))
+          s" * ${1L << ((o - 19) * 8)}").mkString(" + ") +
+        ", 0L), 4096L) AS INT)"))
       .withColumn("height", expr(
-        "CAST(" + (23 to 26).map(o =>
+        "CAST(least(greatest(" + (23 to 26).map(o =>
           s"CAST(conv(substr(hexs, ${(o - 1) * 2 + 1}, 2), 16, 10) AS BIGINT)" +
-          s" * ${1L << ((o - 23) * 8)}").mkString(" + ") + " AS INT)"))
+          s" * ${1L << ((o - 23) * 8)}").mkString(" + ") +
+        ", 0L), 4096L) AS INT)"))
       .withColumn("stride", expr("((3 * width + 3) DIV 4) * 4"))
       .selectExpr("id" +: lums: _*)
     val chunks = (0 until 4).map { c =>
@@ -473,10 +489,18 @@ object MultimodalOps {
     * read off the RIFF bytes as in [[parseWav]]; empty windows (fewer
     * samples than windows) sum to 0 on both engines. */
   def audioFingerprint(wav: DataFrame): DataFrame = {
+    // sample count clamped to 2²⁶ (a 128 MB data chunk — far beyond
+    // any planted payload; larger real recordings are chunked
+    // upstream): garbage headers declare multi-billion-sample chunks
+    // and the unclamped window offsets overflowed the ANSI INT cast
+    // (garbage-payload totality spec, r7). Valid rows unchanged;
+    // clamped windows past the real payload sum to 0 via
+    // PcmS16LeSum's bounds.
     val withN = wav
       .withColumn("hexs", hex(col("payload")))
       .withColumn("data_size", u32le(col("hexs"), 41))
-      .withColumn("n", (col("data_size") / 2).cast("long"))
+      .withColumn("n", least((col("data_size") / 2).cast("long"),
+        lit(1L << 26)))
     val wsums = (0 until AudioWindows).map { w =>
       val lo = expr(s"($w * n) DIV $AudioWindows")
       val hi = expr(s"(${w + 1} * n) DIV $AudioWindows")

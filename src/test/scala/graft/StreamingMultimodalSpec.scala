@@ -628,6 +628,27 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("binary parsers and fingerprint pipelines are total on garbage " +
+    "payloads (truncated, wrong-magic, empty)") {
+    import spark.implicits._
+    val junk = Seq(
+      1L -> Array[Byte](1, 2, 3),                  // truncated
+      2L -> "BM".getBytes("US-ASCII"),             // magic only
+      3L -> Array.empty[Byte],                     // empty
+      4L -> Array.fill(200)(0x55.toByte))          // wrong everything
+      .toDF("id", "payload")
+    // none of these may crash; garbage rows either fail chk_ok or
+    // drop out of the pair joins on null fingerprints
+    val wav = MultimodalOps.parseWav(junk).collect()
+    assert(wav.forall(r => r.isNullAt(7) || !r.getBoolean(7)),
+      "no garbage payload may verify as a valid WAV")
+    val bmpRows = MultimodalOps.parseBmp(junk).collect()
+    assert(bmpRows.forall(r => r.isNullAt(6) || !r.getBoolean(6)),
+      "no garbage payload may verify as a valid BMP")
+    MultimodalOps.imageDedupPairs(junk).collect()
+    MultimodalOps.audioDedupPairs(junk).collect()
+  }
+
   test("PcmS16LeSum limit bounds the window: trailing junk past the " +
     "declared data_size is excluded from pcm_sum") {
     import spark.implicits._
