@@ -115,6 +115,9 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (SimilarityOps.dedupEmbeddingLshQuery _),
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_keep" -> (DedupOps.dedupKeep _),
+    // URL-level dedup (canonicalize → keep-min survivor) — the first
+    // filter a web-corpus pipeline runs, before any text comparison
+    "dedup_url" -> (DedupOps.dedupUrl _),
     "text_scrub" -> (TextAnalysis.textScrub _),
     "skew_salted_agg" -> (SkewOps.skewSaltedAgg _),
     "skew_salted_join" -> (SkewOps.skewSaltedJoin _),
@@ -298,6 +301,7 @@ object SparkEntry {
     "dedup_embedding" -> SimilarityOps.dedupEmbeddingSql,
     "dedup_exact" -> DedupOps.dedupExactSql,
     "dedup_keep" -> DedupOps.dedupKeepSql,
+    "dedup_url" -> DedupOps.dedupUrlSql,
     "text_scrub" -> TextAnalysis.textScrubSql,
     "dedup_containment" -> DedupOps.dedupContainmentSql,
     "dedup_prefix_join" -> DedupOps.dedupPrefixJoinSql,

@@ -68,6 +68,106 @@ object DedupOps {
       |  COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs
       |FROM documents""".stripMargin
 
+  /** Page span of the minted URLs: docs whose ids fall in one span of
+    * this many ids land on the same /p/<page> path, so each source
+    * contributes ~span/|sources| docs per canonical page — real dup
+    * mass for the URL-level dedup to find. Declared BEFORE the SQL
+    * vals that interpolate it (strict-val init order). */
+  private val UrlPageSpan = 140L
+
+  /** Deterministic messy-URL mint for the URL-dedup row. The corpus
+    * carries no URL column, so one is synthesized from (doc_id,
+    * source) exactly like the WAV/BMP payloads are minted from
+    * (doc_id, text) — the oracle re-mints the same strings in SQL, so
+    * the CANONICALIZATION is what sits on the verified path. Planted
+    * variant axes (all collapsed by a correct canonicalizer): scheme
+    * http/https, `WWW.`/`www.`/bare prefix, host case, `?utm=` query,
+    * `#fragment`, trailing slash. ASCII-only by construction (source
+    * values + digits), so upper/lower have no locale/code-point trap. */
+  private def mintUrl: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+    when(col("doc_id") % 3 === 0, lit("WWW."))
+      .when(col("doc_id") % 3 === 1, lit("www.")).otherwise(lit("")),
+    when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+    lit(".example/p/"), expr(s"CAST(doc_id DIV $UrlPageSpan AS STRING)"),
+    when(col("doc_id") % 5 === 0,
+        concat(lit("?utm="), col("doc_id").cast("string")))
+      .when(col("doc_id") % 5 === 1, lit("#frag"))
+      .when(col("doc_id") % 5 === 2, lit("/")).otherwise(lit("")))
+
+  /** Scheme-insensitive URL canonicalization from portable string
+    * builtins only (no regex — Spark and DuckDB regex dialects drift,
+    * these agree byte-for-byte): drop the scheme, cut fragment then
+    * query, lowercase, strip one leading `www.`, strip one trailing
+    * slash. Pure codegen'd projection — zero-shuffle at any scale. */
+  def canonicalizeUrl(url: Column): Column = {
+    val c1 = lower(substring_index(
+      substring_index(substring_index(url, "://", -1), "#", 1), "?", 1))
+    val c2 = when(c1.startsWith("www."), c1.substr(lit(5), length(c1)))
+      .otherwise(c1)
+    when(c2.endsWith("/"), c2.substr(lit(1), length(c2) - 1)).otherwise(c2)
+  }
+
+  /** URL-level dedup — the stage a web-corpus pipeline runs BEFORE any
+    * text comparison (Penedo et al. 2023 RefinedWeb §3 run exact-URL
+    * dedup as the first filter on CommonCrawl): canonicalize, then one
+    * hash-groupBy on the canonical key keeping the min-id survivor.
+    * Cost model at 100 TB: one codegen'd string projection + ONE hash
+    * shuffle on canon_url with map-side partial aggregation — the
+    * dedup_exact shape on a derived key; no joins, no candidate
+    * generation. URLs are minted for non-negative ids with a source
+    * (the corpus contract); null/garbage rows have no URL and drop
+    * out, keeping the row total on the null/garbage sweeps. */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame =
+    dedupUrlOn(docs(spark, dir))
+
+  /** [[dedupUrl]] over any (doc_id, source, …) frame — the planted-
+    * corpus spec entry point. */
+  def dedupUrlOn(d: DataFrame): DataFrame =
+    d.filter(col("doc_id").isNotNull && col("source").isNotNull &&
+        col("doc_id") >= 0)
+      .select(col("doc_id"), mintUrl.as("url"))
+      .withColumn("canon_url", canonicalizeUrl(col("url")))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("survivor_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("url")).as("n_url_variants"))
+      .orderBy(col("survivor_id"))
+
+  /** DuckDB replay of [[dedupUrl]]: same mint, same canonicalization
+    * from split_part/substr/lower (the portable-builtin subset —
+    * split_part(x, d, 1..2) and substring_index agree when the
+    * delimiter occurs at most once, which the mint guarantees). */
+  lazy val dedupUrlSql: String =
+    s"""WITH urls AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||
+       |     CASE doc_id % 3 WHEN 0 THEN 'WWW.'
+       |                     WHEN 1 THEN 'www.' ELSE '' END ||
+       |     CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END ||
+       |     '.example/p/' || CAST(doc_id // $UrlPageSpan AS VARCHAR) ||
+       |     CASE doc_id % 5 WHEN 0 THEN '?utm=' || CAST(doc_id AS VARCHAR)
+       |                     WHEN 1 THEN '#frag'
+       |                     WHEN 2 THEN '/' ELSE '' END) AS url
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND doc_id >= 0
+       |), canon AS (
+       |  SELECT doc_id, url,
+       |    CASE WHEN c2 LIKE '%/' THEN substr(c2, 1, length(c2) - 1)
+       |         ELSE c2 END AS canon_url
+       |  FROM (
+       |    SELECT doc_id, url,
+       |      CASE WHEN c1 LIKE 'www.%' THEN substr(c1, 5) ELSE c1 END AS c2
+       |    FROM (
+       |      SELECT doc_id, url,
+       |        lower(split_part(split_part(split_part(
+       |          url, '://', 2), '#', 1), '?', 1)) AS c1
+       |      FROM urls) a) b
+       |)
+       |SELECT canon_url, MIN(doc_id) AS survivor_id,
+       |  COUNT(*) AS n_copies, COUNT(DISTINCT url) AS n_url_variants
+       |FROM canon GROUP BY canon_url ORDER BY survivor_id""".stripMargin
+
   /** Token-set fingerprint dedup: docs sharing the same sorted distinct
     * token set are near-dup candidates; output the group-size
     * histogram (group_size → n_groups). */

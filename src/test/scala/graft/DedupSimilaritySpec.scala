@@ -28,6 +28,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .toDF("doc_id", "text")
   }
 
+  test("canonicalizeUrl collapses scheme, www, case, query, fragment " +
+    "and trailing slash; schemeless input passes through") {
+    import spark.implicits._
+    val canon = Seq(
+      "https://WWW.Site.example/p/3?q=2",
+      "http://www.site.example/p/3#frag",
+      "https://Site.example/p/3/",
+      "site.example/p/3")
+      .toDF("url")
+      .select(DedupOps.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSet
+    assert(canon == Set("site.example/p/3"),
+      s"all variants must canonicalize identically, got $canon")
+  }
+
+  test("dedupUrl groups every minted variant of one page under one " +
+    "min-id survivor; other sources and pages stay separate; " +
+    "null/negative rows drop out") {
+    import spark.implicits._
+    val docs = Seq[(java.lang.Long, String)](
+      (0L, "s"), (1L, "s"), (2L, "s"), (3L, "s"), (4L, "s"), (5L, "s"),
+      (6L, "t"),              // same page number, different host
+      (140L, "s"),            // same host, next page span
+      (null, "s"), (7L, null) // no URL mintable — must drop, not throw
+    ).toDF("doc_id", "source")
+      .union(Seq((-1L, "s")).toDF("doc_id", "source"))
+    val out = DedupOps.dedupUrlOn(docs).collect()
+    assert(out.length == 3, s"expected 3 canon groups, got ${out.toSeq}")
+    val byCanon = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // six distinct raw variants of s.example/p/0, one survivor, id 0
+    assert(byCanon("s.example/p/0") == ((0L, 6L, 6L)))
+    assert(byCanon("t.example/p/0") == ((6L, 1L, 1L)))
+    assert(byCanon("s.example/p/1") == ((140L, 1L, 1L)))
+  }
+
   test("minhashPairs finds planted near-dups and skips unrelated docs") {
     val pairs = DedupOps.minhashPairs(plantedDocs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
