@@ -45,7 +45,11 @@ CATEGORIES = {
         r"spark\.apache\.org|hadoop\.apache\.org|duckdb\.org|"
         r"arxiv\.org|aclanthology\.org|doi\.org|scala-lang\.org|"
         r"scalatest\.org|en\.wikipedia\.org|localhost|"
-        r"[\w.-]*example\.(?:com|org|net)))[\w.-]+"),
+        # RFC 2606 reserved names: example.com/org/net and the bare
+        # `.example` TLD (test fixtures mint hosts like site.example);
+        # anchored at host end so e.g. example-internal.corp.net is
+        # still flagged
+        r"(?:[\w.-]*\.)?example(?:\.(?:com|org|net))?(?![\w.-])))[\w.-]+"),
     # package/artifact coordinates that aren't public
     "internal-pkg2": re.compile(
         r"\"(?:com|net|io)\.(?!fasterxml)[\w.]+\"\s*%{1,2}\s*\""),
