@@ -43,6 +43,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"all variants must canonicalize identically, got $canon")
   }
 
+  test("canonicalizeUrl is idempotent and its output satisfies the " +
+    "canonical-form contract over the full variant cross-product") {
+    import spark.implicits._
+    // every combination of the mint's variant axes (plus hosts the
+    // mint never produces), one Spark job for all of them
+    val urls = for {
+      scheme <- Seq("https://", "http://", "")
+      www    <- Seq("WWW.", "www.", "")
+      host   <- Seq("s.example", "S.EXAMPLE", "deep.sub.t.example")
+      path   <- Seq("/p/0", "/p/12", "")
+      junk   <- Seq("?utm=9", "#frag", "/", "")
+    } yield scheme + www + host + path + junk
+    val out = urls.toDF("url")
+      .select(col("url"),
+        DedupOps.canonicalizeUrl(col("url")).as("c1"))
+      .select(col("c1"), DedupOps.canonicalizeUrl(col("c1")).as("c2"))
+      .as[(String, String)].collect()
+    assert(out.length == urls.length)
+    out.foreach { case (c1, c2) =>
+      assert(c1 == c2, s"not idempotent: $c1 -> $c2")
+      assert(!c1.contains("://") && !c1.contains("?") && !c1.contains("#"),
+        s"scheme/query/fragment survived: $c1")
+      assert(!c1.startsWith("www.") && !c1.endsWith("/"),
+        s"www./trailing-slash survived: $c1")
+      assert(c1 == c1.toLowerCase, s"case survived: $c1")
+    }
+  }
+
   test("dedupUrl groups every minted variant of one page under one " +
     "min-id survivor; other sources and pages stay separate; " +
     "null/negative rows drop out") {
