@@ -139,9 +139,11 @@ object Bench {
       // each), and the WAV byte-decode scan
       "embed_pca", "dedup_soft", "dedup_keep_best", "multimodal_meta",
       // round-7 additions: the dHash chunk-collision image near-dup
-      // (Σ bucket² over the 2¹⁶-value chunk space) and the end-to-end
-      // pretraining composition row
-      "dedup_image", "dedup_audio", "pretrain_pipeline")
+      // (Σ bucket² over the 2¹⁶-value chunk space), the end-to-end
+      // pretraining composition row, and the three-pass
+      // exact-substring removal (every stage ∝ corpus tokens)
+      "dedup_image", "dedup_audio", "pretrain_pipeline",
+      "dedup_substring")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up

@@ -118,6 +118,9 @@ object SparkEntry {
     // URL-level dedup (canonicalize → keep-min survivor) — the first
     // filter a web-corpus pipeline runs, before any text comparison
     "dedup_url" -> (DedupOps.dedupUrl _),
+    // exact-substring REMOVAL (Lee et al. 2021 ExactSubstr): cut
+    // every token covered by a corpus-wide duplicated 8-token run
+    "dedup_substring" -> (DedupOps.dedupSubstring _),
     "text_scrub" -> (TextAnalysis.textScrub _),
     "skew_salted_agg" -> (SkewOps.skewSaltedAgg _),
     "skew_salted_join" -> (SkewOps.skewSaltedJoin _),
@@ -302,6 +305,7 @@ object SparkEntry {
     "dedup_exact" -> DedupOps.dedupExactSql,
     "dedup_keep" -> DedupOps.dedupKeepSql,
     "dedup_url" -> DedupOps.dedupUrlSql,
+    "dedup_substring" -> DedupOps.dedupSubstringSql,
     "text_scrub" -> TextAnalysis.textScrubSql,
     "dedup_containment" -> DedupOps.dedupContainmentSql,
     "dedup_prefix_join" -> DedupOps.dedupPrefixJoinSql,

@@ -75,6 +75,117 @@ object DedupOps {
     * vals that interpolate it (strict-val init order). */
   private val UrlPageSpan = 140L
 
+  /** Minimum duplicated-run length, in tokens, for the
+    * exact-substring removal — the paper's min-match-length knob
+    * (Lee et al. 2021 use 50 BPE tokens at CommonCrawl scale; 8 words
+    * binds on this corpus, and it is the same span ngram_dup_mass
+    * already scores). Declared before the SQL val that interpolates
+    * it (strict-val init order). */
+  private val SubstrW = 8
+
+  /** Exact-substring dedup REMOVAL (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * the ExactSubstr variant): any [[SubstrW]]-token window occurring
+    * ≥ 2 times CORPUS-WIDE (within-doc repeats count, as in the
+    * paper) is duplicated text; every token covered by at least one
+    * duplicated window is cut, and each doc's survivors are
+    * reassembled in order. Where ngram_dup_mass SCORES duplicated
+    * spans, this row produces the cleaned corpus itself.
+    *
+    * Spark-first shape instead of the paper's corpus suffix array:
+    * three linear passes — (1) a doc-partitioned window pass builds
+    * the rolling W-token window per position, (2) a window-key pass
+    * counts corpus-wide occurrences (the suffix-array lookup,
+    * re-expressed as one hash shuffle), (3) a doc-partitioned
+    * running-max marks covered positions and the co-partitioned
+    * groupBy reassembles — no joins, no candidate pairs, every stage
+    * ∝ corpus tokens. Fixed-W windows equal the paper's semantics
+    * exactly at run length W; maximal duplicated runs SHORTER than W
+    * are below the min-match-length by definition. The shuffle key of
+    * pass (2) is the window TEXT — the oracle-exact configuration the
+    * DuckDB replay needs; the production twin keys the same shuffle
+    * on xxhash64(window) (8-byte keys instead of ~W words; identical
+    * plan, proven output-identical by spec on the fixture). Docs with
+    * fewer than W tokens have no window and pass through uncut. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    substringCleanOn(
+      docs(spark, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")),
+      hashedKey = false)
+
+  /** [[dedupSubstring]] core over any (doc_id, text) frame;
+    * `hashedKey` switches the occurrence-count shuffle key from the
+    * window text (oracle-exact) to xxhash64 (production twin). */
+  def substringCleanOn(d: DataFrame, hashedKey: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = SubstrW
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = d
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("w",
+        array_join(collect_list(col("tok"))
+          .over(byDoc.rowsBetween(Window.currentRow, W - 1)), " "))
+      .withColumn("valid", col("pos") + W <= col("n"))
+    val key = if (hashedKey) xxhash64(col("w")) else col("w")
+    val cov = toks
+      // occurrences among VALID windows only (tail windows are short
+      // strings that must not vote); count() skips the null branch
+      .withColumn("wcnt", count(when(col("valid"), lit(1)))
+        .over(Window.partitionBy(key)))
+      .withColumn("is_start",
+        when(col("valid") && col("wcnt") >= 2, 1).otherwise(0))
+      .withColumn("covered", max(col("is_start"))
+        .over(byDoc.rowsBetween(-(W - 1), Window.currentRow)))
+    cov.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("covered")).cast("long").as("n_removed"),
+        array_join(transform(
+          sort_array(collect_list(
+            when(col("covered") === 0,
+              struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[dedupSubstring]]: same windows from
+    * list_slice, same corpus-wide occurrence count, same W-token
+    * coverage max, same ordered reassembly (string_agg skips the
+    * covered branch's NULLs; an all-covered doc coalesces to ''). */
+  lazy val dedupSubstringSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |wins AS (
+       |  SELECT doc_id, i - 1 AS s,
+       |    array_to_string(list_slice(ts, i, i + ${SubstrW - 1}), ' ') AS w
+       |  FROM d, UNNEST(range(1, len(ts) - ${SubstrW - 2})) t(i)),
+       |dupw AS (SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2),
+       |dstart AS (
+       |  SELECT DISTINCT doc_id, s FROM wins JOIN dupw USING (w)),
+       |toks AS (
+       |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+       |  FROM d, UNNEST(range(1, len(ts) + 1)) t(i)),
+       |cov AS (
+       |  SELECT doc_id, pos, tok,
+       |    MAX(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${SubstrW - 1} PRECEDING AND CURRENT ROW)
+       |      AS covered
+       |  FROM (
+       |    SELECT t.doc_id, t.pos, t.tok,
+       |      CASE WHEN ds.s IS NULL THEN 0 ELSE 1 END AS is_start
+       |    FROM toks t LEFT JOIN dstart ds
+       |      ON ds.doc_id = t.doc_id AND ds.s = t.pos) x)
+       |SELECT doc_id,
+       |  COUNT(*) AS n_tokens,
+       |  CAST(SUM(covered) AS BIGINT) AS n_removed,
+       |  COALESCE(string_agg(CASE WHEN covered = 0 THEN tok END,
+       |    ' ' ORDER BY pos), '') AS clean_text
+       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Deterministic messy-URL mint for the URL-dedup row. The corpus
     * carries no URL column, so one is synthesized from (doc_id,
     * source) exactly like the WAV/BMP payloads are minted from

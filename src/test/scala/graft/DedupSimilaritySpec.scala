@@ -92,6 +92,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(byCanon("s.example/p/1") == ((140L, 1L, 1L)))
   }
 
+  test("substringCleanOn cuts a cross-doc duplicated 8-token run from " +
+    "BOTH docs, cuts a within-doc repeat, and passes short docs " +
+    "through uncut") {
+    import spark.implicits._
+    val shared = (1 to 8).map("a" + _).mkString(" ")   // dup across docs
+    val self = (1 to 8).map("b" + _).mkString(" ")     // dup within doc
+    val docs = Seq(
+      (0L, s"u1 u2 $shared u3"),
+      (1L, s"v1 $shared v2 v3"),
+      (2L, s"$self m $self"),
+      (3L, "s1 s2 s3"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.substringCleanOn(docs, hashedKey = false)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) == ((11L, 8L, "u1 u2 u3")))
+    assert(out(1L) == ((11L, 8L, "v1 v2 v3")))
+    assert(out(2L) == ((17L, 16L, "m")),
+      "the paper counts within-doc repeats: both runs are cut")
+    assert(out(3L) == ((3L, 0L, "s1 s2 s3")),
+      "docs below the min match length pass through uncut")
+    // conservation: removed + surviving tokens == original tokens
+    out.values.foreach { case (n, rm, clean) =>
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(rm + kept == n)
+    }
+  }
+
+  test("substring clean production twin (xxhash64 window keys) equals " +
+    "the oracle-exact string-keyed configuration") {
+    import spark.implicits._
+    val shared = (1 to 9).map("c" + _).mkString(" ")
+    val docs = Seq(
+      (0L, s"w1 $shared w2"), (1L, s"$shared x1 x2"),
+      (2L, "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"), (3L, "z1 z2"))
+      .toDF("doc_id", "text")
+    val byText = DedupOps.substringCleanOn(docs, hashedKey = false)
+      .collect().toSeq.map(_.toSeq)
+    val byHash = DedupOps.substringCleanOn(docs, hashedKey = true)
+      .collect().toSeq.map(_.toSeq)
+    assert(byText == byHash)
+  }
+
   test("minhashPairs finds planted near-dups and skips unrelated docs") {
     val pairs = DedupOps.minhashPairs(plantedDocs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
