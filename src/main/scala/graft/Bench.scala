@@ -143,7 +143,10 @@ object Bench {
       // pretraining composition row, and the three-pass
       // exact-substring removal (every stage ∝ corpus tokens)
       "dedup_image", "dedup_audio", "pretrain_pipeline",
-      "dedup_substring")
+      "dedup_substring",
+      // the two-scan centroid probe (partial-agg train + literal-dot
+      // score — should anchor the sublinear end like embed_pca)
+      "embed_probe")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up

@@ -110,6 +110,9 @@ object SparkEntry {
     // iteration, projection onto the dominant direction (whitening
     // primitive); fully oracled via an unrolled DuckDB replay
     "embed_pca" -> (PcaOps.embedPca _),
+    // exact nearest-centroid linear probe over embeddings: integer
+    // mean-difference direction + midpoint threshold, one-vs-rest
+    "embed_probe" -> (ProbeOps.embedProbe _),
     "dedup_embedding" -> ((s: SparkSession, d: String) =>
       SimilarityOps.dedupEmbeddingBlocked(s, d)),
     "dedup_embedding_lsh" -> (SimilarityOps.dedupEmbeddingLshQuery _),
@@ -293,6 +296,7 @@ object SparkEntry {
     "ann_int8" -> ScalarQuantOps.annInt8Sql,
     "embed_project" -> ScalarQuantOps.embedProjectSql,
     "embed_pca" -> PcaOps.embedPcaSql,
+    "embed_probe" -> ProbeOps.embedProbeSql,
     // bits=0 LSH: candidate set provably complete ⇒ result ≡ exact top-k
     "ann_lsh_topk" -> SimilarityOps.annTopKSql,
     "input_file_counts" -> TextQueries.inputFileCountsSql,
