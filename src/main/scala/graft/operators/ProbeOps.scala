@@ -73,6 +73,16 @@ object ProbeOps {
     * planted-corpus spec entry point. */
   def embedProbeOn(d: DataFrame): DataFrame = {
     val (ds, theta) = trainCentroidProbe(d)
+    scoreWithProbe(d, ds, theta)
+  }
+
+  /** Score any (vec_id, embedding, label) frame against an
+    * already-trained probe — shared VERBATIM by the batch row and the
+    * streaming ingest scorer, so stream ≡ batch is an identity of
+    * code (the contaminationHits precedent). Zero-shuffle codegen'd
+    * map: direction and threshold ride along as literals. */
+  def scoreWithProbe(d: DataFrame, ds: Array[Long],
+      theta: Long): DataFrame =
     d.select(col("vec_id"),
         col("label").cast("long").as("label"),
         (col("label") === PosLabel).cast("int").as("y"),
@@ -80,7 +90,6 @@ object ProbeOps {
           typedLit(ds.toSeq)).as("score"))
       .withColumn("pred", (col("score") >= theta).cast("int"))
       .orderBy(col("vec_id"))
-  }
 
   /** One partial-agg scan → ≤ 2·Dim+2 exact cells → exact BigInteger
     * reduction to (d̂, θ). Degenerate corpora (empty, or single-class

@@ -104,6 +104,38 @@ object IngestStreaming {
   private val EmbSchema =
     "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
 
+  /** Streaming quality gate at the door: the centroid probe is
+    * trained ONCE on the live corpus ([[graft.operators.ProbeOps
+    * .trainCentroidProbe]] — one partial-agg scan reduced to ≤ 130
+    * exact cells; at 100 TB the stored (direction, threshold) pair IS
+    * the model artifact), and each micro-batch of arriving embeddings
+    * is scored by [[graft.operators.ProbeOps.scoreWithProbe]] shared
+    * VERBATIM with the batch embed_probe row — stream ≡ batch is an
+    * identity of code, pinned by IngestStreamingSpec across a forced
+    * two-micro-batch split. Scoring is a zero-shuffle literal-dot
+    * map, so the stream holds no state beyond source offsets. */
+  def probeScoreStream(spark: SparkSession, landingDir: String,
+      corpus: DataFrame, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val (ds, theta) = graft.operators.ProbeOps.trainCentroidProbe(
+      corpus.filter(col("embedding").isNotNull &&
+        col("label").isNotNull))
+    val reader = spark.readStream.schema(EmbSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.ProbeOps.scoreWithProbe(batch, ds, theta)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming ANN at the door: each micro-batch of arriving
     * embeddings probes the PERSISTENT live-corpus IVF index
     * ([[graft.operators.SimilarityOps.buildIvfIndex]], built once and

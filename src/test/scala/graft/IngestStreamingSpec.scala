@@ -251,4 +251,38 @@ class IngestStreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must flag at least one doc")
     assert(got == want)
   }
+
+  test("two-landing probe-scoring stream equals the batch embed_probe " +
+    "row (the trained probe is static; scoring is batch-split " +
+    "invariant)") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+
+    val tmp = Files.createTempDirectory("graft_probe_stream")
+    val landing = tmp.resolve("landing").toString
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    Files.createDirectory(java.nio.file.Paths.get(landing))
+    Seq(0, 1).foreach { chunk =>
+      val stage = tmp.resolve(s"stage$chunk").toString
+      e.filter(col("vec_id") % 2 === chunk)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, s"part-$chunk.parquet"))
+    }
+
+    val q = IngestStreaming.probeScoreStream(
+      spark, landing, e, out, ckpt, maxFilesPerTrigger = Some(1))
+    try q.awaitTermination() finally q.stop()
+
+    val got = spark.read.parquet(out).orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    val want = graft.operators.ProbeOps.embedProbe(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(want.exists(r => r(4) == 1) && want.exists(r => r(4) == 0),
+      "fixture probe must predict both classes")
+    assert(got == want)
+  }
 }
