@@ -232,13 +232,21 @@ object DedupOps {
   def dedupUrl(spark: SparkSession, dir: String): DataFrame =
     dedupUrlOn(docs(spark, dir))
 
-  /** [[dedupUrl]] over any (doc_id, source, …) frame — the planted-
-    * corpus spec entry point. */
-  def dedupUrlOn(d: DataFrame): DataFrame =
+  /** The minted-and-canonicalized URL relation (doc_id, url,
+    * canon_url) over any (doc_id, source, …) frame — shared VERBATIM
+    * by the batch [[dedupUrl]] row and the streaming ingest gate
+    * ([[graft.streaming.IngestStreaming]]), so the two can't drift on
+    * either the mint or the canonicalization. */
+  def mintedCanonUrls(d: DataFrame): DataFrame =
     d.filter(col("doc_id").isNotNull && col("source").isNotNull &&
         col("doc_id") >= 0)
       .select(col("doc_id"), mintUrl.as("url"))
       .withColumn("canon_url", canonicalizeUrl(col("url")))
+
+  /** [[dedupUrl]] over any (doc_id, source, …) frame — the planted-
+    * corpus spec entry point. */
+  def dedupUrlOn(d: DataFrame): DataFrame =
+    mintedCanonUrls(d)
       .groupBy(col("canon_url"))
       .agg(min(col("doc_id")).as("survivor_id"),
         count(lit(1)).as("n_copies"),

@@ -104,6 +104,58 @@ object IngestStreaming {
   private val EmbSchema =
     "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
 
+  /** Streaming URL-level dedup at the door: an arriving document is
+    * ADMITTED only if its canonical URL is unseen — neither in the
+    * live corpus's canonical set (built once from
+    * [[DedupOps.mintedCanonUrls]], shared VERBATIM with the batch
+    * dedup_url row so mint and canonicalization can't drift) nor
+    * admitted by any earlier micro-batch. Cross-batch state is the
+    * ADMITTED TABLE ITSELF, re-read per batch — at 100 TB that is the
+    * transactional admitted table an ingest pipeline already
+    * maintains (seeded here as an empty parquet so batch 1 reads a
+    * well-formed relation). Within a batch the min-doc_id row per
+    * canonical URL wins; ACROSS batches first-arrival wins — the
+    * ingest-order semantic (the batch row's global-min-id survivor
+    * rule needs the whole corpus at once; at the door, "first seen"
+    * IS the survivor rule). Per-batch cost: one canonical projection
+    * + an anti-join against the seen set, ∝ arrivals. Delivery is
+    * at-least-once on retry (parquet append); a production sink
+    * dedups on canon_url or uses a transactional table format. */
+  def urlDedupStream(spark: SparkSession, landingDir: String,
+      liveDocs: DataFrame, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val liveCanon = DedupOps.mintedCanonUrls(liveDocs)
+      .select(col("canon_url")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    liveCanon.count() // materialize the static side once
+    // seed the admitted table so batch 1 reads a well-formed relation
+    DedupOps.mintedCanonUrls(liveDocs.limit(0))
+      .write.mode("overwrite").parquet(outDir)
+    val reader = spark.readStream.schema(DocSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val prior = batch.sparkSession.read.parquet(outDir)
+          .select(col("canon_url"))
+        val admitted = DedupOps.mintedCanonUrls(batch)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("canon_url")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1).drop("rn")
+          .join(liveCanon.union(prior).distinct(),
+            Seq("canon_url"), "left_anti")
+          .select(col("doc_id"), col("url"), col("canon_url"))
+        admitted.write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming quality gate at the door: the centroid probe is
     * trained ONCE on the live corpus ([[graft.operators.ProbeOps
     * .trainCentroidProbe]] — one partial-agg scan reduced to ≤ 130

@@ -252,6 +252,54 @@ class IngestStreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("url-dedup stream admits one first-arrived survivor per " +
+    "canonical URL, rejects live-corpus canons, and holds the " +
+    "admitted state across micro-batches") {
+    import spark.implicits._
+    def docsOf(rows: Seq[(Long, String)]) =
+      rows.map { case (id, src) =>
+        (id, s"text $id", "en", src, 7L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    // live corpus owns canon s.example/p/7 (ids 1000-1001)
+    val live = docsOf(Seq((1000L, "s"), (1001L, "s")))
+    // batch 1: ids 2 and 4 share s/p/0 (min-id 2 must win); 999 hits
+    // the live canon (reject); 1400 is fresh (s/p/10)
+    val part0 = docsOf(Seq((2L, "s"), (4L, "s"), (999L, "s"), (1400L, "s")))
+    // batch 2: ids 0 and 1 are s/p/0 — LOWER ids than the batch-1
+    // survivor, but first-arrival wins at the door; 2000 is fresh t/p/14
+    val part1 = docsOf(Seq((0L, "s"), (1L, "s"), (2000L, "t")))
+
+    val tmp = Files.createTempDirectory("graft_url_stream")
+    val landing = tmp.resolve("landing").toString
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    Files.createDirectory(java.nio.file.Paths.get(landing))
+    Seq(part0 -> 0, part1 -> 1).foreach { case (df, chunk) =>
+      val stage = tmp.resolve(s"stage$chunk").toString
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(landing, s"part-$chunk.parquet")
+      Files.move(part.toPath, dst)
+      // the file source orders by modification time: pin batch order
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000L + chunk * 60000L))
+    }
+
+    val q = IngestStreaming.urlDedupStream(
+      spark, landing, live, out, ckpt, maxFilesPerTrigger = Some(1))
+    try q.awaitTermination() finally q.stop()
+
+    val admitted = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(admitted == Set(
+      (2L, "s.example/p/0"),     // batch-1 min-id survivor of s/p/0
+      (1400L, "s.example/p/10"), // fresh in batch 1
+      (2000L, "t.example/p/14")),// fresh in batch 2
+      s"got $admitted")
+  }
+
   test("two-landing probe-scoring stream equals the batch embed_probe " +
     "row (the trained probe is static; scoring is batch-split " +
     "invariant)") {
