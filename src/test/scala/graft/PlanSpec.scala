@@ -373,6 +373,33 @@ class PlanSpec extends AnyFunSuite {
       s"checkpointed survivor/shingle/label relations not consumed:\n$p")
   }
 
+  test("dedup_substring: join-free — three window/agg passes, no " +
+    "candidate pairs (the §2.5 row's structural claim)") {
+    // The removal is windows + one grouped count + the reassembly agg;
+    // ANY join node means a pair-candidate shape crept back in.
+    val p = plan(operators.DedupOps.dedupSubstring(spark, dir))
+    assert(!p.contains("Join"),
+      s"exact-substring removal must stay join-free:\n$p")
+    assert("Window".r.findAllIn(p).size >= 2,
+      s"expected the rolling-window and coverage passes:\n$p")
+  }
+
+  test("dedup_url: one hash aggregation on the canonical key, no joins") {
+    val p = plan(operators.DedupOps.dedupUrl(spark, dir))
+    assert(!p.contains("Join"), s"URL dedup must be join-free:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"expected the canonical-key hash aggregation:\n$p")
+  }
+
+  test("embed_probe: scoring is a join-free literal-dot projection — " +
+    "the only exchange is the output ordering") {
+    val p = plan(operators.ProbeOps.embedProbe(spark, dir))
+    assert(!p.contains("Join"), s"probe scoring must be join-free:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"probe scoring should shuffle only for the output sort:\n$p")
+  }
+
   test("whole-stage codegen covers the word_freq pipeline") {
     val cg = operators.TextQueries.wordFreq(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
