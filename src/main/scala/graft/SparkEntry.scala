@@ -242,6 +242,12 @@ object SparkEntry {
     "multimodal_bmp" -> (MultimodalOps.multimodalBmp _),
     "dedup_image" -> (MultimodalOps.dedupImage _),
     "dedup_audio" -> (MultimodalOps.dedupAudio _),
+    // corpus-linear cluster deliverables (labels/survivors, output
+    // ≤ one row per input) over the same fingerprint graphs — the
+    // form a 100 TB pipeline APPLIES; the pair lists above are
+    // output-quadratic diagnostics on concentrated corpora
+    "dedup_image_clusters" -> (MultimodalOps.dedupImageClusters _),
+    "dedup_audio_clusters" -> (MultimodalOps.dedupAudioClusters _),
     "text_classifier" -> (TextClassifier.classify _),
     "phone_to_url" -> (PhoneToUrl.phoneToUrl _),
   )
@@ -391,5 +397,7 @@ object SparkEntry {
     "multimodal_bmp" -> MultimodalOps.multimodalBmpSql,
     "dedup_image" -> MultimodalOps.dedupImageSql,
     "dedup_audio" -> MultimodalOps.dedupAudioSql,
+    "dedup_image_clusters" -> MultimodalOps.dedupImageClustersSql,
+    "dedup_audio_clusters" -> MultimodalOps.dedupAudioClustersSql,
   )
 }

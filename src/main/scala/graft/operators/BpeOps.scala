@@ -146,10 +146,12 @@ object BpeOps {
 
   private[graft] def clearLearnerMemo(): Unit = learnerMemo.clear()
 
-  private def learnedForDir(spark: SparkSession, dir: String,
-      merges: Int): (Seq[(Int, String, String, Long)], DataFrame) =
+  private[graft] def learnedForDir(spark: SparkSession, dir: String,
+      merges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    Memos.purgeStopped(learnerMemo)
     learnerMemo.computeIfAbsent((spark, dir, merges),
       k => learnLoop(docs(k._1, k._2), k._3))
+  }
 
   /** Registered query: the merge table as a DataFrame. Fully oracled
     * since round 7: [[bpeVocabSql]] reads the (pair, rank, count)

@@ -127,14 +127,16 @@ object ClusterOps {
     centroidMemo.clear(); shortlistMemo.clear()
   }
 
-  private def corpusCentroids(spark: SparkSession, dir: String, k: Int,
-      iters: Int): DataFrame =
+  private[graft] def corpusCentroids(spark: SparkSession, dir: String,
+      k: Int, iters: Int): DataFrame = {
+    Memos.purgeStopped(centroidMemo)
     centroidMemo.computeIfAbsent((spark, dir, k, iters), key => {
       val e = prepared(key._1, key._2).persist()
       val c = lloydTrain(e, key._3, key._4) // eager-checkpointed output
       e.unpersist(blocking = false)
       c
     })
+  }
 
   /** Lloyd k-means over quantized embeddings: [[Iters]] assignment
     * rounds with [[Iters]]−1 centroid updates between them — the
@@ -337,8 +339,9 @@ object ClusterOps {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, Long), (DataFrame, DataFrame)]()
 
-  private def shortlistIndex(spark: SparkSession, dir: String,
-      targetClusterSize: Long): (DataFrame, DataFrame) =
+  private[graft] def shortlistIndex(spark: SparkSession, dir: String,
+      targetClusterSize: Long): (DataFrame, DataFrame) = {
+    Memos.purgeStopped(shortlistMemo)
     shortlistMemo.computeIfAbsent((spark, dir, targetClusterSize), key => {
       val k = scaledK(emb(spark, dir).count(), targetClusterSize)
       val fine = corpusCentroids(spark, dir, k, Iters)
@@ -364,6 +367,7 @@ object ClusterOps {
         .localCheckpoint() // ≤ C rows
       (fineCell, liveCoarse)
     })
+  }
 
   def semDedupShortlist(spark: SparkSession, dir: String,
       threshold: Double = 0.4,

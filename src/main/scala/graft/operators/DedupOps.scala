@@ -101,17 +101,23 @@ object DedupOps {
     * groupBy reassembles — no joins, no candidate pairs, every stage
     * ∝ corpus tokens. Fixed-W windows equal the paper's semantics
     * exactly at run length W; maximal duplicated runs SHORTER than W
-    * are below the min-match-length by definition. The shuffle key of
-    * pass (2) is the window TEXT — the oracle-exact configuration the
-    * DuckDB replay needs; the production twin keys the same shuffle
-    * on xxhash64(window) (8-byte keys instead of ~W words; identical
-    * plan, proven output-identical by spec on the fixture). Docs with
+    * are below the min-match-length by definition.
+    *
+    * The REGISTERED row keys pass (2)'s shuffle on xxhash64(window) —
+    * 8-byte keys instead of ~W words of text through the exchange,
+    * the production configuration (round-7 verdict #6). The oracle
+    * replays the window-TEXT form in DuckDB; the two are
+    * output-identical unless two DISTINCT windows collide in the full
+    * 64-bit hash space — at N windows the collision expectation is
+    * N²/2⁶⁵ (≈ 10⁻⁸ even at 10⁹ windows), and DedupSimilaritySpec
+    * pins string-keyed ≡ hash-keyed output equality on the fixture
+    * (the dedup_minhash raw-xxhash64-token precedent). Docs with
     * fewer than W tokens have no window and pass through uncut. */
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
     substringCleanOn(
       docs(spark, dir).filter(col("text").isNotNull)
         .select(col("doc_id"), col("text")),
-      hashedKey = false)
+      hashedKey = true)
 
   /** [[dedupSubstring]] core over any (doc_id, text) frame;
     * `hashedKey` switches the occurrence-count shuffle key from the
@@ -344,9 +350,11 @@ object DedupOps {
 
   private[graft] def clearJaccardMemo(): Unit = jaccardMemo.clear()
 
-  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    Memos.purgeStopped(jaccardMemo)
     jaccardMemo.computeIfAbsent((spark, dir),
       k => dedupJaccardCompute(k._1, k._2).localCheckpoint())
+  }
 
   private[graft] def dedupJaccardCompute(spark: SparkSession,
       dir: String): DataFrame = {
@@ -886,11 +894,19 @@ object DedupOps {
     // even when the RDD propagation path was about to be taken, an
     // extra non-recomputable materialization on exactly the
     // huge-graph path that can least afford it).
+    // A limit at or past Int.MaxValue cannot be probed by LIMIT n+1
+    // (the +1 overflows Int), so it routes to the RDD propagation path
+    // like a negative limit — NOT to the driver branch with an empty
+    // probe, which would silently union-find zero edges and return an
+    // empty label set (round-7 advice #1; spec: DedupMemoSpec's
+    // huge-collectLimit case).
+    val probeable =
+      collectLimit >= 0L && collectLimit < Int.MaxValue.toLong
     val probe: Array[(Long, Long)] =
-      if (collectLimit >= 0L && collectLimit < Int.MaxValue.toLong)
+      if (probeable)
         sel.limit(collectLimit.toInt + 1).as[(Long, Long)].collect()
       else Array.empty
-    if (collectLimit >= 0L && probe.length <= collectLimit) {
+    if (probeable && probe.length <= collectLimit) {
       // union-find with path halving; label = component MIN (identical
       // to the converged min-label propagation)
       val es = probe
@@ -1006,10 +1022,32 @@ object DedupOps {
 
   private[graft] def clearClusterLabelMemo(): Unit = labelMemo.clear()
 
-  /** The memoized labels relation; see [[labelMemo]]. */
-  def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    labelMemo.computeIfAbsent((spark, dir),
-      k => resolveDupClusters(dedupJaccard(k._1, k._2)))
+  /** The memoized labels relation; see [[labelMemo]]. Since round 8
+    * the session memo fronts a PERSISTED parquet artifact
+    * ([[graft.sources.ArtifactStore]], keyed by the documents table's
+    * content fingerprint): the first session on a corpus builds the
+    * pair chain + resolution ONCE and writes the labels table; every
+    * later session — a pipeline restart, the next Verify/Bench JVM —
+    * reads it back (near-zero prep on a warm dir, the write-the-table-
+    * once shape the r7 scaladoc promised but only delivered
+    * within-session). The memoized value IS the parquet-backed
+    * relation, so warm and cold consumers run the same scan plan. */
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    Memos.purgeStopped(labelMemo)
+    // the artifact read is localCheckpoint'd so consumers see the
+    // same materialized-relation plan whether the labels were built
+    // this session or loaded (pretrain_pipeline's zero-rescan PlanSpec
+    // pin counts parquet scans in the FINAL plan; the artifact scan
+    // belongs to prep, not to the per-query plan)
+    labelMemo.computeIfAbsent((spark, dir), k =>
+      graft.sources.ArtifactStore.loadOrBuild(k._1, "cluster_labels",
+        Seq(k._2,
+          graft.sources.ArtifactStore.tableFingerprint(k._1, k._2,
+            "documents"),
+          "jaccard=0.8"))(
+        resolveDupClusters(dedupJaccard(k._1, k._2)))
+        .localCheckpoint())
+  }
 
   /** Driver-facing cluster resolution: near-dup pairs from the
     * (oracled) [[dedupJaccard]] contract resolved into per-doc

@@ -214,10 +214,15 @@ object MultimodalOps {
       // signed 16-bit LE samples summed straight off the data chunk —
       // a codegen'd custom Expression over the raw byte[]; the
       // composable aggregate/sequence/conv HOF form ran interpreted
-      // per sample and cost this row 8.9 s at sf0.1 (see PcmS16LeSum)
+      // per sample and cost this row 8.9 s at sf0.1 (see PcmS16LeSum).
+      // data_size is CLAMPED before the ANSI int cast: a garbage
+      // header can declare >= 2^31 bytes and the unclamped cast threw
+      // CAST_OVERFLOW (round-7 advice #2 — the audioFingerprint clamp
+      // applied here; PcmS16LeSum already bounds reads by the actual
+      // payload length, so valid rows are unchanged).
       .withColumn("pcm_sum",
         graft.functions.PcmS16LeSum.sum(col("payload"), lit(44),
-          col("data_size").cast("int")))
+          least(col("data_size"), lit(Int.MaxValue.toLong)).cast("int")))
       .withColumn("chk_ok", col("tags_ok") &&
         col("riff_size") === col("data_size") + 36L &&
         col("bits") === 16L)
@@ -356,14 +361,24 @@ object MultimodalOps {
     // width/height are CLAMPED to [0, 4096] before any position
     // arithmetic: garbage headers declare multi-billion dims, and the
     // unclamped offsets overflowed the ANSI INT cast (garbage-payload
-    // totality spec, r7); valid rows are unchanged and out-of-range
-    // substr positions read "" → null fingerprints that drop out of
-    // the pair join
+    // totality spec, r7); valid rows are unchanged, and the fpok
+    // guard below turns any payload whose sampled grid would read out
+    // of range into a NULL fingerprint (filtered before the pair join)
     val lums = for (gy <- 0 until DHashRows; gx <- 0 until DHashCols)
       yield s"""CAST(conv(substr(hexs, CAST((54 +
         (($gy * height) DIV $DHashRows) * stride +
         3 * (($gx * width) DIV $DHashCols)) * 2 + 1 AS INT), 2), 16, 10)
         AS BIGINT) AS l${gy}_$gx"""
+    // ONE totality guard instead of per-bit null branches (the
+    // two-branch-CASE form doubled the generated code past janino's
+    // method limit and knocked the whole projection out of codegen):
+    // every sampled position is <= the gy=7,gx=8 corner by
+    // monotonicity, so "corner byte inside the payload" <=> all 72
+    // lums are non-null. NULL width/height (truncated header) nulls
+    // the comparison itself — same outcome.
+    val fpok = s"""((54 + ((7 * height) DIV $DHashRows) * stride +
+      3 * ((8 * width) DIV $DHashCols)) * 2 + 2 <= length(hexs))
+      AS fpok"""
     val withLums = bmp
       .withColumn("hexs", hex(col("payload")))
       .withColumn("width", expr(
@@ -377,14 +392,21 @@ object MultimodalOps {
           s" * ${1L << ((o - 23) * 8)}").mkString(" + ") +
         ", 0L), 4096L) AS INT)"))
       .withColumn("stride", expr("((3 * width + 3) DIV 4) * 4"))
-      .selectExpr("id" +: lums: _*)
+      .selectExpr("id" +: fpok +: lums: _*)
+    // Chunks go NULL for corrupt/truncated payloads (fpok false or
+    // NULL): the old `ELSE 0` coercion gave every corrupt payload the
+    // SAME all-zero fingerprint, emitting all corrupt rows as
+    // hamming-0 near-dups of each other (round-7 advice #4). NULL
+    // fingerprints are filtered before the pair join in
+    // [[imageDedupPairs]]. Valid planted BMPs never sample out of
+    // range, so registered output is unchanged.
     val chunks = (0 until 4).map { c =>
       val bits = (0 until 16).map { t =>
         val b = c * 16 + t
         val (gy, gx) = (b / 8, b % 8) // 8 comparison bits per grid row
         s"(CASE WHEN l${gy}_$gx < l${gy}_${gx + 1} THEN ${1L << t} ELSE 0 END)"
       }.mkString(" + ")
-      s"CAST($bits AS BIGINT) AS c$c"
+      s"CASE WHEN fpok THEN CAST($bits AS BIGINT) END AS c$c"
     }
     withLums.selectExpr("id" +: chunks: _*)
   }
@@ -413,14 +435,28 @@ object MultimodalOps {
     * output rows. At 100 TB the 2¹⁶-value chunk space over DISTINCT
     * fingerprints is the knob — band wider as content diversity
     * grows, like simhash's bands. */
-  def imageDedupPairs(bmp: DataFrame): DataFrame = {
+  /** The fingerprint-level near-dup graph shared by the pair and
+    * cluster deliverables: (members, verified) where members =
+    * (id, hid) maps every fingerprintable image to its packed 64-bit
+    * dHash and verified = (ha ≤ hb, hamming) is the
+    * pigeonhole-complete fingerprint pair set (including A=A
+    * self-pairs for identical images). Everything downstream of the
+    * distinct() is bounded by CONTENT DIVERSITY (distinct
+    * fingerprints), never by corpus size. */
+  private def imageFpGraph(bmp: DataFrame): (DataFrame, DataFrame) = {
     val spark = bmp.sparkSession
     val np = spark.sparkContext.defaultParallelism
     // hid packs the 4×16-bit chunks into ONE bijective BIGINT (may go
     // negative via the sign bit — an arbitrary but consistent total
     // order is all the unordered-pair dedup below needs)
     val hid = expr("(c0 << 48) | (c1 << 32) | (c2 << 16) | c3")
-    val h = imageDHash(bmp).withColumn("hid", hid)
+    // NULL fingerprints (corrupt/truncated payloads — see the fpok
+    // guard in [[imageDHash]]) carry no perceptual content and drop
+    // out here rather than clustering together
+    val h = imageDHash(bmp)
+      .filter(col("c0").isNotNull && col("c1").isNotNull &&
+        col("c2").isNotNull && col("c3").isNotNull)
+      .withColumn("hid", hid)
       .localCheckpoint() // member table: feeds expansion twice
     val d = h.select(col("hid"), col("c0"), col("c1"), col("c2"),
         col("c3")).distinct()
@@ -449,6 +485,11 @@ object MultimodalOps {
           |bit_count(x2 ^ y2) + bit_count(x3 ^ y3) AS BIGINT)""".stripMargin))
       .filter(col("hamming") <= DHashMaxHamming)
       .select(col("ha"), col("hb"), col("hamming"))
+    (h.select(col("id"), col("hid")), verified)
+  }
+
+  def imageDedupPairs(bmp: DataFrame): DataFrame = {
+    val (h, verified) = imageFpGraph(bmp)
     // output-bound member expansion; each doc has ONE fingerprint, so
     // a cross-fingerprint doc pair appears exactly once (ordered by
     // least/greatest), and self-pairs dedup on id order
@@ -461,11 +502,56 @@ object MultimodalOps {
       .orderBy(col("i"), col("j"))
   }
 
+  /** CORPUS-LINEAR cluster deliverable over a (members, verified)
+    * fingerprint graph: resolve connected components on the
+    * FINGERPRINT graph (content-diversity-bounded — ~3.9k nodes where
+    * the member level held 560k images in the r7 10× probe), then
+    * label each member by its fingerprint's component and keep the
+    * min member id per component. Output ≤ one row per input image —
+    * where the pair list is output-QUADRATIC by contract on
+    * concentrated corpora (the r7 probe measured 86× pair growth for
+    * 10× data; round-7 verdict #3): at 100 TB the labels/survivors
+    * are the deliverable a pipeline APPLIES, the pair list is
+    * diagnostics. Component resolution runs on fingerprint ids
+    * ([[graft.operators.DedupOps.resolveDupClusters]] — size-adaptive
+    * union-find/RDD propagation), and the member join + size count
+    * are one shuffle each, both corpus-linear. */
+  private def fpClusters(h: DataFrame, verified: DataFrame): DataFrame = {
+    val fpLab = DedupOps.resolveDupClusters(
+        verified.filter(col("ha") =!= col("hb"))
+          .select(col("ha").as("i"), col("hb").as("j")))
+      .select(col("doc_id").as("hid"), col("keep_id").as("fkeep"))
+    // fingerprints with no CROSS-fingerprint edge label themselves —
+    // identical-image groups (one shared fingerprint) still cluster
+    val lab = h.join(fpLab, Seq("hid"), "left")
+      .withColumn("fkeep", coalesce(col("fkeep"), col("hid")))
+    val agg = lab.groupBy(col("fkeep"))
+      .agg(min(col("id")).as("keep_id"),
+        count(lit(1)).as("cluster_size"))
+    lab.join(agg, Seq("fkeep"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("id"), col("keep_id"), col("cluster_size"))
+      .orderBy(col("id"))
+  }
+
   /** Registered query: perceptual near-dup pairs over the planted
     * corpus BMPs — multimodal columns DEDUPED, not just parsed (the
     * round-6 growth edge). */
   def dedupImage(spark: SparkSession, dir: String): DataFrame =
     imageDedupPairs(asBmpTable(spark, dir).toDF("id", "payload"))
+
+  /** Registered query: per-image near-dup CLUSTER LABELS
+    * (id, keep_id, cluster_size) — one row per image with ≥1
+    * near-duplicate, keep_id = the component-min survivor. The
+    * corpus-linear deliverable (see [[fpClusters]]); oracled via the
+    * recursive-CTE reachability closure over the all-pairs dHash
+    * graph (the dedup_clusters precedent) — image-level closure over
+    * expanded pairs and fingerprint-level closure expanded to members
+    * are the same partition, since ham(i,j) is a function of the two
+    * fingerprints alone. */
+  def dedupImageClusters(spark: SparkSession, dir: String): DataFrame =
+    (fpClusters _).tupled(
+      imageFpGraph(asBmpTable(spark, dir).toDF("id", "payload")))
 
   // ------------- audio fingerprint near-dup (window-sum hash) ------
 
@@ -499,8 +585,12 @@ object MultimodalOps {
     val withN = wav
       .withColumn("hexs", hex(col("payload")))
       .withColumn("data_size", u32le(col("hexs"), 41))
-      .withColumn("n", least((col("data_size") / 2).cast("long"),
-        lit(1L << 26)))
+      // least() IGNORES nulls, so the clamp alone would coerce a
+      // truncated payload (null data_size — no size field to read) to
+      // n = 2^26 and an all-zero "fingerprint"; the null must dominate
+      // so corrupt payloads stay NULL and drop out of the pair join
+      .withColumn("n", when(col("data_size").isNotNull,
+        least((col("data_size") / 2).cast("long"), lit(1L << 26))))
     val wsums = (0 until AudioWindows).map { w =>
       val lo = expr(s"($w * n) DIV $AudioWindows")
       val hi = expr(s"(${w + 1} * n) DIV $AudioWindows")
@@ -508,44 +598,79 @@ object MultimodalOps {
         (lit(44L) + lo * 2L).cast("int"),
         ((hi - lo) * 2L).cast("int")).as(s"w$w")
     }
-    val withSums = withN.select(col("id") +: wsums: _*)
+    // fpok (the imageDHash single-guard idiom): all 33 window sums are
+    // non-null iff n is — PcmS16LeSum is total (0 past the payload)
+    // once its offset/limit arguments are real. A payload too short to
+    // carry a RIFF size field at all gets a NULL fingerprint and is
+    // filtered before the pair join, instead of the old ELSE-0
+    // coercion that clustered every corrupt payload at the all-zero
+    // fingerprint (round-7 advice #4).
+    val withSums = withN.select(
+      col("id") +: col("n").isNotNull.as("fpok") +: wsums: _*)
     val chunks = (0 until 2).map { c =>
       val bits = (0 until 16).map { t =>
         val b = c * 16 + t
         s"(CASE WHEN w$b < w${b + 1} THEN ${1L << t} ELSE 0 END)"
       }.mkString(" + ")
-      s"CAST($bits AS BIGINT) AS c$c"
+      s"CASE WHEN fpok THEN CAST($bits AS BIGINT) END AS c$c"
     }
     withSums.selectExpr("id" +: chunks: _*)
   }
 
-  /** Near-duplicate AUDIO pairs: fingerprint once (localCheckpoint),
-    * chunk-collision candidates co-partitioned on the chunk key,
-    * xor/bit_count verify — the [[imageDedupPairs]] shape over the
-    * WAV payloads. */
-  def audioDedupPairs(wav: DataFrame): DataFrame = {
+  /** The audio fingerprint graph — [[imageFpGraph]] over the 2×16-bit
+    * window-sum fingerprints: members (id, hid) + verified fingerprint
+    * pairs (ha ≤ hb, hamming ≤ [[AudioMaxHamming]]), candidates from
+    * the chunk-collision join over DISTINCT fingerprints (the r7 form
+    * joined at MEMBER level — correct, but Σ bucket² over members is
+    * exactly the concentration blow-up the image path compacted away;
+    * identical recordings are common in a crawl, so the audio leg gets
+    * the same compaction). */
+  private def audioFpGraph(wav: DataFrame): (DataFrame, DataFrame) = {
     val spark = wav.sparkSession
     val np = spark.sparkContext.defaultParallelism
-    val h = audioFingerprint(wav).localCheckpoint()
-    val chunks = h.select(col("id"),
+    val hid = expr("(c0 << 16) | c1") // bijective 32-bit pack
+    val h = audioFingerprint(wav)
+      .filter(col("c0").isNotNull && col("c1").isNotNull)
+      .withColumn("hid", hid)
+      .localCheckpoint()
+    val d = h.select(col("hid"), col("c0"), col("c1")).distinct()
+      .localCheckpoint()
+    val chunks = d.select(col("hid"),
         posexplode(array(col("c0"), col("c1"))))
-      .toDF("id", "ci", "cv")
+      .toDF("hid", "ci", "cv")
       .repartition(np, col("ci"), col("cv"))
       .localCheckpoint()
     val cands = chunks.as("x").join(chunks.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("i"), col("y.id").as("j"))
+          col("x.hid") <= col("y.hid"))
+      .select(col("x.hid").as("ha"), col("y.hid").as("hb"))
       .distinct()
-    cands
-      .join(h.select(col("id").as("i"), col("c0").as("x0"),
-        col("c1").as("x1")), Seq("i"))
-      .join(h.select(col("id").as("j"), col("c0").as("y0"),
-        col("c1").as("y1")), Seq("j"))
+    val verified = cands
+      .join(d.select(col("hid").as("ha"), col("c0").as("x0"),
+        col("c1").as("x1")), Seq("ha"))
+      .join(d.select(col("hid").as("hb"), col("c0").as("y0"),
+        col("c1").as("y1")), Seq("hb"))
       .withColumn("hamming",
         expr("CAST(bit_count(x0 ^ y0) + bit_count(x1 ^ y1) AS BIGINT)"))
       .filter(col("hamming") <= AudioMaxHamming)
-      .select(col("i"), col("j"), col("hamming"))
+      .select(col("ha"), col("hb"), col("hamming"))
+    (h.select(col("id"), col("hid")), verified)
+  }
+
+  /** Near-duplicate AUDIO pairs via the compacted fingerprint graph —
+    * the [[imageDedupPairs]] expansion over the WAV payloads (output
+    * identical to the r7 member-level join: ham is a function of the
+    * two fingerprints, pigeonhole completeness unchanged at the
+    * distinct level, StreamingMultimodalSpec pins the all-pairs
+    * reference equality). */
+  def audioDedupPairs(wav: DataFrame): DataFrame = {
+    val (h, verified) = audioFpGraph(wav)
+    verified
+      .join(h.select(col("hid").as("ha"), col("id").as("ia")), Seq("ha"))
+      .join(h.select(col("hid").as("hb"), col("id").as("ib")), Seq("hb"))
+      .filter(col("ha") =!= col("hb") || col("ia") < col("ib"))
+      .select(least(col("ia"), col("ib")).as("i"),
+        greatest(col("ia"), col("ib")).as("j"), col("hamming"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -555,15 +680,25 @@ object MultimodalOps {
   def dedupAudio(spark: SparkSession, dir: String): DataFrame =
     audioDedupPairs(asWavTable(spark, dir).toDF("id", "payload"))
 
+  /** Registered query: per-recording near-dup CLUSTER LABELS — the
+    * corpus-linear audio deliverable ([[fpClusters]] over the audio
+    * fingerprint graph; see [[dedupImageClusters]]). */
+  def dedupAudioClusters(spark: SparkSession, dir: String): DataFrame =
+    (fpClusters _).tupled(
+      audioFpGraph(asWavTable(spark, dir).toDF("id", "payload")))
+
   /** Oracle: replay the window sums from (doc_id, text) synthesis
     * (sample k = ((unicode(char k mod len)·523+7) mod 2¹⁶) − 2¹⁵),
     * then the all-pairs hamming filter — pigeonhole-equal to the
     * chunk-collision join. COALESCE pins empty windows to 0 (DuckDB
     * list_sum([]) is NULL; the engine's bounded PcmS16LeSum returns
     * 0). */
-  val dedupAudioSql: String = {
+  /** Shared replay prefix for the audio rows: window sums from
+    * (doc_id, text) synthesis → 32 adjacent-comparison bits per doc
+    * (`ph`). */
+  private lazy val audioPhCtes: String = {
     val n = s"(least(length(text), $WavMaxFrames) * (1 + doc_id % 2))"
-    s"""WITH d AS MATERIALIZED (
+    s"""d AS MATERIALIZED (
        |  SELECT doc_id, text, $n AS n FROM documents
        |  WHERE length(text) >= 1),
        |ws AS MATERIALIZED (
@@ -577,7 +712,11 @@ object MultimodalOps {
        |  SELECT doc_id, list_transform(range(32), b ->
        |    CASE WHEN s[CAST(b AS INT) + 1] < s[CAST(b AS INT) + 2]
        |    THEN 1 ELSE 0 END) AS bits
-       |  FROM ws)
+       |  FROM ws)""".stripMargin
+  }
+
+  lazy val dedupAudioSql: String =
+    s"""WITH $audioPhCtes
        |SELECT x.doc_id AS i, y.doc_id AS j,
        |  CAST(len(list_filter(range(32), k ->
        |    x.bits[CAST(k AS INT) + 1] != y.bits[CAST(k AS INT) + 1]))
@@ -587,7 +726,32 @@ object MultimodalOps {
        |  x.bits[CAST(k AS INT) + 1] != y.bits[CAST(k AS INT) + 1]))
        |  <= $AudioMaxHamming
        |ORDER BY i, j""".stripMargin
-  }
+
+  /** Recursive reachability closure over the same all-pairs audio
+    * graph → (id, keep_id, cluster_size) per member of a ≥2 cluster —
+    * the dedup_clusters oracle idiom applied to the audio fingerprint
+    * components (every member of a ≥2 cluster appears in ≥1 pair, so
+    * `reach`'s node set IS the ≥2-cluster membership). */
+  lazy val dedupAudioClustersSql: String =
+    s"""WITH RECURSIVE $audioPhCtes,
+       |p AS MATERIALIZED (
+       |  SELECT x.doc_id AS i, y.doc_id AS j
+       |  FROM ph x JOIN ph y ON x.doc_id < y.doc_id
+       |  WHERE len(list_filter(range(32), k ->
+       |    x.bits[CAST(k AS INT) + 1] != y.bits[CAST(k AS INT) + 1]))
+       |    <= $AudioMaxHamming),
+       |edges AS (
+       |  SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lab AS (SELECT a AS id, MIN(b) AS keep_id FROM reach GROUP BY a),
+       |sz AS (SELECT keep_id AS k, COUNT(*) AS cluster_size
+       |       FROM lab GROUP BY 1)
+       |SELECT lab.id, lab.keep_id, sz.cluster_size
+       |FROM lab JOIN sz ON sz.k = lab.keep_id
+       |ORDER BY id""".stripMargin
 
   /** Oracle: replay the dHash from (doc_id, text) synthesis directly
     * (sampled pixels never land on padding — 3·col ≤ 3·width−3 — so
@@ -595,11 +759,13 @@ object MultimodalOps {
     * 3·col) mod len) mod 256), then the ALL-PAIRS hamming filter,
     * which the pigeonhole argument on [[DHashMaxHamming]] makes
     * exactly equal to the engine's chunk-collision join. */
-  val dedupImageSql: String = {
+  /** Shared replay prefix for the image rows: dHash bits per doc from
+    * (doc_id, text) synthesis (`ph`). */
+  private lazy val dHashPhCtes: String = {
     val w = s"(1 + doc_id % $BmpMaxW)"
     val h = "(1 + length(text) % 8)"
     val stride = s"(((3 * $w + 3) // 4) * 4)"
-    s"""WITH g AS MATERIALIZED (
+    s"""g AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_transform(range(${DHashRows * DHashCols}), k ->
        |      unicode(text[CAST((((((k // $DHashCols) * $h) // $DHashRows)
@@ -611,7 +777,11 @@ object MultimodalOps {
        |    CASE WHEN lums[CAST((b // 8) * $DHashCols + (b % 8) AS INT) + 1]
        |       < lums[CAST((b // 8) * $DHashCols + (b % 8) AS INT) + 2]
        |    THEN 1 ELSE 0 END) AS bits
-       |  FROM g)
+       |  FROM g)""".stripMargin
+  }
+
+  lazy val dedupImageSql: String =
+    s"""WITH $dHashPhCtes
        |SELECT x.doc_id AS i, y.doc_id AS j,
        |  CAST(len(list_filter(range(64), k ->
        |    x.bits[CAST(k AS INT) + 1] != y.bits[CAST(k AS INT) + 1]))
@@ -621,7 +791,30 @@ object MultimodalOps {
        |  x.bits[CAST(k AS INT) + 1] != y.bits[CAST(k AS INT) + 1]))
        |  <= $DHashMaxHamming
        |ORDER BY i, j""".stripMargin
-  }
+
+  /** Recursive reachability closure over the same all-pairs dHash
+    * graph → (id, keep_id, cluster_size); see
+    * [[dedupAudioClustersSql]]. */
+  lazy val dedupImageClustersSql: String =
+    s"""WITH RECURSIVE $dHashPhCtes,
+       |p AS MATERIALIZED (
+       |  SELECT x.doc_id AS i, y.doc_id AS j
+       |  FROM ph x JOIN ph y ON x.doc_id < y.doc_id
+       |  WHERE len(list_filter(range(64), k ->
+       |    x.bits[CAST(k AS INT) + 1] != y.bits[CAST(k AS INT) + 1]))
+       |    <= $DHashMaxHamming),
+       |edges AS (
+       |  SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lab AS (SELECT a AS id, MIN(b) AS keep_id FROM reach GROUP BY a),
+       |sz AS (SELECT keep_id AS k, COUNT(*) AS cluster_size
+       |       FROM lab GROUP BY 1)
+       |SELECT lab.id, lab.keep_id, sz.cluster_size
+       |FROM lab JOIN sz ON sz.k = lab.keep_id
+       |ORDER BY id""".stripMargin
 
   /** Direct field derivation from (doc_id, text); row0_sum replays the
     * pixel generator for row 0 (char k mod len, mod 256 — padding

@@ -1,0 +1,96 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** On-disk store for the engine's prep products (near-dup cluster
+  * labels, the IVF index) — the cross-SESSION leg of the memoization
+  * story (round-7 verdict #4): the per-(SparkSession, dir) memos
+  * amortize prep WITHIN a session, but a real pipeline writes the
+  * labels table / index once and every later RUN reads it. Here a
+  * prep product is written as parquet under [[root]], keyed by a hash
+  * of (input dir, input-table fingerprint, parameters, producer
+  * version), and `loadOrBuild` returns the parquet-backed relation —
+  * so a FRESH SparkSession (or a fresh JVM) probing the same corpus
+  * pays a metadata stat + scan instead of the whole build
+  * (ArtifactStoreSpec pins reuse, and the Bench `prep` block shows
+  * near-zero prep on a warm dir).
+  *
+  * Staleness: the key includes the source table's (length, mtime)
+  * fingerprint, so a regenerated corpus under the same path gets a
+  * NEW artifact rather than stale labels, and [[Version]] is bumped
+  * whenever a producer's semantics change so old artifacts are never
+  * read by new code. Writes go to a temp dir then rename-if-absent,
+  * so a concurrent builder race resolves to one winner and the loser
+  * reads the winner's artifact.
+  *
+  * At 100 TB the root is a durable shared filesystem path and this is
+  * exactly the "train once, store, probe forever" index/table layout
+  * the scaladocs of the memo sites describe; locally it defaults to
+  * the JVM tmpdir (overridable via SPARK_GRAFT_ARTIFACTS).
+  */
+object ArtifactStore {
+
+  /** Bump when any producer's output semantics change — old artifacts
+    * must not satisfy new code. */
+  val Version = "v1"
+
+  def root: String = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
+    s"${sys.props("java.io.tmpdir")}/graft-artifacts")
+
+  /** Build-count observability for specs (how many times loadOrBuild
+    * actually ran its builder in this JVM). */
+  @volatile private[graft] var builds: Long = 0L
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** (length, mtime) fingerprint of `<dir>/<table>.parquet` — a file
+    * or a directory of part files (sum of lengths, max mtime). Cheap:
+    * one metadata round trip, no data read. */
+  def tableFingerprint(spark: SparkSession, dir: String,
+      table: String): String = {
+    val p = new Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory) {
+      val parts = fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+      s"${parts.map(_.getLen).sum}:${parts.map(_.getModificationTime).maxOption.getOrElse(0L)}"
+    } else s"${st.getLen}:${st.getModificationTime}"
+  }
+
+  /** The artifact directory for (kind, key parts). */
+  def pathFor(kind: String, keyParts: Seq[String]): String =
+    s"$root/$kind/${md5hex((Version +: keyParts).mkString("|"))}"
+
+  private def done(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Read the artifact if it exists, else build → write → read back.
+    * The returned relation is ALWAYS the parquet-backed one, so every
+    * consumer scans the stored table (one plan shape whether warm or
+    * cold) and no lineage to the build survives. */
+  def loadOrBuild(spark: SparkSession, kind: String,
+      keyParts: Seq[String])(build: => DataFrame): DataFrame = {
+    val path = pathFor(kind, keyParts)
+    if (!done(spark, path)) {
+      builds += 1
+      val tmp = s"$path.tmp-${java.util.UUID.randomUUID()}"
+      build.write.mode("overwrite").parquet(tmp)
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new Path(path).getParent)
+      // rename-if-absent: a concurrent builder that got there first
+      // wins; our tmp copy is discarded and we read the winner's
+      if (done(spark, path) || !fs.rename(new Path(tmp), new Path(path)))
+        fs.delete(new Path(tmp), true)
+    }
+    spark.read.parquet(path)
+  }
+}

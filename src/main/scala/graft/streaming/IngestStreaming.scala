@@ -130,9 +130,22 @@ object IngestStreaming {
       .select(col("canon_url")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     liveCanon.count() // materialize the static side once
-    // seed the admitted table so batch 1 reads a well-formed relation
-    DedupOps.mintedCanonUrls(liveDocs.limit(0))
-      .write.mode("overwrite").parquet(outDir)
+    // seed the admitted table so batch 1 reads a well-formed relation —
+    // ONLY when none exists yet: on a checkpoint RESTART the source
+    // skips already-processed files, so overwriting here would wipe
+    // previously admitted rows (and their canon-URL dedup state) that
+    // can never be re-derived — permanent loss plus re-admission of
+    // duplicates (round-7 advice #3; IngestStreamingSpec pins the
+    // restart case).
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seeded = fs.exists(outPath) &&
+      fs.listStatus(outPath).exists(st =>
+        !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+    if (!seeded)
+      DedupOps.mintedCanonUrls(liveDocs.limit(0))
+        .write.mode("overwrite").parquet(outDir)
     val reader = spark.readStream.schema(DocSchema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))

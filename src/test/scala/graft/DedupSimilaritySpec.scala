@@ -373,6 +373,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fast(2001L) == 2000L)
   }
 
+  test("a collectLimit at or past Int.MaxValue routes to the RDD path " +
+    "with the full label set — not the driver branch with an empty " +
+    "probe (round-7 advice #1)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    Seq(Int.MaxValue.toLong, Int.MaxValue.toLong + 1, Long.MaxValue)
+      .foreach { limit =>
+        val labels =
+          DedupOps.resolveDupClusters(pairs, collectLimit = limit)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(labels == want, s"collectLimit=$limit lost labels")
+      }
+  }
+
   test("cluster resolution 3-way equality on a seeded random graph: " +
     "union-find == RDD propagation == independent BFS reference") {
     import spark.implicits._
@@ -543,5 +558,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(viaQuery == direct)
     DedupOps.clearClusterLabelMemo()
+  }
+
+  test("Memos.purgeStopped keeps live-session entries (eviction only " +
+    "fires for stopped sessions — round-7 advice #5)") {
+    val m = new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+    m.put((spark, "a"), "x")
+    m.put((spark, "b"), "y")
+    graft.operators.Memos.purgeStopped(m)
+    assert(m.size() == 2,
+      "purge must never evict entries of a live session")
+    // (the stopped-session leg can't run in-process — one SparkContext
+    // per JVM and the fixture owns it — but the predicate is exactly
+    // sparkContext.isStopped, exercised here on the live side)
   }
 }

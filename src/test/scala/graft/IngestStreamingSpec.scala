@@ -300,6 +300,47 @@ class IngestStreamingSpec extends AnyFunSuite {
       s"got $admitted")
   }
 
+  test("url-dedup stream RESTART from a checkpoint keeps previously " +
+    "admitted rows and their dedup state — the seed must not wipe the " +
+    "admitted table (round-7 advice #3)") {
+    import spark.implicits._
+    def docsOf(rows: Seq[(Long, String)]) =
+      rows.map { case (id, src) =>
+        (id, s"text $id", "en", src, 7L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val live = docsOf(Seq((1000L, "s")))
+    val tmp = Files.createTempDirectory("graft_url_restart")
+    val landing = tmp.resolve("landing").toString
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    Files.createDirectory(java.nio.file.Paths.get(landing))
+    def land(df: org.apache.spark.sql.DataFrame, chunk: Int): Unit = {
+      val stage = tmp.resolve(s"stage$chunk").toString
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, s"part-$chunk.parquet"))
+    }
+    // run 1: id 2 claims canon s/p/0, id 1400 claims s/p/10
+    land(docsOf(Seq((2L, "s"), (1400L, "s"))), 0)
+    val q1 = IngestStreaming.urlDedupStream(spark, landing, live, out, ckpt)
+    try q1.awaitTermination() finally q1.stop()
+    // run 2 (same checkpoint — the source skips part-0): id 0 is a
+    // DUPLICATE of run-1's s/p/0 canon and must be rejected against
+    // the SURVIVING admitted state; id 2000 is fresh
+    land(docsOf(Seq((0L, "s"), (2000L, "t"))), 1)
+    val q2 = IngestStreaming.urlDedupStream(spark, landing, live, out, ckpt)
+    try q2.awaitTermination() finally q2.stop()
+    val admitted = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(admitted == Set(
+      (2L, "s.example/p/0"),     // run-1 admit must SURVIVE the restart
+      (1400L, "s.example/p/10"), // run-1 admit must survive
+      (2000L, "t.example/p/14")),// run-2 fresh admit
+      s"restart lost or re-admitted rows: $admitted")
+  }
+
   test("two-landing probe-scoring stream equals the batch embed_probe " +
     "row (the trained probe is static; scoring is batch-split " +
     "invariant)") {

@@ -629,13 +629,18 @@ class StreamingMultimodalSpec extends AnyFunSuite {
   }
 
   test("binary parsers and fingerprint pipelines are total on garbage " +
-    "payloads (truncated, wrong-magic, empty)") {
+    "payloads (truncated, wrong-magic, empty, saturated headers)") {
     import spark.implicits._
     val junk = Seq(
       1L -> Array[Byte](1, 2, 3),                  // truncated
       2L -> "BM".getBytes("US-ASCII"),             // magic only
       3L -> Array.empty[Byte],                     // empty
-      4L -> Array.fill(200)(0x55.toByte))          // wrong everything
+      4L -> Array.fill(200)(0x55.toByte),          // wrong everything
+      // 0xFF fill: declares data_size = 0xFFFFFFFF >= 2^31 — the
+      // saturated-header class the 0x55 fill (just UNDER 2^31) missed;
+      // the unclamped parseWav cast threw CAST_OVERFLOW on it
+      // (round-7 advice #2)
+      5L -> Array.fill(200)(0xFF.toByte))
       .toDF("id", "payload")
     // none of these may crash; garbage rows either fail chk_ok or
     // drop out of the pair joins on null fingerprints
@@ -647,6 +652,106 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "no garbage payload may verify as a valid BMP")
     MultimodalOps.imageDedupPairs(junk).collect()
     MultimodalOps.audioDedupPairs(junk).collect()
+  }
+
+  test("corrupt payloads get NULL fingerprints and drop out of the " +
+    "pair joins instead of clustering at the all-zero fingerprint " +
+    "(round-7 advice #4)") {
+    import spark.implicits._
+    // three DISTINCT truncated payloads: under the old ELSE-0 chunk
+    // coercion all three landed on the identical all-zero fingerprint
+    // and were emitted as hamming-0 pairs of each other
+    val corrupt = Seq(
+      1L -> Array[Byte](1, 2, 3),
+      2L -> "BM".getBytes("US-ASCII"),
+      3L -> Array[Byte](9, 9, 9, 9, 9, 9, 9, 9))
+    // plus one VALID near-dup pair the join must still find
+    val a = MultimodalOps.synthBmp(7L, "the quick brown fox jumps")
+    val b = a.clone(); b(b.length - 1) = (b(b.length - 1) ^ 0x01).toByte
+    val bmp = (corrupt ++ Seq(7L -> a, 8L -> b)).toDF("id", "payload")
+    val img = MultimodalOps.imageDHash(bmp).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.isNullAt)).toMap
+    assert(Seq(1L, 2L, 3L).forall(id => img(id).forall(identity)),
+      "corrupt payloads must fingerprint as NULL chunks")
+    assert(img(7L).forall(!_), "valid payloads keep real fingerprints")
+    val pairs = MultimodalOps.imageDedupPairs(bmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => Set(1L, 2L, 3L).contains(p._1) ||
+      Set(1L, 2L, 3L).contains(p._2)),
+      s"corrupt ids must not pair: ${pairs.mkString(",")}")
+    assert(pairs.contains((7L, 8L)),
+      "the planted near-identical pair must survive the null filter")
+    // audio leg: truncated payloads null out, the valid self-pair of
+    // two identical WAVs survives
+    val w = MultimodalOps.synthWav(7L, "hello hello hello")
+    val wav = (corrupt ++ Seq(7L -> w, 8L -> w.clone()))
+      .toDF("id", "payload")
+    val aud = MultimodalOps.audioFingerprint(wav).collect()
+      .map(r => r.getLong(0) -> (1 to 2).map(r.isNullAt)).toMap
+    assert(Seq(1L, 2L, 3L).forall(id => aud(id).forall(identity)),
+      "corrupt payloads must audio-fingerprint as NULL chunks")
+    val apairs = MultimodalOps.audioDedupPairs(wav).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(apairs.toSeq == Seq((7L, 8L)),
+      s"audio pairs must be exactly the planted twin: ${apairs.toSeq}")
+  }
+
+  test("dedup_image_clusters / dedup_audio_clusters: corpus-linear " +
+    "labels equal a BFS closure over the pair list, output <= one row " +
+    "per input, keep_id = component min (round-7 verdict #3)") {
+    import spark.implicits._
+    // reference closure: BFS over the PAIR deliverable
+    def bfsLabels(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      pairs.foreach { case (i, j) =>
+        adj(i) = j :: adj.getOrElse(i, Nil)
+        adj(j) = i :: adj.getOrElse(j, Nil)
+      }
+      val lab = scala.collection.mutable.Map.empty[Long, Long]
+      adj.keys.toSeq.sorted.foreach { n =>
+        if (!lab.contains(n)) {
+          var comp = Set(n); var frontier = List(n)
+          while (frontier.nonEmpty) {
+            val nxt = frontier.flatMap(adj(_)).filterNot(comp)
+            comp ++= nxt; frontier = nxt
+          }
+          val m = comp.min
+          comp.foreach(c => lab(c) = m)
+        }
+      }
+      lab.toMap
+    }
+    def checkAgainstPairs(clusters: Array[org.apache.spark.sql.Row],
+        pairs: Seq[(Long, Long)], n: Long): Unit = {
+      val want = bfsLabels(pairs)
+      val sizes = want.groupBy(_._2).map { case (k, m) => k -> m.size }
+      val got = clusters.map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(clusters.length == got.size, "one row per member, no dups")
+      assert(clusters.length <= n, "output must be corpus-bounded")
+      assert(got.keySet == want.keySet,
+        "cluster membership == nodes of the pair graph")
+      want.foreach { case (id, keep) =>
+        assert(got(id) == ((keep, sizes(keep).toLong)),
+          s"id $id: got ${got(id)}, want ($keep, ${sizes(keep)})")
+      }
+    }
+    // image leg on the corpus fixture
+    val bmp = MultimodalOps.asBmpTable(spark, dir).toDF("id", "payload")
+      .localCheckpoint()
+    val ipairs = MultimodalOps.imageDedupPairs(bmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ipairs.nonEmpty, "fixture must carry image near-dups")
+    checkAgainstPairs(MultimodalOps.dedupImageClusters(spark, dir)
+      .collect(), ipairs, bmp.count())
+    // audio leg
+    val wav = MultimodalOps.asWavTable(spark, dir).toDF("id", "payload")
+      .localCheckpoint()
+    val apairs = MultimodalOps.audioDedupPairs(wav).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(apairs.nonEmpty, "fixture must carry audio near-dups")
+    checkAgainstPairs(MultimodalOps.dedupAudioClusters(spark, dir)
+      .collect(), apairs, wav.count())
   }
 
   test("PcmS16LeSum limit bounds the window: trailing junk past the " +
