@@ -83,6 +83,51 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.foreach(run(_, warmDir)) // warmup: JIT, codegen, catalog
+    // UNTIMED PREP (round-7 verdict #2): materialize every memoized /
+    // artifact-backed prep product — near-dup pair list, cluster
+    // labels, Lloyd centroids + shortlist index, IVF index, BPE
+    // learner — BEFORE any timed rep, so per-row medians measure pure
+    // consumption in EVERY harness ordering (the driver's r7 run
+    // charged memo training into whichever row its ordering hit
+    // first: embed_probe read a base leg 3× its x10 leg). Each item
+    // is timed and reported as its own named line; cluster_labels and
+    // the IVF index go through the on-disk ArtifactStore, so a warm
+    // artifact dir shows near-zero here (verdict #4's restart story).
+    def prepOf(dir: String): Seq[(String, Double)] = {
+      def timed(name: String)(f: => Unit): (String, Double) = {
+        val t0 = System.nanoTime()
+        try f catch { case e: Throwable =>
+          System.err.println(s"[bench] prep $name failed: $e")
+        }
+        name -> math.round((System.nanoTime() - t0) / 1e7) / 100.0
+      }
+      import graft.operators._
+      Seq(
+        // labels FIRST: on a warm artifact dir this line is a pure
+        // parquet read (the jaccard chain never runs — the verdict-#4
+        // restart story, measurable right here); cold, it pays the
+        // whole chain and the jaccard line below then reads its memo
+        timed("cluster_labels") {
+          DedupOps.clusterLabels(spark, dir).count(); ()
+        },
+        timed("dedup_jaccard_pairs") {
+          DedupOps.dedupJaccard(spark, dir).count(); ()
+        },
+        timed("lloyd_and_shortlist") { ClusterOps.prewarm(spark, dir) },
+        timed("ivf_index") { SimilarityOps.prewarm(spark, dir) },
+        timed("bpe_learner") {
+          BpeOps.learnedForDir(spark, dir, BpeOps.Merges); ()
+        })
+    }
+    def prepJson(items: Seq[(String, Double)]): String =
+      items.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    // Subset runs skip prep by default (a solo fresh-JVM probe of a
+    // non-memo row must not pay a minute of unrelated training);
+    // SPARK_GRAFT_PREP=1 forces it there.
+    val doPrep =
+      only.isEmpty || sys.env.get("SPARK_GRAFT_PREP").contains("1")
+    val prep = if (doPrep) prepOf(sfDir) else Nil
     // Interleave reps (rep-major, not query-major) so a transient system
     // hiccup hits one rep of many queries, not all reps of one query.
     val reruns = (1 to reps).map(_ => names.map(n => run(n, sfDir)))
@@ -144,6 +189,11 @@ object Bench {
       // exact-substring removal (every stage ∝ corpus tokens)
       "dedup_image", "dedup_audio", "pretrain_pipeline",
       "dedup_substring",
+      // round-8: the corpus-linear cluster deliverables — unlike the
+      // pair lists above, their OUTPUT is ≤ one row per input, so the
+      // probe ratio should stay near-linear on the concentrated
+      // blow-up corpus where dedup_image's pairs grow 86×
+      "dedup_image_clusters", "dedup_audio_clusters",
       // the two-scan centroid probe (partial-agg train + literal-dot
       // score — should anchor the sublinear end like embed_pca)
       "embed_probe")
@@ -155,6 +205,11 @@ object Bench {
       .filter(_ => !sys.env.get("SPARK_GRAFT_PROBE").contains("0"))
     val blowDir = if (probeNames.nonEmpty)
       graft.sources.Blowup.ensure(spark, sfDir, factor = 10) else sfDir
+    // prep the blow-up dir too: both probe legs then measure
+    // consumption, not (x10 leg) training + consumption
+    val prepX10 =
+      if (doPrep && probeNames.nonEmpty && blowDir != sfDir)
+        prepOf(blowDir) else Nil
     // Probe hygiene: by this point the JVM has run names.size×(reps+1)
     // queries — drop cached relations and hint a full GC so the probe
     // measures the query, not accumulated old-gen pressure (a one-off
@@ -181,7 +236,7 @@ object Bench {
     val load =
       s"""{"start":$loadStart,"after_catalog":$loadAfterCatalog,"end":${loadAvg()}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","blowup10x":$probe,"load":$load}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","blowup10x":$probe,"prep":${prepJson(prep)},"prep_x10":${prepJson(prepX10)},"load":$load}"""
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) are dev probes — they must
     // NOT clobber the committed full-catalog artifact that BASELINE.md
     // §C cites (the r3→r4 drift was exactly that: three single-query

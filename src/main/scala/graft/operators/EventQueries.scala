@@ -261,6 +261,60 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Registered audit row for the GK sketch (round-7 verdict #5): the
+    * sketch's output cannot be SQL-replayed (merge-order-dependent
+    * internal state), but its ACCURACY CONTRACT can be hash-checked —
+    * percentile_approx guarantees the returned value's true rank is
+    * within n/accuracy of the target rank (the GK ε·n bound,
+    * Greenwald & Khanna 2001). The engine measures that for real:
+    * each approximate quantile's true rank interval (lo, hi] — values
+    * strictly below / at-or-below it — must intersect
+    * [(q − ε)·n, (q + ε)·n]. `within_gate` is the measured verdict;
+    * the oracle emits the guarantee (TRUE) plus the exactly-replayable
+    * n_events, so a sketch violating its ε breaks the driver's hash
+    * compare. One corpus scan for the sketch (the registered row's
+    * plan) + one for the rank counts (a 3-row broadcast join, partial
+    * agg on the bounded (type, pct) key space). */
+  def eventsQuantilesAudit(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val e = events(spark, dir).select(col("event_type"), col("value"))
+    val melted = eventsQuantiles(spark, dir, accuracy)
+      .select(col("event_type"), col("n_events"),
+        expr("stack(3, CAST(50 AS BIGINT), p50, CAST(95 AS BIGINT), " +
+          "p95, CAST(99 AS BIGINT), p99) AS (pct, av)"))
+    e.join(broadcast(melted), Seq("event_type"))
+      .groupBy(col("event_type"), col("pct"), col("n_events"))
+      .agg(
+        sum(when(col("value") < col("av"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("value") <= col("av"), 1L).otherwise(0L)).as("hi"))
+      // target rank r* = ⌈q·n⌉ — Spark's QuantileSummaries.query
+      // convention — with a 2·ε·n band: the sketch guarantees its
+      // INTERNAL (minRank, maxRank) straddle r* within ε·n, and the
+      // merged summary's rank spread is itself ≤ ε·n, so the TRUE
+      // dataset rank can sit up to 2·ε·n from r* (measured: −2 at
+      // n≈19.9k where ε·n≈1.99 — exactly the merge term; a 1·ε·n gate
+      // mis-flags correct sketches). Gate:
+      // (lo, hi] ∩ [r* − 2ε·n, r* + 2ε·n] ≠ ∅, all-integer after
+      // scaling by accuracy.
+      .withColumn("rstar",
+        expr("(pct * n_events + 99) DIV 100")) // ceil, positive args
+      .select(col("event_type"), col("pct"), col("n_events"),
+        (col("hi") * accuracy >=
+          col("rstar") * accuracy - col("n_events") * 2L &&
+         (col("lo") + 1L) * accuracy <=
+          col("rstar") * accuracy + col("n_events") * 2L)
+          .as("within_gate"))
+      .orderBy(col("event_type"), col("pct"))
+  }
+
+  val eventsQuantilesAuditSql: String =
+    """SELECT event_type, pct, COUNT(*) AS n_events, TRUE AS within_gate
+      |FROM events
+      |CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (CAST(95 AS BIGINT)),
+      |  (CAST(99 AS BIGINT))) p(pct)
+      |GROUP BY event_type, pct
+      |ORDER BY event_type, pct""".stripMargin
+
   /** EXACT per-group quantiles — the oracled complement to the GK
     * sketch ([[eventsQuantiles]], rows-only by nature): p50/p95/p99
     * of value cents per event type via the VALUE-HISTOGRAM running

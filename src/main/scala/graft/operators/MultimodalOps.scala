@@ -687,6 +687,194 @@ object MultimodalOps {
     (fpClusters _).tupled(
       audioFpGraph(asWavTable(spark, dir).toDF("id", "payload")))
 
+  // ------------- PNG — the entropy-coded third format -------------
+
+  /** Max PNG width (pixels): width = 1 + doc_id mod this. */
+  val PngMaxW = 9
+
+  /** Plants REAL PNGs (round-7 verdict #7 — the first format whose
+    * payload is ENTROPY-CODED, closing "binary parsing = uncompressed
+    * containers only"): 8-byte signature, IHDR (8-bit truecolor RGB,
+    * width = 1 + doc_id mod [[PngMaxW]], height = 1 + n_chars mod 6),
+    * ONE IDAT whose zlib stream deflate-compresses the filter-0
+    * scanlines (pixel byte p of the row-major RGB stream = code point
+    * (p mod len) mod 256 — the BMP generator without stride padding),
+    * IEND; each chunk carries its real CRC-32 over type+data. The
+    * oracle replays the DECODED pixels from (doc_id, text) — the
+    * compressed bytes themselves are an implementation detail of the
+    * encoder, which is exactly why the parse needs a real inflate. */
+  private[graft] def synthPng(id: Long, text: String): Array[Byte] = {
+    val cps = text.codePoints().toArray
+    val w = 1 + (id % PngMaxW).toInt
+    val h = 1 + (cps.length % 6)
+    val stride = 3 * w + 1 // filter byte + RGB row
+    val raw = new Array[Byte](h * stride)
+    for (r <- 0 until h) {
+      raw(r * stride) = 0 // filter type 0 (None)
+      for (k <- 0 until 3 * w)
+        raw(r * stride + 1 + k) =
+          (cps((r * 3 * w + k) % cps.length) % 256).toByte
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val idat = out.toByteArray
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+      .array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  case class PngBlob(id: Long, payload: Array[Byte])
+
+  def asPngTable(spark: SparkSession, dir: String): Dataset[PngBlob] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 1)
+      .repartition(spark.sparkContext.defaultParallelism) // see asWavTable
+      .as[(Long, String)]
+      .map { case (id, text) => PngBlob(id, synthPng(id, text)) }
+  }
+
+  case class PngMeta(id: Long, width: Long, height: Long,
+      bit_depth: Long, color_type: Long, pixel_sum: Long, chk_ok: Boolean)
+
+  /** Decode ONE PNG byte array: chunk walk with CRC-32 verification,
+    * IDAT concatenation, REAL zlib inflate, filter-byte check, pixel
+    * sum over the defiltered scanlines. Total on garbage — any
+    * structural violation (bad signature/CRC/zlib stream/short data)
+    * lands in chk_ok = false with zeroed fields, never a throw. */
+  private[graft] def decodePng(id: Long, p: Array[Byte],
+      inf: java.util.zip.Inflater): PngMeta = {
+    try {
+      val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+        0x1a, 0x0a)
+      if (p.length < 8 || !p.take(8).sameElements(sig))
+        return PngMeta(id, 0, 0, 0, 0, 0, chk_ok = false)
+      val bb = java.nio.ByteBuffer.wrap(p)
+      var off = 8
+      var (w, h, depth, ctype) = (0L, 0L, 0L, 0L)
+      var crcOk = true
+      val idat = new java.io.ByteArrayOutputStream()
+      var sawEnd = false
+      while (off + 12 <= p.length && !sawEnd) {
+        val len = bb.getInt(off)
+        if (len < 0 || off + 12 + len > p.length)
+          return PngMeta(id, w, h, depth, ctype, 0, chk_ok = false)
+        val typ = new String(p, off + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(p, off + 4, 4 + len)
+        if (crc.getValue.toInt != bb.getInt(off + 8 + len)) crcOk = false
+        typ match {
+          case "IHDR" if len == 13 =>
+            w = bb.getInt(off + 8).toLong
+            h = bb.getInt(off + 12).toLong
+            depth = (p(off + 16) & 0xFF).toLong
+            ctype = (p(off + 17) & 0xFF).toLong
+          case "IDAT" => idat.write(p, off + 8, len)
+          case "IEND" => sawEnd = true
+          case _ => ()
+        }
+        off += 12 + len
+      }
+      if (w <= 0 || h <= 0 || w > 4096 || h > 4096)
+        return PngMeta(id, w, h, depth, ctype, 0, chk_ok = false)
+      // real inflate of the concatenated IDAT zlib stream
+      inf.reset()
+      inf.setInput(idat.toByteArray)
+      val stride = (3 * w + 1).toInt
+      val want = (h * stride).toInt
+      val raw = new Array[Byte](want + 1) // +1 detects overlong streams
+      var got = 0
+      var n = inf.inflate(raw, 0, raw.length)
+      while (n > 0 && got + n < raw.length) {
+        got += n
+        n = inf.inflate(raw, got, raw.length - got)
+      }
+      got += math.max(n, 0)
+      val complete = inf.finished() && got == want
+      var sum = 0L
+      var filtersOk = true
+      var r = 0
+      while (r < h.toInt) {
+        if (raw(r * stride) != 0) filtersOk = false
+        var k = 1
+        while (k < stride) { sum += raw(r * stride + k) & 0xFF; k += 1 }
+        r += 1
+      }
+      PngMeta(id, w, h, depth, ctype, sum,
+        crcOk && sawEnd && complete && filtersOk &&
+          depth == 8L && ctype == 2L)
+    } catch {
+      case _: java.util.zip.DataFormatException |
+           _: ArrayIndexOutOfBoundsException |
+           _: NegativeArraySizeException =>
+        PngMeta(id, 0, 0, 0, 0, 0, chk_ok = false)
+    }
+  }
+
+  /** The parse over any (id, payload BINARY) frame — a mapPartitions
+    * batch decode with ONE Inflater per partition (reset per record):
+    * the promised shape for entropy-coded payloads, where the
+    * hex()+substr codegen idiom of [[parseWav]]/[[parseBmp]]
+    * structurally cannot apply (bytes are not at fixed offsets until
+    * AFTER decompression). This is preference order (d) of the build
+    * contract, justified: a DEFLATE stream is inherently sequential
+    * per record, so per-record imperative decode inside a partition
+    * stream IS the production shape (mapInPandas analog), and
+    * everything around it — pruned binary column scan, partition
+    * spread, typed output struct — stays relational. */
+  def parsePng(png: DataFrame): DataFrame = {
+    import png.sparkSession.implicits._
+    png.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val inf = new java.util.zip.Inflater()
+        it.map { case (id, p) => decodePng(id, p, inf) }
+      }
+      .toDF()
+      .orderBy(col("id"))
+  }
+
+  /** Registered query: plant real PNGs, decode them back through a
+    * real inflate, verify CRCs + stream completeness; the oracle
+    * re-derives every field (including the pixel sum THROUGH the
+    * compression round-trip) from (doc_id, text). */
+  def multimodalPng(spark: SparkSession, dir: String): DataFrame =
+    parsePng(asPngTable(spark, dir).toDF("id", "payload"))
+
+  /** Direct derivation: pixel byte p (filter bytes excluded) = code
+    * point (p mod len) mod 256, summed over the 3·w·h RGB bytes. */
+  val multimodalPngSql: String =
+    s"""SELECT doc_id AS id,
+       |  CAST(1 + doc_id % $PngMaxW AS BIGINT) AS width,
+       |  CAST(1 + length(text) % 6 AS BIGINT) AS height,
+       |  CAST(8 AS BIGINT) AS bit_depth,
+       |  CAST(2 AS BIGINT) AS color_type,
+       |  CAST(list_sum(list_transform(
+       |    range(3 * (1 + doc_id % $PngMaxW) * (1 + length(text) % 6)),
+       |    k -> unicode(text[CAST(k % length(text) AS INT) + 1]) % 256))
+       |    AS BIGINT) AS pixel_sum,
+       |  TRUE AS chk_ok
+       |FROM documents WHERE length(text) >= 1
+       |ORDER BY id""".stripMargin
+
   /** Oracle: replay the window sums from (doc_id, text) synthesis
     * (sample k = ((unicode(char k mod len)·523+7) mod 2¹⁶) − 2¹⁵),
     * then the all-pairs hamming filter — pigeonhole-equal to the

@@ -362,22 +362,43 @@ object SimilarityOps {
 
   // ---------------- LSH path (the scale design) ----------------
 
-  /** Deterministic random hyperplanes: `tables` tables × `bits` planes
-    * × dim weights, from a fixed-seed Gaussian — a tiny literal the
-    * plan broadcasts to every task. */
-  def hyperplanes(tables: Int, bits: Int, dim: Int,
-      seed: Long = 42L): Array[Array[Array[Double]]] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(tables, bits, dim)(rng.nextGaussian())
+  /** Deterministic random hyperplanes as an Achlioptas ±1 SIGN matrix
+    * (Achlioptas 2003 "Database-friendly random projections": R ∈
+    * {±1} preserves the sign-LSH collision geometry like a Gaussian):
+    * sign(t, b, d) = +1 iff the first hex digit of md5("t_b_d") < 8 —
+    * the [[ScalarQuantOps.signMatrix]] derivation with the table
+    * index prepended. ENGINE-AGNOSTIC where the pre-r8 fixed-seed
+    * Gaussian was JVM-only: DuckDB rebuilds the identical matrix from
+    * its own md5, which is what lets ann_lsh_probe and
+    * dedup_embedding_lsh be FULLY ORACLED at their production
+    * parameters instead of rows-only (round-8: every bucket bit is
+    * SQL-replayable). A tiny literal the plan broadcasts to every
+    * task, as before. */
+  def hyperplanes(tables: Int, bits: Int,
+      dim: Int): Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables, bits, dim) { (t, b, d) =>
+      val h = md.digest(s"${t}_${b}_${d}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
   }
 
   /** All LSH bucket ids for `vec` as one array<int> column — one fused
     * [[graft.functions.HyperplaneBuckets]] pass (the tables × bits
     * per-plane [[graft.functions.ArrayDotProduct]] projection form
-    * spent seconds in codegen for microseconds of math). */
+    * spent seconds in codegen for microseconds of math).
+    *
+    * Buckets hash the QUANTIZED vector (|q| ≤ ~5.3·10⁵, so every
+    * ±1-weighted partial sum stays ≤ 3.4·10⁷ — exact in the
+    * Expression's double accumulator with no rounding anywhere), not
+    * the raw floats: float summation order is engine-defined, and the
+    * oracle replay must reproduce each bucket bit EXACTLY. Bit b is
+    * set iff the signed integer dot > 0, which DuckDB replays as an
+    * integer comparison. */
   def lshBucketArray(vec: Column, tables: Int, bits: Int,
       dim: Int = 64): Column =
-    graft.functions.HyperplaneBuckets.buckets(vec,
+    graft.functions.HyperplaneBuckets.buckets(
+      transform(VectorOps.quantize(vec), x => x.cast("double")),
       hyperplanes(tables, bits, dim))
 
   // ---------------- IVF path (cluster-pruned search) ----------------
@@ -394,12 +415,20 @@ object SimilarityOps {
       .withColumn("n2", VectorOps.norm2Q(col("v")))
 
   /** The coarse centroid set: a seeded uniform sample of `cells`
-    * corpus vectors, as (cell, cv, cn). */
+    * corpus vectors, as (cell, cv, cn). The sampling hash is
+    * md5(vec_id || '_' || seed) — engine-agnostic (the hll_md5 /
+    * signMatrix trick) where the pre-r8 xxhash64 was JVM-only, so the
+    * WHOLE IVF probe path (centroid choice → assignment → probed
+    * cells → rerank) is SQL-replayable and ann_ivf_probe is fully
+    * oracled at its approximate production setting (round-8).
+    * Exactness rows (probes == cells) never depended on WHICH vectors
+    * seed the cells, so their outputs are unchanged. */
   def ivfCentroids(e: DataFrame, cells: Int = 16,
       seed: Long = 42L): DataFrame =
     ivfVecs(e)
-      .withColumn("hk", xxhash64(col("vec_id"), lit(seed)))
-      .orderBy(col("hk")).limit(cells)
+      .withColumn("hk",
+        md5(concat(col("vec_id").cast("string"), lit(s"_$seed"))))
+      .orderBy(col("hk"), col("vec_id")).limit(cells)
       .select(col("vec_id").as("cell"), col("v").as("cv"),
         col("n2").as("cn"))
 
@@ -471,6 +500,14 @@ object SimilarityOps {
         .localCheckpoint()
       (cents, assigned)
     })
+  }
+
+  /** Bench PREP hook: materialize the registered-config IVF index
+    * (load-or-build through the artifact store) untimed. */
+  private[graft] def prewarm(spark: SparkSession, dir: String): Unit = {
+    val (cents, assigned) = corpusIvf(spark, dir, cells = 16)
+    cents.count(); assigned.count()
+    ()
   }
 
   def annIvfTopK(spark: SparkSession, dir: String, cells: Int = 16,
@@ -849,6 +886,204 @@ object SimilarityOps {
 
   private def wRelOn(q: Column, s: Column, c: Column) =
     Window.partitionBy(q).orderBy(s.desc, c.asc)
+
+  // -------- full SQL replays of the APPROXIMATE probe paths --------
+  // (round-8: the md5 centroid sampling + md5 sign planes make every
+  // step of the production-parameter probes engine-agnostic, so the
+  // three formerly rows-only similarity rows are fully oracled)
+
+  /** Quantized-vector + norm CTE shared by the probe replays. */
+  private lazy val nCte: String =
+    s"""n AS MATERIALIZED (
+       |  SELECT vec_id, ${VectorOps.QuantizeSql} AS v,
+       |    CAST(list_sum(list_transform(${VectorOps.QuantizeSql},
+       |      x -> x * x)) AS BIGINT) AS n2
+       |  FROM embeddings)""".stripMargin
+
+  private def cosSql(av: String, an: String, bv: String,
+      bn: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($av, $bv),
+       |      z -> z[1] * z[2])) AS DOUBLE) /
+       |    (sqrt(CAST($an AS DOUBLE)) * sqrt(CAST($bn AS DOUBLE)))"""
+      .stripMargin
+
+  /** The IVF probe chain at the REGISTERED approximate setting
+    * (cells = 16, probes = 4), ending in `r` = ranked candidates per
+    * query: centroid sample (md5 order), argmax cell assignment,
+    * top-`probes` probed cells per query, exact rerank inside the
+    * probed cells — each step mirroring [[ivfAssignTo]]/[[ivfSearch]]
+    * tie-for-tie ((cos DESC, cell/c_vec_id ASC) everywhere). */
+  private lazy val ivfProbeCtes: String =
+    s"""$nCte,
+       |cents AS MATERIALIZED (
+       |  SELECT vec_id AS cell, v AS cv, n2 AS cn FROM n
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '_42'), vec_id
+       |  LIMIT 16),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, cell, v, n2 FROM (
+       |    SELECT n.vec_id, c.cell, n.v, n.n2,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        ${cosSql("n.v", "n.n2", "c.cv", "c.cn")} DESC,
+       |        c.cell ASC) AS rk
+       |    FROM n CROSS JOIN cents c) t
+       |  WHERE rk = 1),
+       |probed AS MATERIALIZED (
+       |  SELECT q_vec_id, qv, qn, cell FROM (
+       |    SELECT n.vec_id AS q_vec_id, n.v AS qv, n.n2 AS qn, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        ${cosSql("n.v", "n.n2", "c.cv", "c.cn")} DESC,
+       |        c.cell ASC) AS rk
+       |    FROM n CROSS JOIN cents c
+       |    WHERE n.vec_id < $QueryCount) t
+       |  WHERE rk <= 4),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT p.q_vec_id, a.vec_id AS c_vec_id,
+       |    ${cosSql("p.qv", "p.qn", "a.v", "a.n2")} AS cos
+       |  FROM probed p JOIN asg a
+       |    ON a.cell = p.cell AND a.vec_id <> p.q_vec_id),
+       |r AS MATERIALIZED (
+       |  SELECT q_vec_id, c_vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |      ORDER BY cos DESC, c_vec_id ASC) AS rank
+       |  FROM cand)""".stripMargin
+
+  val annIvfProbeSql: String =
+    s"""WITH $ivfProbeCtes
+       |SELECT q_vec_id, c_vec_id, rank, cos FROM r
+       |WHERE rank <= $K
+       |ORDER BY q_vec_id, rank""".stripMargin
+
+  /** ±1 sign-plane + bucket CTEs for `tables` LSH tables of `bits`
+    * bits over the 64-dim quantized vectors: bucket bit b of table t
+    * is set iff the signed INTEGER dot with sign row (t, b) is > 0 —
+    * exactly [[graft.functions.HyperplaneBuckets]] over
+    * [[hyperplanes]]. The bucket VALUE encoding only needs to be a
+    * bijection of the bit vector (buckets are compared for equality,
+    * never shipped), and Σ 2^b is the engine's own packing. */
+  private def lshBkCtes(tables: Int, bits: Int): String =
+    s"""sgn AS MATERIALIZED (
+       |  SELECT t, b, list_transform(range(64), d ->
+       |    CASE WHEN substring(md5(CAST(t AS VARCHAR) || '_' ||
+       |        CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)
+       |      IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END)
+       |      AS s
+       |  FROM range($tables) r1(t), range($bits) r2(b)),
+       |bk AS MATERIALIZED (
+       |  SELECT n.vec_id, sgn.t AS tbl,
+       |    SUM(CASE WHEN list_sum(list_transform(list_zip(n.v, sgn.s),
+       |      z -> z[1] * z[2])) > 0
+       |      THEN 1 << CAST(sgn.b AS INT) ELSE 0 END) AS bkv
+       |  FROM n, sgn GROUP BY n.vec_id, sgn.t)""".stripMargin
+
+  val annLshProbeSql: String =
+    s"""WITH $nCte,
+       |${lshBkCtes(tables = 4, bits = 8)},
+       |cands AS MATERIALIZED (
+       |  SELECT DISTINCT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id
+       |  FROM bk q JOIN bk c
+       |    ON q.tbl = c.tbl AND q.bkv = c.bkv AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $QueryCount),
+       |r AS MATERIALIZED (
+       |  SELECT cd.q_vec_id, cd.c_vec_id,
+       |    ${cosSql("qn.v", "qn.n2", "cn.v", "cn.n2")} AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY cd.q_vec_id ORDER BY
+       |      ${cosSql("qn.v", "qn.n2", "cn.v", "cn.n2")} DESC,
+       |      cd.c_vec_id ASC) AS rank
+       |  FROM cands cd
+       |  JOIN n qn ON qn.vec_id = cd.q_vec_id
+       |  JOIN n cn ON cn.vec_id = cd.c_vec_id)
+       |SELECT q_vec_id, c_vec_id, rank, cos FROM r
+       |WHERE rank <= $K
+       |ORDER BY q_vec_id, rank""".stripMargin
+
+  /** Replay of [[dedupEmbeddingLshQuery]] at the production
+    * parameters (16 tables × 8 bits, τ = 0.9): bucket-collision
+    * candidates, exact cosine verify, summary agg. */
+  val dedupEmbeddingLshSql: String =
+    s"""WITH $nCte,
+       |${lshBkCtes(tables = 16, bits = 8)},
+       |cands AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |  FROM bk a JOIN bk b
+       |    ON a.tbl = b.tbl AND a.bkv = b.bkv AND a.vec_id < b.vec_id),
+       |p AS (
+       |  SELECT cd.i, cd.j,
+       |    ${cosSql("ni.v", "ni.n2", "nj.v", "nj.n2")} AS cos
+       |  FROM cands cd
+       |  JOIN n ni ON ni.vec_id = cd.i
+       |  JOIN n nj ON nj.vec_id = cd.j)
+       |SELECT COUNT(*) AS n_pairs,
+       |  COALESCE(round(MAX(cos), 6), 0) AS max_cos
+       |FROM p WHERE cos >= 0.9""".stripMargin
+
+  // -------- driver-visible recall audits (round-7 verdict #5) -------
+
+  /** Per-query recall of an approximate top-k against the exact
+    * top-k, as integer ppm (the annMatryoshka recall algebra). */
+  private def recallOf(approx: DataFrame, exact: DataFrame): DataFrame =
+    approx.select(col("q_vec_id"), col("c_vec_id"))
+      .join(exact.select(col("q_vec_id"), col("c_vec_id"),
+        lit(1L).as("hit")), Seq("q_vec_id", "c_vec_id"), "left")
+      .groupBy(col("q_vec_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("overlap"))
+      .select(col("q_vec_id"),
+        expr(s"1000000 * overlap DIV $K").as("recall_ppm"))
+      .orderBy(col("q_vec_id"))
+
+  /** Registered audit row: measured recall_ppm of the APPROXIMATE
+    * ann_ivf_probe setting against the exact top-k — the quality
+    * number the rows-only registration used to leave spec-only, now
+    * hash-checked by the driver (both legs replay in DuckDB). */
+  def annIvfProbeRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(annIvfTopK(spark, dir), annTopK(spark, dir))
+
+  /** Registered audit row: measured recall_ppm of the ann_lsh_probe
+    * production parameters against the exact top-k. */
+  def annLshProbeRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(annLshTopK(spark, dir), annTopK(spark, dir))
+
+  private def recallTailSql(exactFrom: String): String =
+    s"""topk AS (SELECT q_vec_id, c_vec_id FROM r WHERE rank <= $K),
+       |ex AS ($exactFrom)
+       |SELECT t.q_vec_id,
+       |  CAST(1000000 * COUNT(e.c_vec_id) // $K AS BIGINT) AS recall_ppm
+       |FROM topk t LEFT JOIN ex e
+       |  ON e.q_vec_id = t.q_vec_id AND e.c_vec_id = t.c_vec_id
+       |GROUP BY t.q_vec_id
+       |ORDER BY t.q_vec_id""".stripMargin
+
+  /** Exact top-k as a subquery over the shared `n` CTE. */
+  private lazy val exactTopkSql: String =
+    s"""SELECT q_vec_id, c_vec_id FROM (
+       |    SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q.v", "q.n2", "c.v", "c.n2")} DESC,
+       |        c.vec_id ASC) AS rk
+       |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $QueryCount) t
+       |  WHERE rk <= $K""".stripMargin
+
+  val annIvfProbeRecallSql: String =
+    s"""WITH $ivfProbeCtes,
+       |${recallTailSql(exactTopkSql)}""".stripMargin
+
+  val annLshProbeRecallSql: String =
+    s"""WITH $nCte,
+       |${lshBkCtes(tables = 4, bits = 8)},
+       |cands AS MATERIALIZED (
+       |  SELECT DISTINCT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id
+       |  FROM bk q JOIN bk c
+       |    ON q.tbl = c.tbl AND q.bkv = c.bkv AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $QueryCount),
+       |r AS MATERIALIZED (
+       |  SELECT cd.q_vec_id, cd.c_vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY cd.q_vec_id ORDER BY
+       |      ${cosSql("qn.v", "qn.n2", "cn.v", "cn.n2")} DESC,
+       |      cd.c_vec_id ASC) AS rank
+       |  FROM cands cd
+       |  JOIN n qn ON qn.vec_id = cd.q_vec_id
+       |  JOIN n cn ON cn.vec_id = cd.c_vec_id),
+       |${recallTailSql(exactTopkSql)}""".stripMargin
 
   val mmrRerankSql: String = {
     val selRounds = (2 to MmrK).map { r =>

@@ -34,8 +34,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ArtifactStore {
 
   /** Bump when any producer's output semantics change — old artifacts
-    * must not satisfy new code. */
-  val Version = "v1"
+    * must not satisfy new code. (v2: IVF centroid sampling moved from
+    * xxhash64 to the md5 ordering that makes the probe path
+    * SQL-replayable.) */
+  val Version = "v2"
 
   def root: String = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
     s"${sys.props("java.io.tmpdir")}/graft-artifacts")

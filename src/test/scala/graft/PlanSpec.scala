@@ -141,6 +141,12 @@ class PlanSpec extends AnyFunSuite {
       "events_gap_stats" -> "broadcast side = single-row gap count",
       "drift_ks" -> "broadcast sides = distinct-n_chars support grid (value-domain-bounded) + single-row corpus count",
       "events_drift_ks" -> "broadcast sides = distinct-value-cents support grid (value-domain-bounded) + single-row event count (the drift_ks shape on the metrics domain)",
+      // r8 audit rows: each composes an already-allowlisted probe leg
+      // with the exact top-k leg (QueryCount-bounded broadcast)
+      "ann_ivf_probe_recall" -> "broadcast sides = cells (16) centroids (probe leg) + QueryCount (8) query vectors (exact leg)",
+      "ann_lsh_probe_recall" -> "broadcast side = QueryCount (8) query vectors (exact leg)",
+      "semdedup_scaled_audit" -> "broadcast sides = k centroids per Lloyd round (both semdedup legs) + the single-row × single-row gate combine",
+      "semdedup_shortlist_audit" -> "broadcast sides = k/C centroid tables (assignment legs) + the single-row × single-row gate combine",
     )
     for ((name, q) <- SparkEntry.queries) {
       val p = plan(q(spark, dir))

@@ -26,10 +26,13 @@ class QueriesSpec extends AnyFunSuite {
   test("the rows-only set is exactly the declared approximate/iterative " +
     "queries — a new operator cannot silently skip its oracle") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // r8: ann_ivf_probe / ann_lsh_probe / dedup_embedding_lsh were
+    // PROMOTED to fully oracled (md5 centroid sampling + md5 sign
+    // planes make the probe paths SQL-replayable); the remaining three
+    // each carry a hash-checked companion audit row
+    // (events_quantiles_audit, semdedup_scaled_audit,
+    // semdedup_shortlist_audit)
     val declared = Set(
-      "ann_ivf_probe",      // probes < cells: seed-defined recall
-      "ann_lsh_probe",      // production LSH parameters: seed-defined
-      "dedup_embedding_lsh", // hyperplane tables: seed-defined
       "events_quantiles",   // GK sketch: merge-order-dependent
       "semdedup_scaled",    // k ∝ N: cluster count not SQL-unrollable
       "semdedup_shortlist") // IVF shortlist assignment: same

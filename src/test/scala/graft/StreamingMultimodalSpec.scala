@@ -696,6 +696,77 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"audio pairs must be exactly the planted twin: ${apairs.toSeq}")
   }
 
+  test("multimodal_png: synth → REAL zlib inflate round-trip matches a " +
+    "direct (doc_id, text) computation for every corpus doc") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val got = MultimodalOps.multimodalPng(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val w = 1 + (id % MultimodalOps.PngMaxW).toInt
+      val h = 1 + (cps.length % 6)
+      val wantSum = (0 until 3 * w * h)
+        .map(p => cps(p % cps.length) % 256).map(_.toLong).sum
+      val r = got(id)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)) ==
+        ((w.toLong, h.toLong, 8L, 2L, wantSum, true)),
+        s"png round-trip diverged for id $id")
+    }
+  }
+
+  test("multimodal_png decode: hand-built STORED-deflate golden, CRC " +
+    "corruption, truncation, and garbage are all caught") {
+    import spark.implicits._
+    // a 1×1 RGB PNG built BY HAND with a stored (uncompressed) deflate
+    // block — bytes our own Deflater never produces, so the inflate
+    // path is pinned against an externally-shaped stream
+    val raw = Array[Byte](0, 10, 20, 30) // filter 0 + one RGB pixel
+    val zlib = {
+      val ad = new java.util.zip.Adler32(); ad.update(raw)
+      Array[Byte](0x78, 0x01,                    // zlib header
+        0x01, 4, 0, (~4).toByte, 0xFF.toByte) ++ // final stored block
+        raw ++
+        java.nio.ByteBuffer.allocate(4).putInt(ad.getValue.toInt).array()
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(1).putInt(1)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array()
+    val golden = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a) ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zlib) ++
+      chunk("IEND", Array.empty[Byte])
+    val ok = MultimodalOps.decodePng(1L, golden,
+      new java.util.zip.Inflater())
+    assert(ok == MultimodalOps.PngMeta(1L, 1L, 1L, 8L, 2L, 60L,
+      chk_ok = true), s"golden decode: $ok")
+    // CRC corruption: flip one IDAT payload byte → crc mismatch
+    val flipped = golden.clone()
+    val idatOff = 8 + 12 + 13 + 8 + 3 // into the zlib header
+    flipped(idatOff) = (flipped(idatOff) ^ 0x01).toByte
+    assert(!MultimodalOps.decodePng(1L, flipped,
+      new java.util.zip.Inflater()).chk_ok, "corrupt CRC must fail")
+    // truncation + pure garbage: total, chk_ok false
+    val junk = Seq(
+      11L -> golden.take(20),
+      12L -> Array[Byte](1, 2, 3),
+      13L -> Array.empty[Byte],
+      14L -> Array.fill(100)(0x55.toByte)).toDF("id", "payload")
+    val rows = MultimodalOps.parsePng(junk).collect()
+    assert(rows.length == 4 && rows.forall(!_.getBoolean(6)),
+      "garbage payloads must decode total with chk_ok = false")
+  }
+
   test("dedup_image_clusters / dedup_audio_clusters: corpus-linear " +
     "labels equal a BFS closure over the pair list, output <= one row " +
     "per input, keep_id = component min (round-7 verdict #3)") {
