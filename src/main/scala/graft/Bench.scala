@@ -115,6 +115,10 @@ object Bench {
         },
         timed("lloyd_and_shortlist") { ClusterOps.prewarm(spark, dir) },
         timed("ivf_index") { SimilarityOps.prewarm(spark, dir) },
+        timed("media_fp_graphs") {
+          MultimodalOps.imageFpGraphFor(spark, dir)._2.count()
+          MultimodalOps.audioFpGraphFor(spark, dir)._2.count(); ()
+        },
         timed("bpe_learner") {
           BpeOps.learnedForDir(spark, dir, BpeOps.Merges); ()
         })

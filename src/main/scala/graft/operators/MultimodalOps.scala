@@ -488,11 +488,14 @@ object MultimodalOps {
     (h.select(col("id"), col("hid")), verified)
   }
 
-  def imageDedupPairs(bmp: DataFrame): DataFrame = {
-    val (h, verified) = imageFpGraph(bmp)
-    // output-bound member expansion; each doc has ONE fingerprint, so
-    // a cross-fingerprint doc pair appears exactly once (ordered by
-    // least/greatest), and self-pairs dedup on id order
+  def imageDedupPairs(bmp: DataFrame): DataFrame =
+    (expandPairs _).tupled(imageFpGraph(bmp))
+
+  /** Output-bound member expansion of a verified fingerprint pair set:
+    * each doc has ONE fingerprint, so a cross-fingerprint doc pair
+    * appears exactly once (ordered by least/greatest), and self-pairs
+    * dedup on id order. */
+  private def expandPairs(h: DataFrame, verified: DataFrame): DataFrame =
     verified
       .join(h.select(col("hid").as("ha"), col("id").as("ia")), Seq("ha"))
       .join(h.select(col("hid").as("hb"), col("id").as("ib")), Seq("hb"))
@@ -500,7 +503,6 @@ object MultimodalOps {
       .select(least(col("ia"), col("ib")).as("i"),
         greatest(col("ia"), col("ib")).as("j"), col("hamming"))
       .orderBy(col("i"), col("j"))
-  }
 
   /** CORPUS-LINEAR cluster deliverable over a (members, verified)
     * fingerprint graph: resolve connected components on the
@@ -534,11 +536,52 @@ object MultimodalOps {
       .orderBy(col("id"))
   }
 
+  /** Per-(session, dir) memos of the corpus fingerprint GRAPHS — the
+    * pair row and the cluster row consume the IDENTICAL
+    * synthesize→fingerprint→bucket-join→verify pipeline (the
+    * clusterLabels pattern: the graph is the shared prep product a
+    * pipeline materializes once); `verified` is additionally
+    * checkpointed here since [[imageFpGraph]] returns it as a plan
+    * over its internal checkpoints. Frame-level APIs
+    * ([[imageDedupPairs]] etc.) stay memo-free for spec fixtures. */
+  private val imageGraphMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (DataFrame, DataFrame)]()
+  private val audioGraphMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (DataFrame, DataFrame)]()
+
+  private[graft] def clearMediaGraphMemos(): Unit = {
+    imageGraphMemo.clear(); audioGraphMemo.clear()
+  }
+
+  private[graft] def imageFpGraphFor(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    Memos.purgeStopped(imageGraphMemo)
+    imageGraphMemo.computeIfAbsent((spark, dir), k => {
+      val (h, v) = imageFpGraph(asBmpTable(k._1, k._2)
+        .toDF("id", "payload"))
+      (h, v.localCheckpoint())
+    })
+  }
+
+  private[graft] def audioFpGraphFor(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    Memos.purgeStopped(audioGraphMemo)
+    audioGraphMemo.computeIfAbsent((spark, dir), k => {
+      val (h, v) = audioFpGraph(asWavTable(k._1, k._2)
+        .toDF("id", "payload"))
+      (h, v.localCheckpoint())
+    })
+  }
+
   /** Registered query: perceptual near-dup pairs over the planted
     * corpus BMPs — multimodal columns DEDUPED, not just parsed (the
     * round-6 growth edge). */
-  def dedupImage(spark: SparkSession, dir: String): DataFrame =
-    imageDedupPairs(asBmpTable(spark, dir).toDF("id", "payload"))
+  def dedupImage(spark: SparkSession, dir: String): DataFrame = {
+    val (h, verified) = imageFpGraphFor(spark, dir)
+    expandPairs(h, verified)
+  }
 
   /** Registered query: per-image near-dup CLUSTER LABELS
     * (id, keep_id, cluster_size) — one row per image with ≥1
@@ -550,8 +593,7 @@ object MultimodalOps {
     * are the same partition, since ham(i,j) is a function of the two
     * fingerprints alone. */
   def dedupImageClusters(spark: SparkSession, dir: String): DataFrame =
-    (fpClusters _).tupled(
-      imageFpGraph(asBmpTable(spark, dir).toDF("id", "payload")))
+    (fpClusters _).tupled(imageFpGraphFor(spark, dir))
 
   // ------------- audio fingerprint near-dup (window-sum hash) ------
 
@@ -663,29 +705,20 @@ object MultimodalOps {
     * two fingerprints, pigeonhole completeness unchanged at the
     * distinct level, StreamingMultimodalSpec pins the all-pairs
     * reference equality). */
-  def audioDedupPairs(wav: DataFrame): DataFrame = {
-    val (h, verified) = audioFpGraph(wav)
-    verified
-      .join(h.select(col("hid").as("ha"), col("id").as("ia")), Seq("ha"))
-      .join(h.select(col("hid").as("hb"), col("id").as("ib")), Seq("hb"))
-      .filter(col("ha") =!= col("hb") || col("ia") < col("ib"))
-      .select(least(col("ia"), col("ib")).as("i"),
-        greatest(col("ia"), col("ib")).as("j"), col("hamming"))
-      .orderBy(col("i"), col("j"))
-  }
+  def audioDedupPairs(wav: DataFrame): DataFrame =
+    (expandPairs _).tupled(audioFpGraph(wav))
 
   /** Registered query: near-dup recordings over the planted corpus
     * WAVs — the audio leg of "multimodal columns deduped, not just
     * parsed". */
   def dedupAudio(spark: SparkSession, dir: String): DataFrame =
-    audioDedupPairs(asWavTable(spark, dir).toDF("id", "payload"))
+    (expandPairs _).tupled(audioFpGraphFor(spark, dir))
 
   /** Registered query: per-recording near-dup CLUSTER LABELS — the
     * corpus-linear audio deliverable ([[fpClusters]] over the audio
     * fingerprint graph; see [[dedupImageClusters]]). */
   def dedupAudioClusters(spark: SparkSession, dir: String): DataFrame =
-    (fpClusters _).tupled(
-      audioFpGraph(asWavTable(spark, dir).toDF("id", "payload")))
+    (fpClusters _).tupled(audioFpGraphFor(spark, dir))
 
   // ------------- PNG — the entropy-coded third format -------------
 
