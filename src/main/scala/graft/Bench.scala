@@ -96,10 +96,17 @@ object Bench {
     def prepOf(dir: String): Seq[(String, Double)] = {
       def timed(name: String)(f: => Unit): (String, Double) = {
         val t0 = System.nanoTime()
-        try f catch { case e: Throwable =>
-          System.err.println(s"[bench] prep $name failed: $e")
+        // NonFatal ONLY (r8 advice): an OOM/VM error must abort the
+        // run, not leave a silently-untrained memo whose cost lands
+        // back in the first timed rep; a NonFatal failure is marked
+        // -1 in the emitted prep JSON so a skewed run is detectable
+        // from the artifact, not just a stderr note
+        val ok = try { f; true } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] prep $name failed: $e"); false
         }
-        name -> math.round((System.nanoTime() - t0) / 1e7) / 100.0
+        name -> (if (ok) math.round((System.nanoTime() - t0) / 1e7) / 100.0
+                 else -1.0)
       }
       import graft.operators._
       Seq(
@@ -132,16 +139,6 @@ object Bench {
     val doPrep =
       only.isEmpty || sys.env.get("SPARK_GRAFT_PREP").contains("1")
     val prep = if (doPrep) prepOf(sfDir) else Nil
-    // Interleave reps (rep-major, not query-major) so a transient system
-    // hiccup hits one rep of many queries, not all reps of one query.
-    val reruns = (1 to reps).map(_ => names.map(n => run(n, sfDir)))
-    val results = names.zipWithIndex.map { case (n, i) =>
-      n -> median(reruns.map(_(i)))
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val loadAfterCatalog = loadAvg()
     // Superlinearity probe (round-2 verdict #9): the heaviest queries
     // re-timed on a 10× blow-up of documents/embeddings whose
     // similarity structure grows LINEARLY with the factor (see
@@ -200,7 +197,19 @@ object Bench {
       "dedup_image_clusters", "dedup_audio_clusters",
       // the two-scan centroid probe (partial-agg train + literal-dot
       // score — should anchor the sublinear end like embed_pca)
-      "embed_probe")
+      "embed_probe",
+      // round-9 (r8 verdict #5): the evidence layer's own scale
+      // posture — recall/audit rows are query-bounded (fixed probe
+      // set / fixed gate grid), so their ratios should sit near the
+      // flat anchors; a superlinear audit row would mean the evidence
+      // machinery itself doesn't survive scale-up. events_* needs the
+      // blown-up events table (Blowup v3 replicates it: value
+      // multiset duplicated per copy → identical quantiles, 10× n).
+      "ann_ivf_probe_recall", "ann_lsh_probe_recall",
+      "semdedup_scaled_audit", "semdedup_shortlist_audit",
+      "events_quantiles_audit",
+      // round-9: the end-to-end binary-catalog composition row
+      "media_pipeline")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up
@@ -214,31 +223,88 @@ object Bench {
     val prepX10 =
       if (doPrep && probeNames.nonEmpty && blowDir != sfDir)
         prepOf(blowDir) else Nil
-    // Probe hygiene: by this point the JVM has run names.size×(reps+1)
-    // queries — drop cached relations and hint a full GC so the probe
-    // measures the query, not accumulated old-gen pressure (a one-off
-    // text_classifier probe once read 32.7 s late-JVM vs 9.1 s fresh).
-    // BEST-of-2 for the same reason: the comparison is order-of-
-    // magnitude, and min is the noise-robust statistic for it.
+    // ---- contention-robust probe block (round-8 verdict #1) ----
+    // The probes now run BEFORE the timed catalog: in r7 AND r8 the
+    // driver's probe legs ran last, after 155×(reps+1) queries had
+    // heated the box (the r8 artifact's own load field read 1.86 →
+    // 12.98 intra-run), and produced 10×+ readings on rows whose
+    // committed fresh-JVM ratios are 1.3–4.3×. Running the probe
+    // block first bounds self-heating to warmup+prep, and the block
+    // defends itself: the 1-min load is sampled immediately before
+    // each LEG and recorded in the artifact, the block first waits
+    // (bounded) for load to decay under the gate, and a probe whose
+    // ratio exceeds its gate or whose legs started over-gate is
+    // re-run (per-leg min kept, retry count recorded) — so an
+    // over-band reading in the artifact now carries the evidence to
+    // adjudicate contention vs plan regression.
+    val probeLoadGate = sys.env.getOrElse(
+      "SPARK_GRAFT_PROBE_LOAD_GATE", "8.0").toDouble
+    val probeRatioGate = sys.env.getOrElse(
+      "SPARK_GRAFT_PROBE_RATIO_GATE", "6.0").toDouble
+    // rows whose x10 OUTPUT is quadratic by contract (concentrated
+    // near-dup mass: 86× pair growth) — a big ratio there is the
+    // documented output measurement, not contention; retrying would
+    // burn minutes re-measuring a true value every round. Their
+    // corpus-linear *_clusters companions carry the scale claim.
+    val outputQuadratic = Set("dedup_image", "dedup_audio")
+    def loadNum(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def jnum(d: Double): String = if (d < 0) "null" else
+      (math.round(d * 100.0) / 100.0).toString
     spark.catalog.clearCache()
     System.gc()
-    val probe = probeNames.map { nm =>
-      // The RATIO is the signal, so base and x10 must share JVM state:
-      // taking base from the mid-run catalog loop but x10 late-JVM
-      // reported 3.9–16.7× for queries whose fresh-JVM growth is
-      // 2.2–2.4× (r4 What's-wrong #4 was exactly this artifact). Both
-      // legs now run back-to-back here, best-of-2 each over SUCCESSFUL
-      // reps only (a bare min would report the -1.0 failure sentinel).
-      def best2(d: String): Double = {
-        val ts = Seq(run(nm, d), run(nm, d)).filter(_ >= 0)
-        if (ts.isEmpty) -1.0 else ts.min
+    if (probeNames.nonEmpty) {
+      // settle: our own warmup/prep inflate the 1-min average; give
+      // it a bounded window to decay so leg loads measure ambient
+      // contention, not the bench's prior phase
+      var waited = 0
+      while (loadNum() > probeLoadGate && waited < 8) {
+        Thread.sleep(15000L); waited += 1
       }
-      val base = best2(sfDir)
-      val t = best2(blowDir)
-      s""""$nm":{"base":$base,"x10":$t}"""
+    }
+    val probe = probeNames.map { nm =>
+      // The RATIO is the signal, so base and x10 must share JVM state
+      // and run back-to-back (r4 What's-wrong #4). One leg = 1-min
+      // load sampled, then best-of-2 over SUCCESSFUL reps (min is the
+      // noise-robust statistic for an order-of-magnitude comparison).
+      def leg(d: String): (Double, Double) = {
+        val l = loadNum()
+        val ts = Seq(run(nm, d), run(nm, d)).filter(_ >= 0)
+        (if (ts.isEmpty) -1.0 else ts.min, l)
+      }
+      var (base, baseLoad) = leg(sfDir)
+      var (x10, x10Load) = leg(blowDir)
+      var retries = 0
+      def overGate: Boolean =
+        (!outputQuadratic.contains(nm) &&
+          base > 0 && x10 > 0 && x10 / base > probeRatioGate) ||
+        math.max(baseLoad, x10Load) > probeLoadGate
+      while (overGate && retries < 2) {
+        retries += 1
+        System.gc()
+        Thread.sleep(15000L * retries)
+        val (b2, lb2) = leg(sfDir)
+        if (b2 >= 0 && (base < 0 || b2 < base)) { base = b2; baseLoad = lb2 }
+        val (x2, lx2) = leg(blowDir)
+        if (x2 >= 0 && (x10 < 0 || x2 < x10)) { x10 = x2; x10Load = lx2 }
+      }
+      s""""$nm":{"base":$base,"x10":$x10,"base_load":${jnum(baseLoad)}""" +
+        s""","x10_load":${jnum(x10Load)},"retries":$retries}"""
     }.mkString("{", ",", "}")
+    val loadAfterProbes = loadAvg()
+    // ---- timed catalog (after the probes — see block comment) ----
+    // Interleave reps (rep-major, not query-major) so a transient
+    // system hiccup hits one rep of many queries, not all reps of one.
+    val reruns = (1 to reps).map(_ => names.map(n => run(n, sfDir)))
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> median(reruns.map(_(i)))
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val loadAfterCatalog = loadAvg()
     val load =
-      s"""{"start":$loadStart,"after_catalog":$loadAfterCatalog,"end":${loadAvg()}}"""
+      s"""{"start":$loadStart,"after_probes":$loadAfterProbes,"after_catalog":$loadAfterCatalog,"end":${loadAvg()}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","blowup10x":$probe,"prep":${prepJson(prep)},"prep_x10":${prepJson(prepX10)},"load":$load}"""
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) are dev probes — they must

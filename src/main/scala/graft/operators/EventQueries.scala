@@ -252,7 +252,11 @@ object EventQueries {
     val qs = array(lit(0.5), lit(0.95), lit(0.99))
     events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
+      // count(value), not count(*): percentile_approx ignores NULL
+      // values, so the sketch's ε·n guarantee (and the audit row's
+      // rank gate) is over the NON-NULL count — an all-rows n would
+      // silently widen rstar on a corpus with NULL values (r8 advice)
+      .agg(count(col("value")).as("n_events"),
         percentile_approx(col("value"), qs, lit(accuracy)).as("q"))
       .select(col("event_type"), col("n_events"),
         element_at(col("q"), 1).as("p50"),
@@ -277,7 +281,13 @@ object EventQueries {
     * agg on the bounded (type, pct) key space). */
   def eventsQuantilesAudit(spark: SparkSession, dir: String,
       accuracy: Int = 10000): DataFrame = {
+    // value IS NOT NULL: the rank basis must match the sketch's —
+    // NULLs contribute neither to percentile_approx nor to n_events
+    // (count(value)), so they must not sit in the rank scan either
+    // (the lo/hi whens would map them to 0 anyway; filtering keeps
+    // the three bases — sketch, n, ranks — one definition)
     val e = events(spark, dir).select(col("event_type"), col("value"))
+      .where(col("value").isNotNull)
     val melted = eventsQuantiles(spark, dir, accuracy)
       .select(col("event_type"), col("n_events"),
         expr("stack(3, CAST(50 AS BIGINT), p50, CAST(95 AS BIGINT), " +
@@ -308,7 +318,7 @@ object EventQueries {
   }
 
   val eventsQuantilesAuditSql: String =
-    """SELECT event_type, pct, COUNT(*) AS n_events, TRUE AS within_gate
+    """SELECT event_type, pct, COUNT(value) AS n_events, TRUE AS within_gate
       |FROM events
       |CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (CAST(95 AS BIGINT)),
       |  (CAST(99 AS BIGINT))) p(pct)

