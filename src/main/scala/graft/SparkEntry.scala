@@ -265,6 +265,11 @@ object SparkEntry {
     // output-quadratic diagnostics on concentrated corpora
     "dedup_image_clusters" -> (MultimodalOps.dedupImageClusters _),
     "dedup_audio_clusters" -> (MultimodalOps.dedupAudioClusters _),
+    // end-to-end binary-catalog assembly: parse all three formats →
+    // drop invalid payloads (chk_ok) → media quality gate → drop
+    // image+audio near-dup cluster losers → cleaned catalog (the
+    // pretrain_pipeline of the multimodal side)
+    "media_pipeline" -> (MultimodalOps.mediaPipeline _),
     "text_classifier" -> (TextClassifier.classify _),
     "phone_to_url" -> (PhoneToUrl.phoneToUrl _),
   )
@@ -427,5 +432,6 @@ object SparkEntry {
     "dedup_audio" -> MultimodalOps.dedupAudioSql,
     "dedup_image_clusters" -> MultimodalOps.dedupImageClustersSql,
     "dedup_audio_clusters" -> MultimodalOps.dedupAudioClustersSql,
+    "media_pipeline" -> MultimodalOps.mediaPipelineSql,
   )
 }

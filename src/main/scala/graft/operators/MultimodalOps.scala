@@ -916,25 +916,27 @@ object MultimodalOps {
     * 0). */
   /** Shared replay prefix for the audio rows: window sums from
     * (doc_id, text) synthesis → 32 adjacent-comparison bits per doc
-    * (`ph`). */
-  private lazy val audioPhCtes: String = {
+    * (`ph`). `pre` prefixes every CTE name so two modality prefixes
+    * can coexist in one composed WITH list ([[mediaPipelineSql]]). */
+  private def audioPhCtesPre(pre: String): String = {
     val n = s"(least(length(text), $WavMaxFrames) * (1 + doc_id % 2))"
-    s"""d AS MATERIALIZED (
+    s"""${pre}d AS MATERIALIZED (
        |  SELECT doc_id, text, $n AS n FROM documents
        |  WHERE length(text) >= 1),
-       |ws AS MATERIALIZED (
+       |${pre}ws AS MATERIALIZED (
        |  SELECT doc_id, list_transform(range($AudioWindows), w ->
        |    COALESCE(list_sum(list_transform(
        |      range((w * n) // $AudioWindows, ((w + 1) * n) // $AudioWindows),
        |      k -> ((unicode(text[CAST(k % length(text) AS INT) + 1])
        |             * 523 + 7) % 65536 - 32768))), 0)) AS s
-       |  FROM d),
-       |ph AS MATERIALIZED (
+       |  FROM ${pre}d),
+       |${pre}ph AS MATERIALIZED (
        |  SELECT doc_id, list_transform(range(32), b ->
        |    CASE WHEN s[CAST(b AS INT) + 1] < s[CAST(b AS INT) + 2]
        |    THEN 1 ELSE 0 END) AS bits
-       |  FROM ws)""".stripMargin
+       |  FROM ${pre}ws)""".stripMargin
   }
+  private lazy val audioPhCtes: String = audioPhCtesPre("")
 
   lazy val dedupAudioSql: String =
     s"""WITH $audioPhCtes
@@ -981,25 +983,26 @@ object MultimodalOps {
     * which the pigeonhole argument on [[DHashMaxHamming]] makes
     * exactly equal to the engine's chunk-collision join. */
   /** Shared replay prefix for the image rows: dHash bits per doc from
-    * (doc_id, text) synthesis (`ph`). */
-  private lazy val dHashPhCtes: String = {
+    * (doc_id, text) synthesis (`ph`); `pre` as in [[audioPhCtesPre]]. */
+  private def dHashPhCtesPre(pre: String): String = {
     val w = s"(1 + doc_id % $BmpMaxW)"
     val h = "(1 + length(text) % 8)"
     val stride = s"(((3 * $w + 3) // 4) * 4)"
-    s"""g AS MATERIALIZED (
+    s"""${pre}g AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_transform(range(${DHashRows * DHashCols}), k ->
        |      unicode(text[CAST((((((k // $DHashCols) * $h) // $DHashRows)
        |        * $stride + 3 * (((k % $DHashCols) * $w) // $DHashCols))
        |        % length(text)) AS INT) + 1]) % 256) AS lums
        |  FROM documents WHERE length(text) >= 1),
-       |ph AS MATERIALIZED (
+       |${pre}ph AS MATERIALIZED (
        |  SELECT doc_id, list_transform(range(64), b ->
        |    CASE WHEN lums[CAST((b // 8) * $DHashCols + (b % 8) AS INT) + 1]
        |       < lums[CAST((b // 8) * $DHashCols + (b % 8) AS INT) + 2]
        |    THEN 1 ELSE 0 END) AS bits
-       |  FROM g)""".stripMargin
+       |  FROM ${pre}g)""".stripMargin
   }
+  private lazy val dHashPhCtes: String = dHashPhCtesPre("")
 
   lazy val dedupImageSql: String =
     s"""WITH $dHashPhCtes
@@ -1073,6 +1076,145 @@ object MultimodalOps {
        |           * 523 + 7) % 65536) - 32768)) AS BIGINT) AS pcm_sum,
        |  TRUE AS chk_ok
        |FROM documents WHERE length(text) >= 1
+       |ORDER BY id""".stripMargin
+
+  // ---------- media_pipeline — the binary-catalog composition ------
+
+  /** Media quality gates for [[mediaPipeline]] (the binary analog of
+    * pretrain_pipeline's quality_ppm threshold): keep recordings of at
+    * least this duration... */
+  val MediaMinDurMs = 3L
+  /** ...and images at least this wide. On the planted corpus the two
+    * gates keep ≈54% of docs (dur_ms ∈ {2,4,8} by doc_id%3 at full
+    * length, width ∈ 1..[[BmpMaxW]] by doc_id) — a real selection,
+    * not a pass-through. */
+  val MediaMinWidth = 4L
+
+  /** The composition over ALREADY-PLANTED payload frames + cluster
+    * labels — factored so specs can feed corrupted payloads and
+    * synthetic cluster tables. Stages (each reusing the exact contract
+    * its standalone row oracles):
+    *   A. parse all three formats ([[parseWav]]/[[parseBmp]]/
+    *      [[parsePng]]) and DROP invalid payloads: a corrupt payload
+    *      fails its `chk_ok` gate (false on structural violations,
+    *      null on truncation — both filtered) in ANY modality and
+    *      leaves the catalog;
+    *   B. media quality gate: [[MediaMinDurMs]] / [[MediaMinWidth]]
+    *      over the PARSE-DERIVED fields;
+    *   C. near-dup removal in BOTH modalities: drop every cluster
+    *      loser (id ≠ keep_id — the [[fpClusters]] labels), keeping
+    *      the component-min survivor of each image/audio cluster.
+    * Output: one row per surviving item with its parse-derived
+    * metadata — the cleaned media catalog a training pipeline reads.
+    *
+    * Scale shape: the parse legs are per-row projections joined on the
+    * item id (narrow metadata — id + a few longs — so the three
+    * id-shuffles move ~nothing compared to the payload decode they
+    * follow); the cluster labels arrive as content-diversity-bounded
+    * relations from the memoized fingerprint graphs (zero extra corpus
+    * scans); the two loser sides are anti-joins on id. */
+  def mediaPipelineOf(wav: DataFrame, bmp: DataFrame, png: DataFrame,
+      imgClusters: DataFrame, audClusters: DataFrame): DataFrame = {
+    val w = parseWav(wav).select(col("id"), col("sample_rate"),
+      col("dur_ms"), col("chk_ok").as("wok"))
+    val b = parseBmp(bmp).select(col("id"), col("width"), col("height"),
+      col("chk_ok").as("bok"))
+    val p = parsePng(png).select(col("id"), col("pixel_sum"),
+      col("chk_ok").as("pok"))
+    val gated = w.join(b, Seq("id")).join(p, Seq("id"))
+      .filter(col("wok") && col("bok") && col("pok") &&
+        col("dur_ms") >= MediaMinDurMs && col("width") >= MediaMinWidth)
+    val imgLosers = imgClusters.filter(col("id") =!= col("keep_id"))
+      .select(col("id"))
+    val audLosers = audClusters.filter(col("id") =!= col("keep_id"))
+      .select(col("id"))
+    gated.join(imgLosers, Seq("id"), "left_anti")
+      .join(audLosers, Seq("id"), "left_anti")
+      .select(col("id"), col("sample_rate"), col("dur_ms"),
+        col("width"), col("height"), col("pixel_sum"))
+      .orderBy(col("id"))
+  }
+
+  /** Registered query: the end-to-end multimodal assembly — the
+    * pretrain_pipeline of the binary catalog (round-8 verdict #3).
+    * ONE corpus scan feeds all three payload legs (the (doc_id, text)
+    * relation is localCheckpoint'd, so the final plan reads the
+    * materialized RDD — PlanSpec pins zero parquet scans); the cluster
+    * labels consume the SAME memoized fingerprint graphs the
+    * standalone dedup_*_clusters rows (and the Bench prep phase)
+    * materialize. Oracled by chaining the per-stage CTE contracts:
+    * parse-field derivations (multimodal_meta/bmp/png), the two
+    * recursive-closure loser sets (dedup_image_clusters /
+    * dedup_audio_clusters), and the gate predicate. */
+  def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 1)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val ds = base.as[(Long, String)]
+    mediaPipelineOf(
+      ds.map { case (id, t) => WavBlob(id, synthWav(id, t)) }
+        .toDF("id", "payload"),
+      ds.map { case (id, t) => BmpBlob(id, synthBmp(id, t)) }
+        .toDF("id", "payload"),
+      ds.map { case (id, t) => PngBlob(id, synthPng(id, t)) }
+        .toDF("id", "payload"),
+      dedupImageClusters(spark, dir),
+      dedupAudioClusters(spark, dir))
+  }
+
+  /** Composed replay: parse-field derivations from (doc_id, text) +
+    * the two modality closures (prefixed `i`/`a` so both CTE chains
+    * coexist), losers = components whose min member ≠ self (the
+    * pretrain jdrop idiom). */
+  lazy val mediaPipelineSql: String =
+    s"""WITH RECURSIVE ${dHashPhCtesPre("i")},
+       |ip AS MATERIALIZED (
+       |  SELECT x.doc_id AS i, y.doc_id AS j
+       |  FROM iph x JOIN iph y ON x.doc_id < y.doc_id
+       |  WHERE len(list_filter(range(64), k ->
+       |    x.bits[CAST(k AS INT) + 1] != y.bits[CAST(k AS INT) + 1]))
+       |    <= $DHashMaxHamming),
+       |iedges AS (
+       |  SELECT i AS a, j AS b FROM ip UNION ALL SELECT j, i FROM ip),
+       |ireach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM iedges
+       |  UNION
+       |  SELECT r.a, e.b FROM ireach r JOIN iedges e ON r.b = e.a),
+       |idrop AS (SELECT a AS id FROM ireach GROUP BY a HAVING MIN(b) <> a),
+       |${audioPhCtesPre("a")},
+       |ap AS MATERIALIZED (
+       |  SELECT x.doc_id AS i, y.doc_id AS j
+       |  FROM aph x JOIN aph y ON x.doc_id < y.doc_id
+       |  WHERE len(list_filter(range(32), k ->
+       |    x.bits[CAST(k AS INT) + 1] != y.bits[CAST(k AS INT) + 1]))
+       |    <= $AudioMaxHamming),
+       |aedges AS (
+       |  SELECT i AS a, j AS b FROM ap UNION ALL SELECT j, i FROM ap),
+       |areach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM aedges
+       |  UNION
+       |  SELECT r.a, e.b FROM areach r JOIN aedges e ON r.b = e.a),
+       |adrop AS (SELECT a AS id FROM areach GROUP BY a HAVING MIN(b) <> a),
+       |parsed AS (
+       |  SELECT doc_id AS id,
+       |    CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+       |    CAST(least(length(text), $WavMaxFrames) AS BIGINT) * 1000 //
+       |      CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS dur_ms,
+       |    CAST(1 + doc_id % $BmpMaxW AS BIGINT) AS width,
+       |    CAST(1 + length(text) % 8 AS BIGINT) AS height,
+       |    CAST(list_sum(list_transform(
+       |      range(3 * (1 + doc_id % $PngMaxW) * (1 + length(text) % 6)),
+       |      k -> unicode(text[CAST(k % length(text) AS INT) + 1]) % 256))
+       |      AS BIGINT) AS pixel_sum
+       |  FROM documents WHERE length(text) >= 1)
+       |SELECT id, sample_rate, dur_ms, width, height, pixel_sum
+       |FROM parsed
+       |WHERE dur_ms >= $MediaMinDurMs AND width >= $MediaMinWidth
+       |  AND id NOT IN (SELECT id FROM idrop)
+       |  AND id NOT IN (SELECT id FROM adrop)
        |ORDER BY id""".stripMargin
 
   val multimodalFeaturesSql: String =

@@ -844,4 +844,57 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(two == 3L, "limit must bound the summed window")
   }
+
+  test("media_pipeline composition: a corrupt payload in ANY modality " +
+    "drops the item, gates select on parse-derived fields, cluster " +
+    "losers leave and survivors stay") {
+    import spark.implicits._
+    // Six hand-planted items. Texts are 64+ chars so dur_ms hits the
+    // full-frame values {8,4,2} by id%3; width = 1 + id%16.
+    val base = "x" * 64
+    def item(id: Long, text: String) =
+      (id, MultimodalOps.synthWav(id, text),
+        MultimodalOps.synthBmp(id, text), MultimodalOps.synthPng(id, text))
+    // id=3: sr=8000 -> dur 8ms OK; width 4 OK           -> survivor
+    // id=4: sr=16000 -> dur 4ms OK; width 5 OK          -> survivor
+    // id=5: sr=24000 -> dur 2ms < 3                     -> gate drop
+    // id=2: width 3 < 4                                 -> gate drop
+    // id=19: dur 4ms OK, width 4 OK                     -> cluster loser
+    // id=35: dur 8ms? 35%3=2 -> sr=24000 dur 2 — pick 36: 36%3=0 sr 8000
+    //        width 1+36%16=5 OK                         -> corrupt WAV
+    val rows = Seq(item(3L, base), item(4L, base + "y"), item(5L, base),
+      item(2L, base), item(19L, base), item(36L, base + "z"))
+    val corrupted = rows.map { case (id, w, b, p) =>
+      if (id == 36L) { val bad = w.clone(); bad(0) = 'X'.toByte
+        (id, bad, b, p) } else (id, w, b, p)
+    }
+    val wav = corrupted.map { case (i, w, _, _) => (i, w) }.toDF("id", "payload")
+    val bmp = corrupted.map { case (i, _, b, _) => (i, b) }.toDF("id", "payload")
+    val png = corrupted.map { case (i, _, _, p) => (i, p) }.toDF("id", "payload")
+    // synthetic cluster tables: 19 lost to keeper 4 in the image
+    // modality; audio has no clusters
+    val imgClusters = Seq((4L, 4L, 2L), (19L, 4L, 2L))
+      .toDF("id", "keep_id", "cluster_size")
+    val audClusters = Seq.empty[(Long, Long, Long)]
+      .toDF("id", "keep_id", "cluster_size")
+    val out = MultimodalOps.mediaPipelineOf(wav, bmp, png,
+      imgClusters, audClusters)
+    assert(out.columns.toSeq == Seq("id", "sample_rate", "dur_ms",
+      "width", "height", "pixel_sum"))
+    val got = out.collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 4L),
+      s"expected survivors {3, 4} (gate drops 2 and 5, image-cluster " +
+        s"loser drops 19, corrupt WAV drops 36), got $got")
+    // the registered row agrees with mediaPipelineOf over the planted
+    // corpus tables (same graphs, same gates)
+    val reg = operators.MultimodalOps.mediaPipeline(spark, dir)
+    val direct = MultimodalOps.mediaPipelineOf(
+      MultimodalOps.asWavTable(spark, dir).toDF("id", "payload"),
+      MultimodalOps.asBmpTable(spark, dir).toDF("id", "payload"),
+      MultimodalOps.asPngTable(spark, dir).toDF("id", "payload"),
+      MultimodalOps.dedupImageClusters(spark, dir),
+      MultimodalOps.dedupAudioClusters(spark, dir))
+    assert(reg.collect().toSeq == direct.collect().toSeq,
+      "registered media_pipeline must equal the frame-level composition")
+  }
 }
