@@ -208,8 +208,10 @@ object Bench {
       "ann_ivf_probe_recall", "ann_lsh_probe_recall",
       "semdedup_scaled_audit", "semdedup_shortlist_audit",
       "events_quantiles_audit",
-      // round-9: the end-to-end binary-catalog composition row
-      "media_pipeline")
+      // round-9: the end-to-end binary-catalog composition row and
+      // the baseline-JPEG Huffman-scan decode (per-row linear like
+      // multimodal_meta)
+      "media_pipeline", "multimodal_jpeg")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up

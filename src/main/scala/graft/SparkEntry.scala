@@ -270,6 +270,11 @@ object SparkEntry {
     // image+audio near-dup cluster losers → cleaned catalog (the
     // pretrain_pipeline of the multimodal side)
     "media_pipeline" -> (MultimodalOps.mediaPipeline _),
+    // fourth real format, the second entropy-coded one: baseline-DCT
+    // JFIF with a real Huffman scan decode (marker walk, DHT canonical
+    // tables, DC diff + AC run/size, FF00 unstuffing); the oracle
+    // replays the dequantized DC sum through the entropy round-trip
+    "multimodal_jpeg" -> (JpegOps.multimodalJpeg _),
     "text_classifier" -> (TextClassifier.classify _),
     "phone_to_url" -> (PhoneToUrl.phoneToUrl _),
   )
@@ -433,5 +438,6 @@ object SparkEntry {
     "dedup_image_clusters" -> MultimodalOps.dedupImageClustersSql,
     "dedup_audio_clusters" -> MultimodalOps.dedupAudioClustersSql,
     "media_pipeline" -> MultimodalOps.mediaPipelineSql,
+    "multimodal_jpeg" -> JpegOps.multimodalJpegSql,
   )
 }
