@@ -1094,8 +1094,9 @@ object MultimodalOps {
     * labels — factored so specs can feed corrupted payloads and
     * synthetic cluster tables. Stages (each reusing the exact contract
     * its standalone row oracles):
-    *   A. parse all three formats ([[parseWav]]/[[parseBmp]]/
-    *      [[parsePng]]) and DROP invalid payloads: a corrupt payload
+    *   A. parse all FOUR formats ([[parseWav]]/[[parseBmp]]/
+    *      [[parsePng]]/[[JpegOps.parseJpeg]]) and DROP invalid
+    *      payloads: a corrupt payload
     *      fails its `chk_ok` gate (false on structural violations,
     *      null on truncation — both filtered) in ANY modality and
     *      leaves the catalog;
@@ -1114,15 +1115,18 @@ object MultimodalOps {
     * relations from the memoized fingerprint graphs (zero extra corpus
     * scans); the two loser sides are anti-joins on id. */
   def mediaPipelineOf(wav: DataFrame, bmp: DataFrame, png: DataFrame,
-      imgClusters: DataFrame, audClusters: DataFrame): DataFrame = {
+      jpeg: DataFrame, imgClusters: DataFrame,
+      audClusters: DataFrame): DataFrame = {
     val w = parseWav(wav).select(col("id"), col("sample_rate"),
       col("dur_ms"), col("chk_ok").as("wok"))
     val b = parseBmp(bmp).select(col("id"), col("width"), col("height"),
       col("chk_ok").as("bok"))
     val p = parsePng(png).select(col("id"), col("pixel_sum"),
       col("chk_ok").as("pok"))
-    val gated = w.join(b, Seq("id")).join(p, Seq("id"))
-      .filter(col("wok") && col("bok") && col("pok") &&
+    val j = JpegOps.parseJpeg(jpeg).select(col("id"), col("dc_sum"),
+      col("chk_ok").as("jok"))
+    val gated = w.join(b, Seq("id")).join(p, Seq("id")).join(j, Seq("id"))
+      .filter(col("wok") && col("bok") && col("pok") && col("jok") &&
         col("dur_ms") >= MediaMinDurMs && col("width") >= MediaMinWidth)
     val imgLosers = imgClusters.filter(col("id") =!= col("keep_id"))
       .select(col("id"))
@@ -1131,13 +1135,13 @@ object MultimodalOps {
     gated.join(imgLosers, Seq("id"), "left_anti")
       .join(audLosers, Seq("id"), "left_anti")
       .select(col("id"), col("sample_rate"), col("dur_ms"),
-        col("width"), col("height"), col("pixel_sum"))
+        col("width"), col("height"), col("pixel_sum"), col("dc_sum"))
       .orderBy(col("id"))
   }
 
   /** Registered query: the end-to-end multimodal assembly — the
     * pretrain_pipeline of the binary catalog (round-8 verdict #3).
-    * ONE corpus scan feeds all three payload legs (the (doc_id, text)
+    * ONE corpus scan feeds all four payload legs (the (doc_id, text)
     * relation is localCheckpoint'd, so the final plan reads the
     * materialized RDD — PlanSpec pins zero parquet scans); the cluster
     * labels consume the SAME memoized fingerprint graphs the
@@ -1161,8 +1165,44 @@ object MultimodalOps {
         .toDF("id", "payload"),
       ds.map { case (id, t) => PngBlob(id, synthPng(id, t)) }
         .toDF("id", "payload"),
+      ds.map { case (id, t) =>
+        JpegOps.JpegBlob(id, JpegOps.synthJpeg(id, t)) }
+        .toDF("id", "payload"),
       dedupImageClusters(spark, dir),
       dedupAudioClusters(spark, dir))
+  }
+
+  /** Uniform multi-format metadata extraction over a mixed
+    * (id, fmt, payload) frame — the shared code path of the batch
+    * catalog AND [[graft.streaming.IngestStreaming.mediaMetaStream]]
+    * (stream ≡ batch by construction). Each format leg runs its real
+    * parser; the output is one uniform row per payload:
+    * (id, fmt, chk_ok, width, height, dur_ms, content_sum) with NULL
+    * where a field has no meaning for the format (audio has no
+    * width; images have no duration). content_sum is the format's
+    * content witness: pcm_sum / row0_sum / pixel_sum / dc_sum. */
+  def mediaMetaOf(batch: DataFrame): DataFrame = {
+    val nulL = lit(null).cast("long")
+    def leg(f: String)(parse: DataFrame => DataFrame): DataFrame =
+      parse(batch.filter(col("fmt") === f).select(col("id"),
+        col("payload")))
+    val w = leg("wav")(parseWav)
+      .select(col("id"), lit("wav").as("fmt"), col("chk_ok"),
+        nulL.as("width"), nulL.as("height"), col("dur_ms"),
+        col("pcm_sum").as("content_sum"))
+    val b = leg("bmp")(parseBmp)
+      .select(col("id"), lit("bmp").as("fmt"), col("chk_ok"),
+        col("width"), col("height"), nulL.as("dur_ms"),
+        col("row0_sum").as("content_sum"))
+    val p = leg("png")(parsePng)
+      .select(col("id"), lit("png").as("fmt"), col("chk_ok"),
+        col("width"), col("height"), nulL.as("dur_ms"),
+        col("pixel_sum").as("content_sum"))
+    val j = leg("jpeg")(JpegOps.parseJpeg)
+      .select(col("id"), lit("jpeg").as("fmt"), col("chk_ok"),
+        col("width"), col("height"), nulL.as("dur_ms"),
+        col("dc_sum").as("content_sum"))
+    w.unionAll(b).unionAll(p).unionAll(j)
   }
 
   /** Composed replay: parse-field derivations from (doc_id, text) +
@@ -1208,9 +1248,14 @@ object MultimodalOps {
        |    CAST(list_sum(list_transform(
        |      range(3 * (1 + doc_id % $PngMaxW) * (1 + length(text) % 6)),
        |      k -> unicode(text[CAST(k % length(text) AS INT) + 1]) % 256))
-       |      AS BIGINT) AS pixel_sum
+       |      AS BIGINT) AS pixel_sum,
+       |    CAST(list_sum(list_transform(
+       |      range((1 + doc_id % ${JpegOps.JpegMaxBw}) *
+       |            (1 + length(text) % 2)),
+       |      b -> 8 * (unicode(text[CAST(b % length(text) AS INT) + 1])
+       |        % 256 - 128))) AS BIGINT) AS dc_sum
        |  FROM documents WHERE length(text) >= 1)
-       |SELECT id, sample_rate, dur_ms, width, height, pixel_sum
+       |SELECT id, sample_rate, dur_ms, width, height, pixel_sum, dc_sum
        |FROM parsed
        |WHERE dur_ms >= $MediaMinDurMs AND width >= $MediaMinWidth
        |  AND id NOT IN (SELECT id FROM idrop)

@@ -265,6 +265,43 @@ object IngestStreaming {
     cmsCellsOf(
       spark.readStream.schema(DocSchema).parquet(docsDir), depth, width)
 
+  /** Streaming multi-format media metadata extraction — the ingest
+    * twin of the media_pipeline parse stage: mixed (id, fmt, payload)
+    * binary records land continuously and each micro-batch is
+    * dispatched per format to the SAME parsers the batch catalog runs
+    * ([[graft.operators.MultimodalOps.mediaMetaOf]] is shared
+    * verbatim — WAV/BMP byte arithmetic, PNG inflate, JPEG Huffman
+    * scan), appending one uniform metadata row per payload (chk_ok
+    * false/null marks corrupt arrivals for the downstream gate).
+    *
+    * foreachBatch because two parsers are mapPartitions batch decodes
+    * ending in a sort — batch semantics scoped to the micro-batch,
+    * exactly the per-arrival cost model. State held by the stream:
+    * none (every batch independent; only the source offset log).
+    * Delivery at-least-once on retry; a production sink dedups on
+    * (id, fmt) or uses a transactional table format. Scale: per-batch
+    * cost ∝ arrival bytes, decoder instances per partition, no
+    * shuffle before the append. */
+  def mediaMetaStream(spark: SparkSession, landingDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream
+      .schema("id LONG, fmt STRING, payload BINARY")
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.MultimodalOps.mediaMetaOf(batch)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming length-profile drift — the incremental twin of the
     * batch KS detector ([[graft.operators.TextAnalysis.driftKs]]):
     * the per-source n_chars histogram as a plain streaming

@@ -380,16 +380,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("media_pipeline: one corpus scan total — the checkpointed " +
-    "(doc_id, text) relation feeds all three payload legs; labels " +
+    "(doc_id, text) relation feeds all four payload legs; labels " +
     "arrive from the memoized fingerprint graphs") {
     // The single documents FileScan runs INSIDE the base
     // localCheckpoint; the final plan must contain ZERO parquet scans
-    // (a parse leg re-scanning the corpus would triple the heaviest
-    // stage) and read the materialized RDD once per leg.
+    // (a parse leg re-scanning the corpus would quadruple the
+    // heaviest stage) and read the materialized RDD once per leg.
     val p = plan(operators.MultimodalOps.mediaPipeline(spark, dir))
     assert("Scan parquet".r.findAllIn(p).isEmpty,
       s"a payload leg re-scans the corpus:\n$p")
-    assert("Scan ExistingRDD".r.findAllIn(p).size >= 3,
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 4,
       s"payload legs no longer share the checkpointed corpus:\n$p")
   }
 

@@ -854,7 +854,8 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val base = "x" * 64
     def item(id: Long, text: String) =
       (id, MultimodalOps.synthWav(id, text),
-        MultimodalOps.synthBmp(id, text), MultimodalOps.synthPng(id, text))
+        MultimodalOps.synthBmp(id, text), MultimodalOps.synthPng(id, text),
+        operators.JpegOps.synthJpeg(id, text))
     // id=3: sr=8000 -> dur 8ms OK; width 4 OK           -> survivor
     // id=4: sr=16000 -> dur 4ms OK; width 5 OK          -> survivor
     // id=5: sr=24000 -> dur 2ms < 3                     -> gate drop
@@ -864,23 +865,28 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     //        width 1+36%16=5 OK                         -> corrupt WAV
     val rows = Seq(item(3L, base), item(4L, base + "y"), item(5L, base),
       item(2L, base), item(19L, base), item(36L, base + "z"))
-    val corrupted = rows.map { case (id, w, b, p) =>
+    val corrupted = rows.map { case (id, w, b, p, jj) =>
       if (id == 36L) { val bad = w.clone(); bad(0) = 'X'.toByte
-        (id, bad, b, p) } else (id, w, b, p)
+        (id, bad, b, p, jj) } else (id, w, b, p, jj)
     }
-    val wav = corrupted.map { case (i, w, _, _) => (i, w) }.toDF("id", "payload")
-    val bmp = corrupted.map { case (i, _, b, _) => (i, b) }.toDF("id", "payload")
-    val png = corrupted.map { case (i, _, _, p) => (i, p) }.toDF("id", "payload")
+    val wav = corrupted.map { case (i, w, _, _, _) => (i, w) }
+      .toDF("id", "payload")
+    val bmp = corrupted.map { case (i, _, b, _, _) => (i, b) }
+      .toDF("id", "payload")
+    val png = corrupted.map { case (i, _, _, p, _) => (i, p) }
+      .toDF("id", "payload")
+    val jpg = corrupted.map { case (i, _, _, _, jj) => (i, jj) }
+      .toDF("id", "payload")
     // synthetic cluster tables: 19 lost to keeper 4 in the image
     // modality; audio has no clusters
     val imgClusters = Seq((4L, 4L, 2L), (19L, 4L, 2L))
       .toDF("id", "keep_id", "cluster_size")
     val audClusters = Seq.empty[(Long, Long, Long)]
       .toDF("id", "keep_id", "cluster_size")
-    val out = MultimodalOps.mediaPipelineOf(wav, bmp, png,
+    val out = MultimodalOps.mediaPipelineOf(wav, bmp, png, jpg,
       imgClusters, audClusters)
     assert(out.columns.toSeq == Seq("id", "sample_rate", "dur_ms",
-      "width", "height", "pixel_sum"))
+      "width", "height", "pixel_sum", "dc_sum"))
     val got = out.collect().map(_.getLong(0)).toSeq
     assert(got == Seq(3L, 4L),
       s"expected survivors {3, 4} (gate drops 2 and 5, image-cluster " +
@@ -892,9 +898,57 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       MultimodalOps.asWavTable(spark, dir).toDF("id", "payload"),
       MultimodalOps.asBmpTable(spark, dir).toDF("id", "payload"),
       MultimodalOps.asPngTable(spark, dir).toDF("id", "payload"),
+      operators.JpegOps.asJpegTable(spark, dir).toDF("id", "payload"),
       MultimodalOps.dedupImageClusters(spark, dir),
       MultimodalOps.dedupAudioClusters(spark, dir))
     assert(reg.collect().toSeq == direct.collect().toSeq,
       "registered media_pipeline must equal the frame-level composition")
+  }
+
+  test("streaming media metadata: mixed-format micro-batches run the " +
+    "SAME parsers as the batch path (stream == batch), corrupt " +
+    "arrivals land flagged, stream holds no state") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val docs = (1L to 8L).map(i => (i, "doc" + i + " " + ("x" * 40)))
+    val rows = docs.flatMap { case (id, t) => Seq(
+      (id, "wav", MultimodalOps.synthWav(id, t)),
+      (id, "bmp", MultimodalOps.synthBmp(id, t)),
+      (id, "png", MultimodalOps.synthPng(id, t)),
+      (id, "jpeg", operators.JpegOps.synthJpeg(id, t))) }
+    val all = rows :+ ((99L, "wav", Array[Byte](1, 2, 3))) // corrupt
+    // stage two landing files so maxFilesPerTrigger=1 forces two
+    // micro-batches (FileStreamSource wants plain files in a dir)
+    val landing = Files.createTempDirectory("graft_media_stream")
+    val (h1, h2) = all.splitAt(all.size / 2)
+    Seq(h1 -> "f1", h2 -> "f2").foreach { case (half, nm) =>
+      val tmp = Files.createTempDirectory(s"graft_media_$nm").toString
+      half.toDF("id", "fmt", "payload").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, landing.resolve(s"$nm.parquet"))
+    }
+    val out = Files.createTempDirectory("graft_media_out").toString
+    val ckpt = Files.createTempDirectory("graft_media_ckpt").toString
+    val q = graft.streaming.IngestStreaming.mediaMetaStream(spark,
+      landing.toString, out, ckpt, maxFilesPerTrigger = Some(1))
+    try q.awaitTermination() finally q.stop()
+    def tup(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) 0L else r.getLong(6))
+    }.toSeq.sorted
+    val got = tup(spark.read.parquet(out))
+    val want = tup(MultimodalOps.mediaMetaOf(
+      all.toDF("id", "fmt", "payload")))
+    assert(want.size == all.size, "one uniform row per payload")
+    assert(got == want,
+      "two micro-batches must reproduce the batch metadata exactly " +
+        "(mediaMetaOf is the shared code path; batches independent)")
+    assert(got.count(!_._3) == 1 && !got.find(_._1 == 99L).get._3,
+      "the corrupt arrival must land with chk_ok=false")
   }
 }
