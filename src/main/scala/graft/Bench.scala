@@ -126,6 +126,12 @@ object Bench {
           MultimodalOps.imageFpGraphFor(spark, dir)._2.count()
           MultimodalOps.audioFpGraphFor(spark, dir)._2.count(); ()
         },
+        // r9: the media cluster labels persist (ArtifactStore) — a
+        // warm artifact dir shows near-zero here, the restart story
+        timed("media_labels") {
+          MultimodalOps.imageClusterLabels(spark, dir).count()
+          MultimodalOps.audioClusterLabels(spark, dir).count(); ()
+        },
         timed("bpe_learner") {
           BpeOps.learnedForDir(spark, dir, BpeOps.Merges); ()
         })

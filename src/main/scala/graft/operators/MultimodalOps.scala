@@ -583,6 +583,52 @@ object MultimodalOps {
     expandPairs(h, verified)
   }
 
+  /** Per-(session, dir) memos of the PERSISTED media cluster labels —
+    * the [[graft.operators.DedupOps.clusterLabels]] treatment applied
+    * to the image/audio modalities (r9: the media labels were the one
+    * prep product a fresh session still re-derived from the
+    * fingerprint graphs; now a restart pays a metadata stat + scan).
+    * Keyed by the documents fingerprint + the fingerprint-family
+    * parameters; the artifact read is localCheckpoint'd so consumer
+    * plans are materialized-relation-shaped whether built or loaded
+    * (media_pipeline's zero-parquet-scan PlanSpec pin). */
+  private val imageLabelMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+  private val audioLabelMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  private[graft] def clearMediaLabelMemos(): Unit = {
+    imageLabelMemo.clear(); audioLabelMemo.clear()
+  }
+
+  private[graft] def imageClusterLabels(spark: SparkSession,
+      dir: String): DataFrame = {
+    Memos.purgeStopped(imageLabelMemo)
+    imageLabelMemo.computeIfAbsent((spark, dir), k =>
+      graft.sources.ArtifactStore.loadOrBuild(k._1, "media_labels_image",
+        Seq(k._2,
+          graft.sources.ArtifactStore.tableFingerprint(k._1, k._2,
+            "documents"),
+          s"dhash=${DHashRows}x$DHashCols,ham=$DHashMaxHamming"))(
+        (fpClusters _).tupled(imageFpGraphFor(k._1, k._2)))
+        .localCheckpoint())
+  }
+
+  private[graft] def audioClusterLabels(spark: SparkSession,
+      dir: String): DataFrame = {
+    Memos.purgeStopped(audioLabelMemo)
+    audioLabelMemo.computeIfAbsent((spark, dir), k =>
+      graft.sources.ArtifactStore.loadOrBuild(k._1, "media_labels_audio",
+        Seq(k._2,
+          graft.sources.ArtifactStore.tableFingerprint(k._1, k._2,
+            "documents"),
+          s"win=$AudioWindows,ham=$AudioMaxHamming"))(
+        (fpClusters _).tupled(audioFpGraphFor(k._1, k._2)))
+        .localCheckpoint())
+  }
+
   /** Registered query: per-image near-dup CLUSTER LABELS
     * (id, keep_id, cluster_size) — one row per image with ≥1
     * near-duplicate, keep_id = the component-min survivor. The
@@ -591,9 +637,10 @@ object MultimodalOps {
     * graph (the dedup_clusters precedent) — image-level closure over
     * expanded pairs and fingerprint-level closure expanded to members
     * are the same partition, since ham(i,j) is a function of the two
-    * fingerprints alone. */
+    * fingerprints alone. Labels persist across sessions (see
+    * [[imageClusterLabels]]). */
   def dedupImageClusters(spark: SparkSession, dir: String): DataFrame =
-    (fpClusters _).tupled(imageFpGraphFor(spark, dir))
+    imageClusterLabels(spark, dir).orderBy(col("id"))
 
   // ------------- audio fingerprint near-dup (window-sum hash) ------
 
@@ -716,9 +763,10 @@ object MultimodalOps {
 
   /** Registered query: per-recording near-dup CLUSTER LABELS — the
     * corpus-linear audio deliverable ([[fpClusters]] over the audio
-    * fingerprint graph; see [[dedupImageClusters]]). */
+    * fingerprint graph; see [[dedupImageClusters]]); persisted like
+    * the image labels. */
   def dedupAudioClusters(spark: SparkSession, dir: String): DataFrame =
-    (fpClusters _).tupled(audioFpGraphFor(spark, dir))
+    audioClusterLabels(spark, dir).orderBy(col("id"))
 
   // ------------- PNG — the entropy-coded third format -------------
 
