@@ -292,11 +292,21 @@ object EventQueries {
       .select(col("event_type"), col("n_events"),
         expr("stack(3, CAST(50 AS BIGINT), p50, CAST(95 AS BIGINT), " +
           "p95, CAST(99 AS BIGINT), p99) AS (pct, av)"))
-    e.join(broadcast(melted), Seq("event_type"))
+    val ranked = e.join(broadcast(melted), Seq("event_type"))
       .groupBy(col("event_type"), col("pct"), col("n_events"))
       .agg(
         sum(when(col("value") < col("av"), 1L).otherwise(0L)).as("lo"),
         sum(when(col("value") <= col("av"), 1L).otherwise(0L)).as("hi"))
+    // left-join back FROM melted (r9 advice): an event_type whose
+    // values are ALL NULL has n_events=0 and no surviving rank rows —
+    // the inner join would drop it while the oracle still emits a
+    // (type, pct, 0, TRUE) row. Restore it with lo=hi=0 and a
+    // vacuously-true gate (no data, nothing to straddle). Both sides
+    // of this repair join are |types|×3 — broadcast, never a shuffle.
+    melted.select(col("event_type"), col("pct"), col("n_events"))
+      .join(broadcast(ranked), Seq("event_type", "pct", "n_events"), "left")
+      .withColumn("lo", coalesce(col("lo"), lit(0L)))
+      .withColumn("hi", coalesce(col("hi"), lit(0L)))
       // target rank r* = ⌈q·n⌉ — Spark's QuantileSummaries.query
       // convention — with a 2·ε·n band: the sketch guarantees its
       // INTERNAL (minRank, maxRank) straddle r* within ε·n, and the
@@ -309,10 +319,11 @@ object EventQueries {
       .withColumn("rstar",
         expr("(pct * n_events + 99) DIV 100")) // ceil, positive args
       .select(col("event_type"), col("pct"), col("n_events"),
-        (col("hi") * accuracy >=
-          col("rstar") * accuracy - col("n_events") * 2L &&
-         (col("lo") + 1L) * accuracy <=
-          col("rstar") * accuracy + col("n_events") * 2L)
+        (col("n_events") === 0L ||
+         (col("hi") * accuracy >=
+           col("rstar") * accuracy - col("n_events") * 2L &&
+          (col("lo") + 1L) * accuracy <=
+           col("rstar") * accuracy + col("n_events") * 2L))
           .as("within_gate"))
       .orderBy(col("event_type"), col("pct"))
   }

@@ -333,7 +333,14 @@ object JpegOps {
                 val run = (sym >> 4) & 0xF
                 val size = sym & 0xF
                 if (size == 0) {
-                  if (run == 15) k += 16 // ZRL
+                  if (run == 15) {
+                    k += 16 // ZRL: sixteen zero coefficients
+                    // T.81 forbids a zero run crossing the block
+                    // boundary — excess ZRLs past coefficient 63 are
+                    // a structural violation, not a silent loop exit
+                    // (mirrors the size>0 path's k>63 check; r9 advice)
+                    if (k > 64) return bad
+                  }
                   else eob = true        // EOB
                 } else {
                   k += run

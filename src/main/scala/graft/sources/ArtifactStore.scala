@@ -42,11 +42,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (new code never reads them), (b) artifacts of the SAME source dir
   * and parameters under a DIFFERENT fingerprint (the source table was
   * regenerated; any concurrent reader re-keys to the new fingerprint
-  * too), (c) artifacts older than [[ttlMs]] (default 14 days,
+  * too) — GRACE-DELAYED: the first sweep that sees a superseded
+  * artifact only stamps a `_GRAFT_SUPERSEDED` tombstone, and deletion
+  * waits until the tombstone is older than [[tmpGraceMs]], so a
+  * concurrent JVM holding a lazy `spark.read.parquet` handle keyed to
+  * the old fingerprint gets a full grace window to materialize
+  * instead of dying mid-scan on FileNotFoundException (r9 advice) —
+  * (c) artifacts older than [[ttlMs]] (default 14 days,
   * `SPARK_GRAFT_ARTIFACT_TTL_MS`), and (d) orphaned `.tmp-*` dirs
-  * from crashed builders once older than [[tmpGraceMs]]. Dirs younger
-  * than the grace period with an unreadable meta are left alone
-  * (a concurrent builder may be mid-commit). `sweepAll` is the
+  * from crashed builders once older than [[tmpGraceMs]]. A dir
+  * carrying `_SUCCESS` but no meta sidecar is a COMPLETED artifact
+  * from the pre-meta format, not a mid-commit orphan: it is
+  * legacy-live and only the TTL rule may reclaim it (r9 advice — the
+  * grace rule was silently discarding live persisted products on
+  * upgrade); a dir with NEITHER `_SUCCESS` nor meta may be a
+  * concurrent builder mid-commit and is left alone until the grace
+  * period passes. `sweepAll` is the
   * standalone maintenance entry (version + TTL + orphan rules over
   * every kind). Live same-version, in-TTL artifacts of OTHER corpora
   * are never touched — concurrent readers stay safe.
@@ -200,9 +211,15 @@ object ArtifactStore {
             keep.exists(k => new Path(k).getName == p.getName)) false
         else if (isTmp) now - st.getModificationTime > tmpGraceMs
         else readMeta(spark, p.toString) match {
+          case None if fs.exists(new Path(p, "_SUCCESS")) =>
+            // _SUCCESS but no meta: a COMPLETED pre-meta-format
+            // artifact, not a mid-commit orphan — legacy-live, only
+            // the TTL backstop reclaims it (r9 advice: the grace rule
+            // was deleting live products one hour after an upgrade)
+            now - st.getModificationTime > ttlMs
           case None =>
-            // meta-less: pre-meta-format artifact or a mid-commit
-            // concurrent builder — reclaim only past the grace period
+            // neither _SUCCESS nor meta: a concurrent builder may be
+            // mid-commit — reclaim only past the grace period
             now - st.getModificationTime > tmpGraceMs
           case Some(m) =>
             val age = now - m.get("created").flatMap(_.toLongOption)
@@ -214,11 +231,36 @@ object ArtifactStore {
                 key.drop(2).toSeq == kp.drop(2) &&
                 key(1) != kp(1)
             }
-            m.get("version") != Some(Version) || superseded || age > ttlMs
+            if (m.get("version") != Some(Version) || age > ttlMs) true
+            else {
+              // grace-delay supersede deletions (r9 advice): a
+              // concurrent JVM may hold a lazy reader keyed to the
+              // old fingerprint — the sweep that DETECTS a superseded
+              // artifact only stamps a tombstone; the artifact is
+              // reclaimed by any later sweep (incl. sweepAll) once
+              // the tombstone has aged past the grace window, giving
+              // in-flight scans time to materialize
+              val t = new Path(p, SupersededFile)
+              val tombAge = try {
+                if (fs.exists(t))
+                  Some(now - fs.getFileStatus(t).getModificationTime)
+                else None
+              } catch { case scala.util.control.NonFatal(_) => None }
+              tombAge match {
+                case Some(a) => a > tmpGraceMs
+                case None =>
+                  if (superseded)
+                    try fs.create(t, true).close()
+                    catch { case scala.util.control.NonFatal(_) => () }
+                  false
+              }
+            }
         }
       if (stale && fs.delete(p, true)) swept += 1
     }
   }
+
+  private val SupersededFile = "_GRAFT_SUPERSEDED"
 
   /** Standalone maintenance entry: version + TTL + orphan-tmp rules
     * over every kind under [[root]] (no supersede rule — that needs a

@@ -132,9 +132,10 @@ class ArtifactStoreSpec extends AnyFunSuite {
     d
   }
 
-  test("sweep on a loadOrBuild miss reclaims version-mismatched, " +
-    "superseded-fingerprint, and TTL-expired artifacts — and leaves " +
-    "live same-version keys and young mid-commit dirs alone") {
+  test("sweep on a loadOrBuild miss reclaims version-mismatched and " +
+    "TTL-expired artifacts, grace-delays superseded-fingerprint ones " +
+    "behind a tombstone, and leaves live same-version keys, legacy " +
+    "pre-meta artifacts, and young mid-commit dirs alone") {
     import spark.implicits._
     val kind = s"sweeptest_${java.util.UUID.randomUUID().toString.take(8)}"
     val now = System.currentTimeMillis()
@@ -150,26 +151,67 @@ class ArtifactStoreSpec extends AnyFunSuite {
       now - ArtifactStore.ttlMs - 3600 * 1000)
     val freshOther = plant(kind, "freshother", Some(ArtifactStore.Version),
       Seq("/other/corpus", "fpY", "p=1"), now)
-    // meta-less young dir = a concurrent builder mid-commit (or a
-    // pre-meta artifact): protected by the grace period
-    val youngNoMeta = plant(kind, "youngnometa", None, Nil, now)
+    // _SUCCESS but no meta = a COMPLETED pre-meta-format artifact:
+    // legacy-live, only the TTL backstop may reclaim it (r9 advice)
+    val legacyLive = plant(kind, "legacylive", None, Nil, now)
+    // neither _SUCCESS nor meta = a mid-commit concurrent builder:
+    // grace-protected
+    val midCommit = s"${ArtifactStore.root}/$kind/midcommit"
+    hfs(midCommit).mkdirs(new org.apache.hadoop.fs.Path(midCommit))
     val live = Seq(src, "fpNEW", "p=1")
     ArtifactStore.loadOrBuild(spark, kind, live)(
       Seq(1L, 2L, 3L).toDF("x"))
     assert(!exists(staleVer), "other-Version artifact must be swept")
-    assert(!exists(superseded),
-      "same (dir, params) under an older fingerprint must be swept")
     assert(!exists(expired), "TTL-expired artifact must be swept")
+    assert(exists(superseded),
+      "a superseded artifact must SURVIVE its first sweep — a " +
+        "concurrent lazy reader on the old fingerprint gets the " +
+        "grace window to materialize (r9 advice)")
+    assert(exists(s"$superseded/_GRAFT_SUPERSEDED"),
+      "first sweep stamps the supersede tombstone")
     assert(exists(otherParams),
       "same dir but different params is a different logical product")
     assert(exists(freshOther),
       "live same-version artifact of another corpus must survive")
-    assert(exists(youngNoMeta),
-      "young meta-less dir may be a mid-commit builder — grace-protected")
+    assert(exists(legacyLive),
+      "completed pre-meta artifact is legacy-live, not an orphan")
+    assert(exists(midCommit),
+      "young dir without _SUCCESS may be a mid-commit builder — " +
+        "grace-protected")
     assert(exists(ArtifactStore.pathFor(kind, live)))
+    // age the tombstone past the grace window: ANY later sweep (here
+    // the standalone maintenance entry, which has no live key) must
+    // now reclaim the superseded artifact
+    hfs(superseded).setTimes(
+      new org.apache.hadoop.fs.Path(s"$superseded/_GRAFT_SUPERSEDED"),
+      now - 2 * 3600 * 1000, -1)
+    ArtifactStore.sweepAll(spark)
+    assert(!exists(superseded),
+      "a tombstone older than the grace window is reclaimable even " +
+        "by a liveless sweep")
+    assert(exists(legacyLive) && exists(freshOther) && exists(otherParams),
+      "sweepAll must not touch live or legacy artifacts")
     // the rebuilt artifact reads back
     assert(ArtifactStore.loadOrBuild(spark, kind, live)(
       sys.error("must not rebuild")).count() == 3)
+  }
+
+  test("legacy pre-meta artifact older than the TTL is reclaimed by " +
+    "the TTL backstop (but never by the one-hour grace rule)") {
+    val kind = s"legacyttl_${java.util.UUID.randomUUID().toString.take(8)}"
+    val now = System.currentTimeMillis()
+    val old = plant(kind, "oldlegacy", None, Nil, now)
+    val oldP = new org.apache.hadoop.fs.Path(old)
+    // older than the grace window but inside the TTL: must survive
+    hfs(old).setTimes(oldP, now - 3 * 3600 * 1000, -1)
+    ArtifactStore.sweepKind(spark, kind, None)
+    assert(exists(old),
+      "in-TTL legacy artifact must survive a sweep (grace rule must " +
+        "not apply to completed pre-meta artifacts)")
+    // older than the TTL: the backstop reclaims it
+    hfs(old).setTimes(oldP, now - ArtifactStore.ttlMs - 3600 * 1000, -1)
+    ArtifactStore.sweepKind(spark, kind, None)
+    assert(!exists(old), "TTL backstop applies to legacy artifacts")
   }
 
   test("commit: losing the publish race deletes the loser's tmp and " +

@@ -65,6 +65,36 @@ class JpegSpec extends AnyFunSuite {
     assert(m.dc_sum == 0L, "flat-zero DC with one AC coefficient")
   }
 
+  test("excess ZRLs past coefficient 63 are a structural violation: " +
+    "chk_ok=false, not a silent block-loop exit (r9 advice)") {
+    // Same hand-built single-block scaffold as the AC test, but the
+    // custom AC table maps code "0" to ZRL (0xF0) and "10" to EOB.
+    // Four ZRLs from k=1 land k at 65 — T.81 forbids a zero run
+    // crossing the block boundary, so the decode must flag the stream
+    // even though the bytes that follow look like a clean EOI.
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    def marker(m: Int, payload: Array[Byte]): Unit = {
+      out += 0xFF.toByte += m.toByte
+      val len = payload.length + 2
+      out += (len >> 8).toByte += (len & 0xFF).toByte
+      out ++= payload
+    }
+    out += 0xFF.toByte += 0xD8.toByte
+    marker(0xDB, 0x00.toByte +: Array.fill(64)(1.toByte))
+    marker(0xC0, Array[Byte](8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    val acBits = Array(1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acVals = Array(0xF0.toByte, 0x00.toByte) // "0"→ZRL, "10"→EOB
+    marker(0xC4,
+      (0x00.toByte +: (JpegOps.DcBits.map(_.toByte) ++ JpegOps.DcVals)) ++
+      (0x10.toByte +: (acBits.map(_.toByte) ++ acVals)))
+    marker(0xDA, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    // DC cat0 ("00") + four ZRLs ("0"×4) + pad "11" → 0x03
+    out += 0x03.toByte
+    out += 0xFF.toByte += 0xD9.toByte
+    assert(!JpegOps.decodeJpeg(8L, out.toArray).chk_ok,
+      "a zero run crossing the block boundary must land in chk_ok=false")
+  }
+
   test("decode is total on corruption: every structural violation " +
     "lands in chk_ok=false, never a throw") {
     val good = JpegOps.synthJpeg(5L, "hello world")

@@ -59,6 +59,32 @@ class NullRobustnessSpec extends AnyFunSuite {
     out
   }
 
+  test("eventsQuantilesAudit emits (type, pct, 0, TRUE) rows for an " +
+    "event_type whose values are ALL NULL — matching the oracle, " +
+    "which never drops the group (r9 advice)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-allnull-events").toString
+    val ev = spark.read.parquet(s"${SparkFixture.Sf0001}/events.parquet")
+    ev.unionByName(ev.limit(2).select(
+        (col("event_id") + 900000L).as("event_id"),
+        col("ts"), col("user_id"), lit("allnulltype").as("event_type"),
+        lit(null).cast(ev.schema("value").dataType).as("value"),
+        col("props")))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val rows = graft.operators.EventQueries
+      .eventsQuantilesAudit(spark, out)
+      .where(col("event_type") === "allnulltype")
+      .collect()
+    assert(rows.length == 3,
+      "all-NULL type must keep its three pct rows (inner join dropped " +
+        s"them pre-fix): got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") == 0L)
+      assert(r.getAs[Boolean]("within_gate"),
+        "empty group gate is vacuously true, as the oracle emits")
+    }
+  }
+
   test("every registered query is total on a null-bearing corpus") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, f) =>
