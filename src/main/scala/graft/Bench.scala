@@ -223,7 +223,16 @@ object Bench {
       // round-9: the end-to-end binary-catalog composition row and
       // the baseline-JPEG Huffman-scan decode (per-row linear like
       // multimodal_meta)
-      "media_pipeline", "multimodal_jpeg")
+      "media_pipeline", "multimodal_jpeg",
+      // round-10: the regex scrub pass (single scan, per-row codegen'd
+      // match/replace — should sit with the linear scan anchors), and
+      // the bucketized interval join (per-(user,hour) candidate bound;
+      // Blowup's shifted users keep pair growth linear at 10×)
+      "pii_detect", "pii_redact", "events_interval_join",
+      // round-10: CDC chunk dup-mass — one codegen'd chunking scan +
+      // chunk-degree shuffle (~1/16 of corpus rows), no pair join;
+      // output |sources| rows at any size
+      "dedup_cdc")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up

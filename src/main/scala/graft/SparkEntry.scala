@@ -141,8 +141,16 @@ object SparkEntry {
     "dedup_minhash" -> (DedupOps.dedupMinhash _),
     "dedup_ingest" -> (DedupOps.dedupIngest _),
     "ingest_jsonl" -> (graft.sources.JsonlZst.ingestJsonl _),
+    "ingest_csv" -> (graft.sources.CsvGz.ingestCsv _),
+    // PII census + redaction over a deterministically minted corpus
+    "pii_detect" -> (PiiOps.piiDetect _),
+    "pii_redact" -> (PiiOps.piiRedact _),
+    // bucketized interval join (range-as-equi-key, window == bucket)
+    "events_interval_join" -> (EventQueries.eventsIntervalJoin _),
     "ann_matryoshka" -> (SimilarityOps.annMatryoshka _),
     "dedup_bloom" -> (DedupOps.dedupBloom _),
+    // content-defined-chunking dup mass (shift-resilient dedup view)
+    "dedup_cdc" -> (DedupOps.dedupCdc _),
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     // soft dedup: cluster-derived training weights (reweight, don't
     // drop) — weight_ppm = 1e6 DIV cluster_size per doc
@@ -346,8 +354,13 @@ object SparkEntry {
     "dedup_minhash" -> DedupOps.dedupMinhashSql,
     "dedup_ingest" -> DedupOps.dedupIngestSql,
     "ingest_jsonl" -> graft.sources.JsonlZst.ingestJsonlSql,
+    "ingest_csv" -> graft.sources.CsvGz.ingestCsvSql,
+    "pii_detect" -> PiiOps.piiDetectSql,
+    "pii_redact" -> PiiOps.piiRedactSql,
+    "events_interval_join" -> EventQueries.eventsIntervalJoinSql,
     "ann_matryoshka" -> SimilarityOps.annMatryoshkaSql,
     "dedup_bloom" -> DedupOps.dedupBloomSql,
+    "dedup_cdc" -> DedupOps.dedupCdcSql,
     "dedup_embedding" -> SimilarityOps.dedupEmbeddingSql,
     "dedup_exact" -> DedupOps.dedupExactSql,
     "dedup_keep" -> DedupOps.dedupKeepSql,

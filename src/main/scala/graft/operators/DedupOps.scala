@@ -1857,4 +1857,100 @@ object DedupOps {
        |FROM shared JOIN na ON na.doc_id = shared.a_id
        |WHERE CAST(shared AS DOUBLE) / CAST(na.na AS DOUBLE) >= $ContainTau
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** Dup-mass floor for CDC statistics: chunks shorter than this are
+    * noise (single words); the floor recovers what real CDC's
+    * min-clamp is for without the clamp's sequential state. */
+  private val CdcMinLen = 8
+
+  /** Content-defined-chunking dup mass (r10): per source, how much of
+    * the corpus consists of chunks SHARED across documents — the
+    * storage-dedup view of duplication ([[graft.functions.CdcChunks]];
+    * LBFS/FastCDC lineage). Complements the fixed-window substring
+    * passes: CDC boundaries move WITH the content, so a shared passage
+    * whose byte offset shifts between documents still yields identical
+    * chunks — dedup_substring's windows only align when offsets do.
+    *
+    * Shape: one corpus scan computes every doc's chunk list inside
+    * whole-stage codegen (one static call per row), localCheckpoint'd
+    * so the count leg and the dup leg read the materialized lists
+    * instead of re-chunking; the dup leg shuffles (chunk → distinct
+    * doc count) — linear in corpus chunks, mean chunk ≈ 16 cps so
+    * ~1/16 of corpus rows — then re-keys per source. No pair join
+    * anywhere: dup-ness is a per-chunk degree, never an explicit pair
+    * list, so output is |sources| rows at ANY corpus size. */
+  def dedupCdc(spark: SparkSession, dir: String): DataFrame = {
+    val base = spread(docs(spark, dir))
+      .select(col("doc_id"), col("source"),
+        graft.functions.CdcChunks.chunks(col("text")).as("arr"))
+      .localCheckpoint()
+    val allc = base.groupBy(col("source"))
+      .agg(sum(size(col("arr")).cast("long")).as("n_chunks"))
+    val big = base
+      .select(col("doc_id"), col("source"), explode(col("arr")).as("chunk"))
+      .where(length(col("chunk")) >= CdcMinLen)
+    val nd = big.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val per = big.join(nd, Seq("chunk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_big"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dup_big"))
+    allc.join(per, Seq("source"), "left")
+      .select(col("source"), col("n_chunks"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("dup_big"), lit(0L)).as("dup_big"),
+        when(coalesce(col("n_big"), lit(0L)) > 0,
+          expr("dup_big * 1000000 DIV n_big")).otherwise(0L)
+          .as("dup_ppm"))
+      .orderBy(col("source"))
+  }
+
+  lazy val dedupCdcSql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, source, text,
+       |    unnest(range(${graft.functions.CdcChunks.Gram},
+       |      len(text) + 1)) AS i
+       |  FROM documents),
+       |bnd AS (
+       |  SELECT doc_id, i FROM pos
+       |  WHERE ((((CAST(ascii(substr(text, i - 3, 1)) AS BIGINT) * 31
+       |        + ascii(substr(text, i - 2, 1))) * 31)
+       |        + ascii(substr(text, i - 1, 1))) * 31
+       |        + ascii(substr(text, i, 1))) %
+       |        ${graft.functions.CdcChunks.Mask} = 0),
+       |ends AS (
+       |  SELECT doc_id, i AS e FROM bnd
+       |  UNION
+       |  SELECT doc_id, CAST(len(text) AS BIGINT) AS e FROM documents
+       |  WHERE len(text) > 0),
+       |cks AS (
+       |  SELECT doc_id,
+       |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1
+       |      AS s, e
+       |  FROM ends),
+       |ch AS (
+       |  SELECT c.doc_id, d.source,
+       |    substr(d.text, CAST(c.s AS BIGINT),
+       |      CAST(c.e - c.s + 1 AS BIGINT)) AS chunk
+       |  FROM cks c JOIN documents d USING (doc_id)),
+       |allc AS (
+       |  SELECT source, COUNT(*) AS n_chunks FROM ch GROUP BY source),
+       |big AS (
+       |  SELECT doc_id, source, chunk FROM ch
+       |  WHERE len(chunk) >= $CdcMinLen),
+       |nd AS (
+       |  SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM big
+       |  GROUP BY chunk),
+       |per AS (
+       |  SELECT b.source, COUNT(*) AS n_big,
+       |    SUM(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS dup_big
+       |  FROM big b JOIN nd USING (chunk) GROUP BY b.source)
+       |SELECT a.source, CAST(a.n_chunks AS BIGINT) AS n_chunks,
+       |  CAST(COALESCE(p.n_big, 0) AS BIGINT) AS n_big,
+       |  CAST(COALESCE(p.dup_big, 0) AS BIGINT) AS dup_big,
+       |  CAST(CASE WHEN COALESCE(p.n_big, 0) > 0
+       |    THEN (p.dup_big * 1000000) // p.n_big ELSE 0 END AS BIGINT)
+       |    AS dup_ppm
+       |FROM allc a LEFT JOIN per p ON a.source = p.source
+       |ORDER BY a.source""".stripMargin
 }

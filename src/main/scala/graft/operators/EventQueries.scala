@@ -186,6 +186,56 @@ object EventQueries {
       |FROM carried WHERE tag = 1
       |ORDER BY error_event_id""".stripMargin
 
+  /** Interval (range) join via TIME-BUCKETING: for every 'click',
+    * every 'purchase' by the same user within the following hour,
+    * aggregated per user. Spark has no native range-join operator —
+    * the naive `a.user = b.user AND b.us BETWEEN a.us AND a.us + Δ`
+    * formulation plans the range as a post-join filter over the full
+    * per-user cross product (quadratic in per-user event count). The
+    * scale-correct shape makes the RANGE part of the JOIN KEY: with
+    * bucket width == window length Δ, a match's purchase bucket is
+    * always the click's bucket or the one after, so the probe side
+    * explodes to exactly TWO (user, bucket) keys and the join is a
+    * plain equi-join on (user_id, bucket) + a cheap residual range
+    * filter. Candidates are bounded by per-(user, hour) density — at
+    * 100 TB the shuffle stays linear in events and a hot hour of one
+    * user is the only skew unit (AQE skew-split handles it), where
+    * the naive plan's unit is a user's whole history. Each true pair
+    * is emitted exactly once (a purchase has one bucket).
+    * Equivalence of the two formulations is PlanSpec + spec-pinned;
+    * the oracle replays the naive predicate in DuckDB. */
+  def eventsIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 3600000000L // 1 h window == bucket width
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_type"), tsMicros.as("us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("a_us"))
+      .withColumn("bkt", explode(array(
+        expr(s"a_us DIV $winUs"), expr(s"a_us DIV $winUs + 1"))))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("b_us"),
+        expr(s"b_us DIV $winUs").as("bkt"))
+    clicks.join(buys, Seq("user_id", "bkt"))
+      .where(col("b_us") >= col("a_us") &&
+        col("b_us") - col("a_us") <= winUs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("b_us") - col("a_us")).as("sum_gap_us"),
+        max(col("b_us") - col("a_us")).as("max_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsIntervalJoinSql: String =
+    """SELECT a.user_id, COUNT(*) AS n_pairs,
+      |  CAST(SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS sum_gap_us,
+      |  MAX(epoch_us(b.ts) - epoch_us(a.ts)) AS max_gap_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+      |  AND epoch_us(b.ts) >= epoch_us(a.ts)
+      |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
   /** Pivot: per-user event-type counts as columns. Spark `pivot` with
     * an explicit value list (never the implicit distinct-scan variant
     * at scale); the oracle is the equivalent conditional aggregation. */

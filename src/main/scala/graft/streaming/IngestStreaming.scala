@@ -63,6 +63,33 @@ object IngestStreaming {
       .start()
   }
 
+  /** Streaming PII scrub at the door (r10): every arriving document
+    * is match-counted and redaction-digested by
+    * [[graft.operators.PiiOps.scrubFrame]], shared VERBATIM with the
+    * batch `pii_redact` row — stream ≡ batch is an identity of code.
+    * Unlike the probe/dedup streams this one needs NO foreachBatch:
+    * the scrub is a pure per-row projection, so it runs as a
+    * stateless streaming SELECT straight into the parquet sink — no
+    * state beyond source offsets, per-batch cost ∝ arrival bytes,
+    * and the sink append is idempotent per micro-batch id (the
+    * parquet streaming sink's exactly-once-per-batch manifest). The
+    * production counterpart redacts at the door so raw PII never
+    * lands in the training corpus at all. */
+  def piiScrubStream(spark: SparkSession, landingDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(DocSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    graft.operators.PiiOps.scrubFrame(reader.parquet(landingDir))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming decontamination at the door: each micro-batch of
     * arriving documents is scored against the PERSISTENT benchmark
     * shingle set ([[graft.operators.TextAnalysis.benchShingles]],

@@ -252,6 +252,49 @@ class IngestStreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("two-landing PII scrub stream equals the batch scrub over the " +
+    "same arrivals (stateless per-row projection, split-invariant)") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    // arrivals carry REAL PII shapes in half the docs so both the
+    // match-count and the redaction digest are exercised
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 2 === 0,
+          lit(" mail me: p.qr@host.example.com or 415-555-0142"))
+          .otherwise(lit(""))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+
+    val tmp = Files.createTempDirectory("graft_pii_stream")
+    val landing = tmp.resolve("landing").toString
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    Files.createDirectory(java.nio.file.Paths.get(landing))
+    Seq(0, 1).foreach { chunk =>
+      val stage = tmp.resolve(s"stage$chunk").toString
+      d.filter(col("doc_id") % 2 === chunk)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, s"part-$chunk.parquet"))
+    }
+
+    val q = IngestStreaming.piiScrubStream(
+      spark, landing, out, ckpt, maxFilesPerTrigger = Some(1))
+    try q.awaitTermination() finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val got = rows(spark.read.parquet(out))
+    val want = rows(graft.operators.PiiOps.scrubFrame(
+      d.select(col("doc_id"), col("text"))))
+    assert(want.exists(_._2 >= 2), "planted arrivals must carry PII")
+    assert(want.exists(_._2 == 0), "clean arrivals must pass n_pii=0")
+    assert(got == want,
+      "stream scrub must equal the batch scrub (shared projection)")
+  }
+
   test("url-dedup stream admits one first-arrived survivor per " +
     "canonical URL, rejects live-corpus canons, and holds the " +
     "admitted state across micro-batches") {

@@ -420,6 +420,39 @@ class PlanSpec extends AnyFunSuite {
       s"probe scoring should shuffle only for the output sort:\n$p")
   }
 
+  test("pii_detect: one corpus scan pruned to (doc_id, source, text), " +
+    "join-free, partial+final aggregation") {
+    val p = plan(operators.PiiOps.piiDetect(spark, dir))
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"PII census must be a single scan:\n$p")
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      s"scan reads columns the census never uses:\n$p")
+    assert(!p.contains("Join"), s"PII census must be join-free:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation before the source shuffle:\n$p")
+  }
+
+  test("pii_redact: one scan, join-free — regexp match+replace stays " +
+    "a per-row projection (the only exchange is the output ordering)") {
+    val p = plan(operators.PiiOps.piiRedact(spark, dir))
+    assert("FileScan".r.findAllIn(p).size == 1, s"single scan:\n$p")
+    assert(!p.contains("Join"), s"redaction must be join-free:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"redaction should shuffle only for the output sort:\n$p")
+  }
+
+  test("events_interval_join: the range join is a hash/sort equi-join " +
+    "on (user, bucket) — never a nested-loop over per-user history") {
+    val p = plan(operators.EventQueries.eventsIntervalJoin(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range condition fell out of the join key:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on (user_id, bkt):\n$p")
+    assert(p.contains("bkt"), s"bucket key missing from the plan:\n$p")
+  }
+
   test("whole-stage codegen covers the word_freq pipeline") {
     val cg = operators.TextQueries.wordFreq(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)

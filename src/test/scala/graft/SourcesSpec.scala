@@ -183,6 +183,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("csv.gz ingest: shards are real gzip members, the minted note " +
+    "column carries embedded commas AND quotes through the RFC 4180 " +
+    "round-trip, and the read-back equals the parquet table") {
+    val dir = SparkFixture.Sf0001
+    val landing = graft.sources.CsvGz.ensure(spark, dir)
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(landing))
+      .toArray.map(_.toString).filter(_.contains("part-"))
+      .filter(_.endsWith(".gz"))
+    assert(parts.nonEmpty, "no .gz shards written")
+    parts.foreach { p =>
+      val head = java.nio.file.Files.newInputStream(
+        java.nio.file.Paths.get(p)).readNBytes(2)
+      assert(head.map(_ & 0xFF).toSeq == Seq(0x1F, 0x8B),
+        s"$p lacks the gzip magic")
+    }
+    import org.apache.spark.sql.functions._
+    val got = graft.sources.CsvGz.ingestCsv(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    assert(got.forall(t => t._5.contains(",") && t._5.contains("\"")),
+      "note column lost its commas/quotes — the quoting path is " +
+        "not being exercised")
+    val want = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        concat(lit("v,\""), col("lang"), lit("\","), col("source")),
+        md5(col("text").cast("binary")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq.sortBy(_._1)
+    assert(got == want, "CSV round-trip drifted from the parquet table")
+  }
+
   test("jsonl.zst ingest: a malformed line inside a valid zstd frame " +
     "surfaces as a PERMISSIVE null row, never a silent drop") {
     graft.sources.JsonlZst.registerCodec(spark)
