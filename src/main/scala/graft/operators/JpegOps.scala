@@ -25,10 +25,13 @@ import graft.sources.Tables
   * DuckDB oracle replays through the full Huffman round-trip, the
   * multimodal_png discipline. The DC Huffman table is the full
   * 12-category T.81 Annex K.3.1 luminance table (diffs span ±2040 —
-  * categories 0..11 genuinely occur); the AC table declares the
-  * minimal legal alphabet the DC-only scan needs (EOB at one bit) and
-  * the DECODER is generic — JpegSpec drives the AC run/size path and
-  * corruption totality with hand-built streams.
+  * categories 0..11 genuinely occur). r10: each block additionally
+  * carries ONE planted nonzero AC coefficient at zigzag k=1 (value
+  * ((v+b) mod 9) − 4; zero → an EOB-only block, so both block shapes
+  * occur) — dequantized AC·q(1) is pure integer math, so the AC VALUE
+  * path is on the hash-checked oracle round-trip too, where r9 only
+  * spec-drove its structure. The DECODER is generic — JpegSpec drives
+  * arbitrary AC run/size streams and corruption totality.
   *
   * Reference precedent: mrjob/examples/mr_phone_to_url.py:77-85 (parse
   * a real binary container byte-by-byte inside the task).
@@ -48,11 +51,19 @@ object JpegOps {
     Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
   private[graft] val DcVals = (0 to 11).map(_.toByte).toArray
 
-  /** Minimal legal AC alphabet for a DC-only scan: EOB (0x00) as the
-    * single one-bit code. The decoder handles arbitrary DHT tables. */
+  /** Planted AC alphabet (r10 — the AC VALUE path is now on the
+    * oracled round-trip, not just spec-driven): EOB (0x00) at one bit
+    * plus run-0 size-1..3 symbols (0x01..0x03) at 2..4 bits — each
+    * block carries at most ONE nonzero AC coefficient (zigzag k=1,
+    * value in [−4, 4]) so its dequantized sum stays a pure integer
+    * function of (doc_id, text). No all-ones code is assigned (the
+    * length-4 code 1111 is left open), keeping 1-fill padding
+    * unambiguous per T.81 F.1.2.3. The decoder handles arbitrary DHT
+    * tables. */
   private[graft] val AcBits =
-    Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
-  private[graft] val AcVals = Array(0x00.toByte)
+    Array(1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private[graft] val AcVals =
+    Array(0x00.toByte, 0x01.toByte, 0x02.toByte, 0x03.toByte)
 
   /** Canonical Huffman codes from (BITS, HUFFVAL) per T.81 Annex C:
     * value → (code, length). */
@@ -141,8 +152,18 @@ object JpegOps {
       bwr.put(c, cl)
       if (s > 0)
         bwr.put(if (diff > 0) diff else (diff - 1) & ((1 << s) - 1), s)
+      // one planted AC coefficient at zigzag k=1 (run 0), value
+      // t = ((v + b) mod 9) − 4 ∈ [−4, 4]; t == 0 → EOB-only block,
+      // so the stream mixes AC-bearing and DC-only blocks
+      val t = (v + b) % 9 - 4
+      if (t != 0) {
+        val ts = 32 - Integer.numberOfLeadingZeros(math.abs(t))
+        val (ac, acl) = acCodes(ts.toByte) // symbol (run 0) << 4 | size
+        bwr.put(ac, acl)
+        bwr.put(if (t > 0) t else (t - 1) & ((1 << ts) - 1), ts)
+      }
       val (e, el) = acCodes(0x00.toByte)
-      bwr.put(e, el) // EOB: every AC is zero for a flat block
+      bwr.put(e, el) // EOB: the remaining 62 ACs are zero
     }
     out ++= bwr.finish()
     out += 0xFF.toByte += 0xD9.toByte // EOI
@@ -163,7 +184,8 @@ object JpegOps {
   }
 
   case class JpegMeta(id: Long, width: Long, height: Long,
-      n_components: Long, q_checksum: Long, dc_sum: Long, chk_ok: Boolean)
+      n_components: Long, q_checksum: Long, dc_sum: Long, ac_sum: Long,
+      chk_ok: Boolean)
 
   /** Canonical Huffman DECODE tables per T.81 F.2.2.3: for each code
     * length, the smallest/largest code and the value-array offset. */
@@ -247,7 +269,7 @@ object JpegOps {
     * EOI/unsupported mode) lands in chk_ok = false with zeroed fields,
     * never a throw. */
   private[graft] def decodeJpeg(id: Long, p: Array[Byte]): JpegMeta = {
-    val bad = JpegMeta(id, 0, 0, 0, 0, 0, chk_ok = false)
+    val bad = JpegMeta(id, 0, 0, 0, 0, 0, 0, chk_ok = false)
     try {
       if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8)
         return bad
@@ -314,6 +336,7 @@ object JpegOps {
             val br = new BitReader(p, segEnd)
             var pred = 0
             var dcSum = 0L
+            var acSum = 0L
             var b = 0
             while (b < blocks) {
               val s = br.decode(dcT)
@@ -347,7 +370,11 @@ object JpegOps {
                   if (k > 63) return bad
                   val raw = br.bits(size)
                   if (raw < 0) return bad
-                  k += 1 // coefficient decoded (value unused: dc walk)
+                  // dequantize at the coefficient's zigzag position —
+                  // both DQT and the scan walk zigzag order, so no
+                  // de-zigzag is needed for a coefficient SUM
+                  acSum += extend(raw, size).toLong * qt(k)
+                  k += 1
                 }
               }
               b += 1
@@ -357,7 +384,7 @@ object JpegOps {
             if (tail + 2 > p.length || (p(tail) & 0xFF) != 0xFF ||
                 (p(tail + 1) & 0xFF) != 0xD9) return bad
             return JpegMeta(id, w.toLong, h.toLong, nf.toLong, qChk,
-              dcSum, chk_ok = true)
+              dcSum, acSum, chk_ok = true)
           case 0xD9 => return bad // EOI before any scan
           case _ => () // APPn/COM/...: skip
         }
@@ -390,6 +417,10 @@ object JpegOps {
 
   /** Direct derivation: dc(b) = 8·(v_b − 128) exactly (the power-of-two
     * DC quant step cancels), v_b = codepoint(b mod len) mod 256;
+    * ac(b) = t_b · q(1) with t_b = ((v_b + b) mod 9) − 4 and
+    * q(1) = 1 + (doc_id + 1) mod 5 — pure integers through the
+    * Huffman round-trip, so the AC VALUE path (not just its
+    * structure) is on the verified path (r10);
     * q_checksum = q0 + Σ_{k=1..63} (1 + (doc_id+k) mod 5). */
   lazy val multimodalJpegSql: String =
     s"""SELECT doc_id AS id,
@@ -403,6 +434,11 @@ object JpegOps {
        |    range((1 + doc_id % $JpegMaxBw) * (1 + length(text) % 2)),
        |    b -> 8 * (unicode(text[CAST(b % length(text) AS INT) + 1])
        |      % 256 - 128))) AS BIGINT) AS dc_sum,
+       |  CAST(list_sum(list_transform(
+       |    range((1 + doc_id % $JpegMaxBw) * (1 + length(text) % 2)),
+       |    b -> ((unicode(text[CAST(b % length(text) AS INT) + 1])
+       |      % 256 + b) % 9 - 4) * (1 + (doc_id + 1) % 5)))
+       |    AS BIGINT) AS ac_sum,
        |  TRUE AS chk_ok
        |FROM documents WHERE length(text) >= 1
        |ORDER BY id""".stripMargin

@@ -12,14 +12,19 @@ class JpegSpec extends AnyFunSuite {
   test("synthJpeg(1, \"AB\") entropy segment matches the hand-derived " +
     "Huffman golden bit-for-bit") {
     // id=1, "AB": bw=2, bh=1, q0=2; v={65,66} → dc_q={-252,-248}.
+    // AC codes (bits 1,1,1,1): EOB="0", 0x01="10", 0x02="110",
+    // 0x03="1110" (no all-ones code assigned).
     // Block 0: diff=-252 → category 8 (code 111110), ones'-complement
-    // bits (-253)&0xFF = 00000011; EOB = 0 (one bit).
-    // Block 1: diff=+4 → category 3 (code 100), bits 100; EOB = 0.
-    // Stream: 111110 00000011 0 100 100 0 + pad 11
-    //       = 11111000 00001101 00100011 = F8 0D 23, then EOI FFD9.
+    //   bits (-253)&0xFF = 00000011; planted AC t=(65+0)%9-4=-2 →
+    //   size 2: symbol 0x02 = 110, bits (-3)&3 = 01; EOB = 0.
+    // Block 1: diff=+4 → category 3 (code 100), bits 100; planted AC
+    //   t=(66+1)%9-4=0 → EOB-only block: 0.
+    // Stream: 111110 00000011 110 01 0 100 100 0 + pad 11111
+    //       = 11111000 00001111 00101001 00011111 = F8 0F 29 1F,
+    // then EOI FFD9.
     val p = JpegOps.synthJpeg(1L, "AB")
-    assert(p.takeRight(5).map(_ & 0xFF).toSeq ==
-      Seq(0xF8, 0x0D, 0x23, 0xFF, 0xD9),
+    assert(p.takeRight(6).map(_ & 0xFF).toSeq ==
+      Seq(0xF8, 0x0F, 0x29, 0x1F, 0xFF, 0xD9),
       "entropy segment + EOI must match the hand-derived golden")
     assert(p.take(2).map(_ & 0xFF).toSeq == Seq(0xFF, 0xD8), "SOI")
   }
@@ -32,6 +37,8 @@ class JpegSpec extends AnyFunSuite {
     assert(m.q_checksum == 194L, s"q_checksum ${m.q_checksum}")
     // dc_sum = dequantized DCs: (-252 + -248)·q0 = -500·2
     assert(m.dc_sum == -1000L, s"dc_sum ${m.dc_sum}")
+    // ac_sum = Σ t_b·q(1): blocks t={-2, 0}, q(1)=1+(1+1)%5=3 → -6
+    assert(m.ac_sum == -6L, s"ac_sum ${m.ac_sum}")
   }
 
   test("generic AC run/size path: a scan with a real AC coefficient " +
@@ -63,6 +70,7 @@ class JpegSpec extends AnyFunSuite {
     assert(m.width == 8L && m.height == 8L)
     assert(m.q_checksum == 64L)
     assert(m.dc_sum == 0L, "flat-zero DC with one AC coefficient")
+    assert(m.ac_sum == 1L, "AC coefficient +1 dequantized by q(1)=1")
   }
 
   test("excess ZRLs past coefficient 63 are a structural violation: " +
@@ -134,8 +142,10 @@ class JpegSpec extends AnyFunSuite {
     "equals the frame-level parse") {
     import spark.implicits._
     val reg = JpegOps.multimodalJpeg(spark, dir).collect()
-    assert(reg.nonEmpty && reg.forall(_.getBoolean(6)),
+    assert(reg.nonEmpty && reg.forall(_.getAs[Boolean]("chk_ok")),
       "every planted JPEG must round-trip chk_ok")
+    assert(reg.exists(_.getAs[Long]("ac_sum") != 0L),
+      "the planted AC coefficients must reach the decoded output")
     val direct = JpegOps.parseJpeg(
       JpegOps.asJpegTable(spark, dir).toDF("id", "payload")).collect()
     assert(reg.toSeq == direct.toSeq)
