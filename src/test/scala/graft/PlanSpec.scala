@@ -453,6 +453,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bkt"), s"bucket key missing from the plan:\n$p")
   }
 
+  test("dedup_cdc: chunk lists come from ONE materialized relation " +
+    "(no re-chunking scan), the dup degree is a hash equi-join on the " +
+    "chunk, and no pair-shaped join appears") {
+    val p = plan(operators.DedupOps.dedupCdc(spark, dir))
+    assert(!p.contains("FileScan"),
+      s"consumers must read the checkpointed chunk lists, not re-scan " +
+        s"parquet:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"dup-ness is a per-chunk degree, never a pair join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final aggs on both legs:\n$p")
+  }
+
   test("whole-stage codegen covers the word_freq pipeline") {
     val cg = operators.TextQueries.wordFreq(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
