@@ -232,7 +232,11 @@ object Bench {
       // round-10: CDC chunk dup-mass — one codegen'd chunking scan +
       // chunk-degree shuffle (~1/16 of corpus rows), no pair join;
       // output |sources| rows at any size
-      "dedup_cdc")
+      "dedup_cdc",
+      // round-10 late: the domain triage agg (mint + host-keyed agg,
+      // linear) and the RRF fusion (cost lives in the constituents —
+      // doc_sim_sparse's champion bound + the broadcast dense scan)
+      "url_host_stats", "rrf_hybrid")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up

@@ -128,6 +128,10 @@ object SparkEntry {
     // URL-level dedup (canonicalize → keep-min survivor) — the first
     // filter a web-corpus pipeline runs, before any text comparison
     "dedup_url" -> (DedupOps.dedupUrl _),
+    // host-level URL triage: the domain-blocklist ranking table
+    "url_host_stats" -> (DedupOps.urlHostStats _),
+    // sparse+dense reciprocal-rank fusion over the shared id space
+    "rrf_hybrid" -> (HybridRank.rrfHybrid _),
     // exact-substring REMOVAL (Lee et al. 2021 ExactSubstr): cut
     // every token covered by a corpus-wide duplicated 8-token run
     "dedup_substring" -> (DedupOps.dedupSubstring _),
@@ -365,6 +369,8 @@ object SparkEntry {
     "dedup_exact" -> DedupOps.dedupExactSql,
     "dedup_keep" -> DedupOps.dedupKeepSql,
     "dedup_url" -> DedupOps.dedupUrlSql,
+    "url_host_stats" -> DedupOps.urlHostStatsSql,
+    "rrf_hybrid" -> HybridRank.rrfHybridSql,
     "dedup_substring" -> DedupOps.dedupSubstringSql,
     "text_scrub" -> TextAnalysis.textScrubSql,
     "dedup_containment" -> DedupOps.dedupContainmentSql,

@@ -293,6 +293,71 @@ object DedupOps {
        |  COUNT(*) AS n_copies, COUNT(DISTINCT url) AS n_url_variants
        |FROM canon GROUP BY canon_url ORDER BY survivor_id""".stripMargin
 
+  /** Host-level URL triage (r10): the table a domain blocklist is cut
+    * from — per canonical HOST, doc volume, distinct canonical pages,
+    * duplicate mass, and mean document length. The C4/RefinedWeb
+    * pipelines gate whole domains before any per-document work;
+    * this is the aggregation that ranks them. Shares [[mintedCanonUrls]]
+    * VERBATIM with dedup_url and the streaming URL gate, so the mint,
+    * canonicalization, and host extraction cannot drift apart.
+    *
+    * Scale: one canonical projection, one join back for n_chars on
+    * doc_id (narrow — at 100 TB both sides carry two columns), one
+    * hash agg keyed by host (domain cardinality, tiny output). All
+    * ratios integer ppm / integral DIV. */
+  def urlHostStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val canon = mintedCanonUrls(d)
+      .select(col("doc_id"),
+        substring_index(col("canon_url"), "/", 1).as("host"),
+        col("canon_url"))
+    canon.join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon_url")).as("n_pages"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("host"), col("n_docs"), col("n_pages"),
+        expr("(n_docs - n_pages) * 1000000 DIV n_docs").as("dup_ppm"),
+        expr("sum_chars DIV n_docs").as("mean_chars"))
+      .orderBy(col("host"))
+  }
+
+  lazy val urlHostStatsSql: String = {
+    // same mint + canonicalization CTEs as dedupUrlSql, plus n_chars
+    s"""WITH urls AS (
+       |  SELECT doc_id, n_chars,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||
+       |     CASE doc_id % 3 WHEN 0 THEN 'WWW.'
+       |                     WHEN 1 THEN 'www.' ELSE '' END ||
+       |     CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END ||
+       |     '.example/p/' || CAST(doc_id // $UrlPageSpan AS VARCHAR) ||
+       |     CASE doc_id % 5 WHEN 0 THEN '?utm=' || CAST(doc_id AS VARCHAR)
+       |                     WHEN 1 THEN '#frag'
+       |                     WHEN 2 THEN '/' ELSE '' END) AS url
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND doc_id >= 0
+       |), canon AS (
+       |  SELECT doc_id, n_chars,
+       |    CASE WHEN c2 LIKE '%/' THEN substr(c2, 1, length(c2) - 1)
+       |         ELSE c2 END AS canon_url
+       |  FROM (
+       |    SELECT doc_id, n_chars,
+       |      CASE WHEN c1 LIKE 'www.%' THEN substr(c1, 5) ELSE c1 END AS c2
+       |    FROM (
+       |      SELECT doc_id, n_chars,
+       |        lower(split_part(split_part(split_part(
+       |          url, '://', 2), '#', 1), '?', 1)) AS c1
+       |      FROM urls) a) b
+       |)
+       |SELECT split_part(canon_url, '/', 1) AS host,
+       |  COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT canon_url) AS n_pages,
+       |  CAST((COUNT(*) - COUNT(DISTINCT canon_url)) * 1000000
+       |    // COUNT(*) AS BIGINT) AS dup_ppm,
+       |  CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars
+       |FROM canon GROUP BY host ORDER BY host""".stripMargin
+  }
+
   /** Token-set fingerprint dedup: docs sharing the same sorted distinct
     * token set are near-dup candidates; output the group-size
     * histogram (group_size → n_groups). */
@@ -1879,6 +1944,16 @@ object DedupOps {
     * ~1/16 of corpus rows — then re-keys per source. No pair join
     * anywhere: dup-ness is a per-chunk degree, never an explicit pair
     * list, so output is |sources| rows at ANY corpus size. */
+  /** (doc_id, chunk) rows of the ≥[[CdcMinLen]]-cp CDC chunks over any
+    * (doc_id, text, …) frame — shared VERBATIM by the batch dup-mass
+    * row and the streaming ingest probe
+    * ([[graft.streaming.IngestStreaming.cdcIngestStream]]), so the
+    * boundary rule and the length floor cannot drift between them. */
+  def cdcBigChunks(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        explode(graft.functions.CdcChunks.chunks(col("text"))).as("chunk"))
+      .where(length(col("chunk")) >= CdcMinLen)
+
   def dedupCdc(spark: SparkSession, dir: String): DataFrame = {
     val base = spread(docs(spark, dir))
       .select(col("doc_id"), col("source"),

@@ -63,6 +63,54 @@ object IngestStreaming {
       .start()
   }
 
+  /** Streaming CDC duplication probe at the door (r10): each arriving
+    * document is content-defined-chunked ([[DedupOps.cdcBigChunks]],
+    * shared VERBATIM with the batch dedup_cdc row — same boundary
+    * rule, same length floor) and its substantial chunks are probed
+    * against the PERSISTENT live-corpus chunk set; the appended row
+    * (doc_id, n_big, dup_big, dup_ppm) says how much of the new
+    * document the corpus ALREADY CONTAINS — the shift-resilient
+    * "is this arrival mostly a re-crawl" gate, where the URL gate
+    * only catches same-address duplicates.
+    *
+    * foreachBatch because the probe is a left-semi join + per-doc agg
+    * with batch semantics scoped to the arrivals; the stream holds no
+    * state beyond source offsets (the live chunk set is static —
+    * at 100 TB a bucketed table keyed by chunk, exactly like the
+    * near-dup band index). Per-batch cost ∝ arrival chunks
+    * (≈ arrival cps / 16). */
+  def cdcIngestStream(spark: SparkSession, landingDir: String,
+      liveDocs: DataFrame, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val liveChunks = DedupOps.cdcBigChunks(liveDocs)
+      .select(col("chunk")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reader = spark.readStream.schema(DocSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ch = DedupOps.cdcBigChunks(batch)
+        val n = ch.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_big"))
+        val dup = ch.join(liveChunks, Seq("chunk"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("dup_big"))
+        n.join(dup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_big"),
+            coalesce(col("dup_big"), lit(0L)).as("dup_big"),
+            expr("coalesce(dup_big, 0L) * 1000000 DIV n_big")
+              .as("dup_ppm"))
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming PII scrub at the door (r10): every arriving document
     * is match-counted and redaction-digested by
     * [[graft.operators.PiiOps.scrubFrame]], shared VERBATIM with the

@@ -252,6 +252,69 @@ class IngestStreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("two-landing CDC ingest probe: a re-crawled text reads dup_ppm " +
+    "1e6, novel text reads 0, stream equals the batch probe over the " +
+    "same arrivals") {
+    import org.apache.spark.sql.functions._
+    val live = graft.sources.Tables.load(spark, dir, "documents")
+    val liveText = live.orderBy("doc_id").limit(1)
+      .collect()(0).getAs[String]("text")
+    // arrival 1: byte-identical re-crawl of a live doc under a new id
+    // (the URL gate would MISS it if the address changed; CDC chunks
+    // are address-blind); arrival 2: novel text sharing no 8-cp chunk
+    val novel = "zq xv jk wp fy gm bn cd lr st uv wx yz aa bb cc dd " +
+      "ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt uu vv ww xx"
+    import spark.implicits._
+    val arrivals = Seq(
+      (900001L, liveText, "en", "srcX", liveText.length.toLong),
+      (900002L, novel, "en", "srcX", novel.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val tmp = Files.createTempDirectory("graft_cdc_stream")
+    val landing = tmp.resolve("landing").toString
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    Files.createDirectory(java.nio.file.Paths.get(landing))
+    Seq(0, 1).foreach { chunk =>
+      val stage = tmp.resolve(s"stage$chunk").toString
+      arrivals.filter(col("doc_id") % 2 === chunk)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, s"part-$chunk.parquet"))
+    }
+
+    val q = IngestStreaming.cdcIngestStream(
+      spark, landing, live, out, ckpt, maxFilesPerTrigger = Some(1))
+    try q.awaitTermination() finally q.stop()
+
+    val got = spark.read.parquet(out).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got.map(_._1) == Seq(900001L, 900002L))
+    val recrawl = got(0); val fresh = got(1)
+    assert(recrawl._4 == 1000000L,
+      s"byte-identical re-crawl must read dup_ppm 1e6: $recrawl")
+    assert(fresh._4 == 0L, s"novel text must read dup_ppm 0: $fresh")
+    // stream ≡ the direct batch probe through the shared helper
+    val liveChunks = graft.operators.DedupOps.cdcBigChunks(live)
+      .select(col("chunk")).distinct()
+    val ch = graft.operators.DedupOps.cdcBigChunks(arrivals)
+    val want = ch.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_big"))
+      .join(ch.join(liveChunks, Seq("chunk"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_big")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_big"),
+        coalesce(col("dup_big"), lit(0L)).as("dup_big"),
+        expr("coalesce(dup_big, 0L) * 1000000 DIV n_big").as("dup_ppm"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want, "stream probe must equal the batch probe")
+  }
+
   test("two-landing PII scrub stream equals the batch scrub over the " +
     "same arrivals (stateless per-row projection, split-invariant)") {
     import org.apache.spark.sql.functions.{col, concat, lit, when}

@@ -147,6 +147,10 @@ class PlanSpec extends AnyFunSuite {
       "ann_lsh_probe_recall" -> "broadcast side = QueryCount (8) query vectors (exact leg)",
       "semdedup_scaled_audit" -> "broadcast sides = k centroids per Lloyd round (both semdedup legs) + the single-row × single-row gate combine",
       "semdedup_shortlist_audit" -> "broadcast sides = k/C centroid tables (assignment legs) + the single-row × single-row gate combine",
+      // r10: the fusion reuses annTopK (QueryCount broadcast) and
+      // docSimSparse (single-row corpus count) verbatim — the BNLJs
+      // are the constituents' own allowlisted sides
+      "rrf_hybrid" -> "broadcast sides = QueryCount (8) query vectors (dense leg) + single-row corpus doc count (sparse leg)",
     )
     for ((name, q) <- SparkEntry.queries) {
       val p = plan(q(spark, dir))
