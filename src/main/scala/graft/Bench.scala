@@ -236,7 +236,11 @@ object Bench {
       // round-10 late: the domain triage agg (mint + host-keyed agg,
       // linear) and the RRF fusion (cost lives in the constituents —
       // doc_sim_sparse's champion bound + the broadcast dense scan)
-      "url_host_stats", "rrf_hybrid")
+      "url_host_stats", "rrf_hybrid",
+      // round-10 late: the video modality — frame-set Jaccard pairs
+      // (df-capped fan-out like containment; output grows with the
+      // dup structure) and the corpus-linear cluster labels
+      "dedup_video", "dedup_video_clusters")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up

@@ -152,6 +152,9 @@ object SparkEntry {
     // bucketized interval join (range-as-equi-key, window == bucket)
     "events_interval_join" -> (EventQueries.eventsIntervalJoin _),
     "ann_matryoshka" -> (SimilarityOps.annMatryoshka _),
+    // margin-based mining (Artetxe & Schwenk 2019): cosine scored
+    // relative to BOTH endpoints' kNN neighborhoods — demotes hubs
+    "bitext_margin" -> (BitextOps.bitextMargin _),
     "dedup_bloom" -> (DedupOps.dedupBloom _),
     // content-defined-chunking dup mass (shift-resilient dedup view)
     "dedup_cdc" -> (DedupOps.dedupCdc _),
@@ -191,6 +194,9 @@ object SparkEntry {
       BpeOps.bpeEncode(s, d)),
     "train_val_split" -> ((s: SparkSession, d: String) =>
       TextAnalysis.trainValSplit(s, d)),
+    // cluster-aware split + the leakage counter: near-dup pairs
+    // straddling the split under doc-hash vs cluster-hash assignment
+    "split_leakage" -> (TextAnalysis.splitLeakage _),
     "ppl_filter" -> (TextAnalysis.pplFilter _),
     "length_curriculum" -> (TextAnalysis.lengthCurriculum _),
     "novelty_score" -> (TextAnalysis.noveltyScore _),
@@ -277,7 +283,13 @@ object SparkEntry {
     // output-quadratic diagnostics on concentrated corpora
     "dedup_image_clusters" -> (MultimodalOps.dedupImageClusters _),
     "dedup_audio_clusters" -> (MultimodalOps.dedupAudioClusters _),
-    // end-to-end binary-catalog assembly: parse all three formats →
+    // video modality: planted GVID motion container (header + raw
+    // grayscale frames) — parse row, frame-set-Jaccard near-dup pairs
+    // (trimmed re-uploads), and the corpus-linear cluster labels
+    "multimodal_video" -> (VideoOps.multimodalVideo _),
+    "dedup_video" -> (VideoOps.dedupVideo _),
+    "dedup_video_clusters" -> (VideoOps.dedupVideoClusters _),
+    // end-to-end binary-catalog assembly: parse all five formats →
     // drop invalid payloads (chk_ok) → media quality gate → drop
     // image+audio near-dup cluster losers → cleaned catalog (the
     // pretrain_pipeline of the multimodal side)
@@ -363,6 +375,7 @@ object SparkEntry {
     "pii_redact" -> PiiOps.piiRedactSql,
     "events_interval_join" -> EventQueries.eventsIntervalJoinSql,
     "ann_matryoshka" -> SimilarityOps.annMatryoshkaSql,
+    "bitext_margin" -> BitextOps.bitextMarginSql,
     "dedup_bloom" -> DedupOps.dedupBloomSql,
     "dedup_cdc" -> DedupOps.dedupCdcSql,
     "dedup_embedding" -> SimilarityOps.dedupEmbeddingSql,
@@ -398,6 +411,7 @@ object SparkEntry {
     "mix_sample" -> TextAnalysis.mixSampleSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "train_val_split" -> TextAnalysis.trainValSplitSql,
+    "split_leakage" -> TextAnalysis.splitLeakageSql,
     "ppl_filter" -> TextAnalysis.pplFilterSql,
     "length_curriculum" -> TextAnalysis.lengthCurriculumSql,
     "novelty_score" -> TextAnalysis.noveltyScoreSql,
@@ -458,5 +472,8 @@ object SparkEntry {
     "dedup_audio_clusters" -> MultimodalOps.dedupAudioClustersSql,
     "media_pipeline" -> MultimodalOps.mediaPipelineSql,
     "multimodal_jpeg" -> JpegOps.multimodalJpegSql,
+    "multimodal_video" -> VideoOps.multimodalVideoSql,
+    "dedup_video" -> VideoOps.dedupVideoSql,
+    "dedup_video_clusters" -> VideoOps.dedupVideoClustersSql,
   )
 }

@@ -166,11 +166,11 @@ object MultimodalOps {
   /** Little-endian integer reads over `hex(payload)` — ONE hex() per
     * row, then pure string slicing + conv: all codegen'd builtins, no
     * UDF in the decode path. `off` is 1-based byte offset. */
-  private def byteAt(hexs: Column, off: Int): Column =
+  private[graft] def byteAt(hexs: Column, off: Int): Column =
     conv(substring(hexs, (off - 1) * 2 + 1, 2), 16, 10).cast("long")
-  private def u16le(hexs: Column, off: Int): Column =
+  private[graft] def u16le(hexs: Column, off: Int): Column =
     byteAt(hexs, off) + byteAt(hexs, off + 1) * 256L
-  private def u32le(hexs: Column, off: Int): Column =
+  private[graft] def u32le(hexs: Column, off: Int): Column =
     byteAt(hexs, off) + byteAt(hexs, off + 1) * 256L +
       byteAt(hexs, off + 2) * 65536L + byteAt(hexs, off + 3) * 16777216L
 
@@ -1142,17 +1142,19 @@ object MultimodalOps {
     * labels — factored so specs can feed corrupted payloads and
     * synthetic cluster tables. Stages (each reusing the exact contract
     * its standalone row oracles):
-    *   A. parse all FOUR formats ([[parseWav]]/[[parseBmp]]/
-    *      [[parsePng]]/[[JpegOps.parseJpeg]]) and DROP invalid
+    *   A. parse all FIVE formats ([[parseWav]]/[[parseBmp]]/
+    *      [[parsePng]]/[[JpegOps.parseJpeg]]/[[VideoOps.parseVideo]])
+    *      and DROP invalid
     *      payloads: a corrupt payload
     *      fails its `chk_ok` gate (false on structural violations,
     *      null on truncation — both filtered) in ANY modality and
     *      leaves the catalog;
     *   B. media quality gate: [[MediaMinDurMs]] / [[MediaMinWidth]]
     *      over the PARSE-DERIVED fields;
-    *   C. near-dup removal in BOTH modalities: drop every cluster
-    *      loser (id ≠ keep_id — the [[fpClusters]] labels), keeping
-    *      the component-min survivor of each image/audio cluster.
+    *   C. near-dup removal in ALL THREE modalities: drop every
+    *      cluster loser (id ≠ keep_id — the [[fpClusters]] labels and
+    *      [[VideoOps.videoClusterLabels]]), keeping the component-min
+    *      survivor of each image/audio/video cluster.
     * Output: one row per surviving item with its parse-derived
     * metadata — the cleaned media catalog a training pipeline reads.
     *
@@ -1163,8 +1165,8 @@ object MultimodalOps {
     * relations from the memoized fingerprint graphs (zero extra corpus
     * scans); the two loser sides are anti-joins on id. */
   def mediaPipelineOf(wav: DataFrame, bmp: DataFrame, png: DataFrame,
-      jpeg: DataFrame, imgClusters: DataFrame,
-      audClusters: DataFrame): DataFrame = {
+      jpeg: DataFrame, video: DataFrame, imgClusters: DataFrame,
+      audClusters: DataFrame, vidClusters: DataFrame): DataFrame = {
     val w = parseWav(wav).select(col("id"), col("sample_rate"),
       col("dur_ms"), col("chk_ok").as("wok"))
     val b = parseBmp(bmp).select(col("id"), col("width"), col("height"),
@@ -1173,17 +1175,21 @@ object MultimodalOps {
       col("chk_ok").as("pok"))
     val j = JpegOps.parseJpeg(jpeg).select(col("id"), col("dc_sum"),
       col("chk_ok").as("jok"))
+    val v = VideoOps.parseVideo(video).select(col("id"),
+      col("n_frames"), col("chk_ok").as("vok"))
     val gated = w.join(b, Seq("id")).join(p, Seq("id")).join(j, Seq("id"))
+      .join(v, Seq("id"))
       .filter(col("wok") && col("bok") && col("pok") && col("jok") &&
+        col("vok") &&
         col("dur_ms") >= MediaMinDurMs && col("width") >= MediaMinWidth)
-    val imgLosers = imgClusters.filter(col("id") =!= col("keep_id"))
-      .select(col("id"))
-    val audLosers = audClusters.filter(col("id") =!= col("keep_id"))
-      .select(col("id"))
-    gated.join(imgLosers, Seq("id"), "left_anti")
-      .join(audLosers, Seq("id"), "left_anti")
+    def losers(cl: DataFrame): DataFrame =
+      cl.filter(col("id") =!= col("keep_id")).select(col("id"))
+    gated.join(losers(imgClusters), Seq("id"), "left_anti")
+      .join(losers(audClusters), Seq("id"), "left_anti")
+      .join(losers(vidClusters), Seq("id"), "left_anti")
       .select(col("id"), col("sample_rate"), col("dur_ms"),
-        col("width"), col("height"), col("pixel_sum"), col("dc_sum"))
+        col("width"), col("height"), col("n_frames"),
+        col("pixel_sum"), col("dc_sum"))
       .orderBy(col("id"))
   }
 
@@ -1216,8 +1222,12 @@ object MultimodalOps {
       ds.map { case (id, t) =>
         JpegOps.JpegBlob(id, JpegOps.synthJpeg(id, t)) }
         .toDF("id", "payload"),
+      ds.map { case (id, t) =>
+        VideoOps.VideoBlob(id, VideoOps.synthVideo(id, t)) }
+        .toDF("id", "payload"),
       dedupImageClusters(spark, dir),
-      dedupAudioClusters(spark, dir))
+      dedupAudioClusters(spark, dir),
+      VideoOps.videoClusterLabels(spark, dir))
   }
 
   /** Uniform multi-format metadata extraction over a mixed
@@ -1250,7 +1260,15 @@ object MultimodalOps {
       .select(col("id"), lit("jpeg").as("fmt"), col("chk_ok"),
         col("width"), col("height"), nulL.as("dur_ms"),
         col("dc_sum").as("content_sum"))
-    w.unionAll(b).unionAll(p).unionAll(j)
+    // duration guarded behind chk_ok: a garbage header may carry
+    // fps=0, and the ANSI DIV would error instead of flagging the row
+    val v = leg("gvid")(VideoOps.parseVideo)
+      .select(col("id"), lit("gvid").as("fmt"), col("chk_ok"),
+        col("width"), col("height"),
+        when(col("chk_ok"), expr("(n_frames * 1000) DIV fps"))
+          .otherwise(nulL).as("dur_ms"),
+        col("frame0_sum").as("content_sum"))
+    w.unionAll(b).unionAll(p).unionAll(j).unionAll(v)
   }
 
   /** Composed replay: parse-field derivations from (doc_id, text) +
@@ -1286,6 +1304,14 @@ object MultimodalOps {
        |  UNION
        |  SELECT r.a, e.b FROM areach r JOIN aedges e ON r.b = e.a),
        |adrop AS (SELECT a AS id FROM areach GROUP BY a HAVING MIN(b) <> a),
+       |${VideoOps.videoOccCte},
+       |vedges AS (
+       |  SELECT i AS a, j AS b FROM vp UNION ALL SELECT j, i FROM vp),
+       |vreach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM vedges
+       |  UNION
+       |  SELECT r.a, e.b FROM vreach r JOIN vedges e ON r.b = e.a),
+       |vdrop AS (SELECT a AS id FROM vreach GROUP BY a HAVING MIN(b) <> a),
        |parsed AS (
        |  SELECT doc_id AS id,
        |    CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
@@ -1293,6 +1319,8 @@ object MultimodalOps {
        |      CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS dur_ms,
        |    CAST(1 + doc_id % $BmpMaxW AS BIGINT) AS width,
        |    CAST(1 + length(text) % 8 AS BIGINT) AS height,
+       |    CAST(1 + doc_id % ${VideoOps.VideoMaxFrames} AS BIGINT)
+       |      AS n_frames,
        |    CAST(list_sum(list_transform(
        |      range(3 * (1 + doc_id % $PngMaxW) * (1 + length(text) % 6)),
        |      k -> unicode(text[CAST(k % length(text) AS INT) + 1]) % 256))
@@ -1303,11 +1331,13 @@ object MultimodalOps {
        |      b -> 8 * (unicode(text[CAST(b % length(text) AS INT) + 1])
        |        % 256 - 128))) AS BIGINT) AS dc_sum
        |  FROM documents WHERE length(text) >= 1)
-       |SELECT id, sample_rate, dur_ms, width, height, pixel_sum, dc_sum
+       |SELECT id, sample_rate, dur_ms, width, height, n_frames,
+       |  pixel_sum, dc_sum
        |FROM parsed
        |WHERE dur_ms >= $MediaMinDurMs AND width >= $MediaMinWidth
        |  AND id NOT IN (SELECT id FROM idrop)
        |  AND id NOT IN (SELECT id FROM adrop)
+       |  AND id NOT IN (SELECT id FROM vdrop)
        |ORDER BY id""".stripMargin
 
   val multimodalFeaturesSql: String =

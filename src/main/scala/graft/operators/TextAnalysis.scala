@@ -1078,6 +1078,139 @@ object TextAnalysis {
        |GROUP BY source, split
        |ORDER BY source, split""".stripMargin
 
+  /** Split-leakage audit — the quantitative case for CLUSTER-AWARE
+    * splitting: a per-doc hash split (trainValSplit's rule) lets
+    * near-duplicate pairs straddle train/eval, the train-test
+    * contamination Lee et al. 2021 (§6, arXiv:2107.06499) measured in
+    * deployed corpora; hashing the near-dup CLUSTER id instead keeps
+    * every cluster on one side BY CONSTRUCTION. This row runs both
+    * rules and counts, for each, the near-dup pairs (the oracled
+    * [[DedupOps.dedupJaccard]] contract) whose endpoints land in
+    * different splits — `doc_hash` shows the leak, `cluster_hash`
+    * provably reads 0 (same cluster ⇒ same hash input), and the
+    * oracle re-derives BOTH through the recursive-closure labels, so
+    * the zero is a checked consistency property of hash ∘ closure,
+    * not an assumption.
+    *
+    * Scale shape: labels arrive memoized/persisted
+    * ([[DedupOps.clusterLabels]] — zero new pair-scale work), the
+    * split tags are codegen'd expressions on one corpus scan, and the
+    * straddle count joins the OUTPUT-BOUNDED pair list to two narrow
+    * (doc_id, split) lookups — at 100 TB this is exactly the shard
+    * assignment a training pipeline writes, with the audit as two
+    * counters on the side. */
+  def splitLeakageOf(docIds: DataFrame, labels: DataFrame,
+      pairs: DataFrame, seed: Long = 11L): DataFrame = {
+    def splitOf(h: Column): Column =
+      when(h < 900000L, lit("train")).when(h < 950000L, lit("val"))
+        .otherwise(lit("test"))
+    val base = docIds.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("keep_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("keep_id"), col("doc_id")))
+      .select(col("doc_id"),
+        splitOf(TextQueries.seededHashCol(col("doc_id"), seed)
+          % 1000000L).as("split_doc"),
+        splitOf(TextQueries.seededHashCol(col("cluster_id"), seed)
+          % 1000000L).as("split_cluster"))
+    val joined = pairs.select(col("i"), col("j"))
+      .join(base.select(col("doc_id").as("i"), col("split_doc").as("di"),
+        col("split_cluster").as("ci")), Seq("i"))
+      .join(base.select(col("doc_id").as("j"), col("split_doc").as("dj"),
+        col("split_cluster").as("cj")), Seq("j"))
+    val st = joined.agg(
+      coalesce(sum(when(col("di") =!= col("dj"), 1L).otherwise(0L)),
+        lit(0L)).as("s_doc"),
+      coalesce(sum(when(col("ci") =!= col("cj"), 1L).otherwise(0L)),
+        lit(0L)).as("s_cl"))
+    val counts = base.agg(
+      sum(when(col("split_doc") === "train", 1L).otherwise(0L))
+        .as("d_train"),
+      sum(when(col("split_doc") === "val", 1L).otherwise(0L)).as("d_val"),
+      sum(when(col("split_doc") === "test", 1L).otherwise(0L))
+        .as("d_test"),
+      sum(when(col("split_cluster") === "train", 1L).otherwise(0L))
+        .as("c_train"),
+      sum(when(col("split_cluster") === "val", 1L).otherwise(0L))
+        .as("c_val"),
+      sum(when(col("split_cluster") === "test", 1L).otherwise(0L))
+        .as("c_test"))
+    counts.crossJoin(broadcast(st)) // single-row aggregate sides
+      .select(expr("stack(2, " +
+        "'doc_hash', d_train, d_val, d_test, s_doc, " +
+        "'cluster_hash', c_train, c_val, c_test, s_cl) " +
+        "AS (split_kind, n_train, n_val, n_test, straddle_pairs)"))
+      .orderBy(col("split_kind"))
+  }
+
+  /** Registered row: the leakage audit over the corpus, consuming the
+    * memoized near-dup labels and pair list. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageOf(docs(spark, dir).select(col("doc_id")),
+      DedupOps.clusterLabels(spark, dir),
+      DedupOps.dedupJaccard(spark, dir))
+
+  val splitLeakageSql: String = {
+    val hd = TextQueries.seededHashSqlExpr("doc_id", 11L)
+    val hc = TextQueries.seededHashSqlExpr("cluster_id", 11L)
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, lang, source,
+       |    list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents),
+       |p AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j
+       |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+       |    AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |    >= 0.8),
+       |edges AS (
+       |  SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lab AS (SELECT a AS doc_id, MIN(b) AS keep_id FROM reach GROUP BY a),
+       |base0 AS (
+       |  SELECT dd.doc_id, COALESCE(l.keep_id, dd.doc_id) AS cluster_id
+       |  FROM documents dd LEFT JOIN lab l ON dd.doc_id = l.doc_id),
+       |hbase AS (
+       |  SELECT doc_id, ($hd) % 1000000 AS hd, ($hc) % 1000000 AS hc
+       |  FROM base0),
+       |base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN hd < 900000 THEN 'train'
+       |         WHEN hd < 950000 THEN 'val' ELSE 'test' END AS split_doc,
+       |    CASE WHEN hc < 900000 THEN 'train'
+       |         WHEN hc < 950000 THEN 'val' ELSE 'test' END AS split_cluster
+       |  FROM hbase),
+       |st AS (
+       |  SELECT
+       |    COALESCE(SUM(CASE WHEN bi.split_doc <> bj.split_doc
+       |      THEN 1 ELSE 0 END), 0) AS s_doc,
+       |    COALESCE(SUM(CASE WHEN bi.split_cluster <> bj.split_cluster
+       |      THEN 1 ELSE 0 END), 0) AS s_cl
+       |  FROM p JOIN base bi ON p.i = bi.doc_id
+       |  JOIN base bj ON p.j = bj.doc_id),
+       |cnt AS (
+       |  SELECT
+       |    SUM(CASE WHEN split_doc = 'train' THEN 1 ELSE 0 END) AS d_train,
+       |    SUM(CASE WHEN split_doc = 'val' THEN 1 ELSE 0 END) AS d_val,
+       |    SUM(CASE WHEN split_doc = 'test' THEN 1 ELSE 0 END) AS d_test,
+       |    SUM(CASE WHEN split_cluster = 'train' THEN 1 ELSE 0 END) AS c_train,
+       |    SUM(CASE WHEN split_cluster = 'val' THEN 1 ELSE 0 END) AS c_val,
+       |    SUM(CASE WHEN split_cluster = 'test' THEN 1 ELSE 0 END) AS c_test
+       |  FROM base)
+       |SELECT 'doc_hash' AS split_kind, CAST(d_train AS BIGINT) AS n_train,
+       |  CAST(d_val AS BIGINT) AS n_val, CAST(d_test AS BIGINT) AS n_test,
+       |  CAST(s_doc AS BIGINT) AS straddle_pairs FROM cnt, st
+       |UNION ALL
+       |SELECT 'cluster_hash', CAST(c_train AS BIGINT),
+       |  CAST(c_val AS BIGINT), CAST(c_test AS BIGINT),
+       |  CAST(s_cl AS BIGINT) FROM cnt, st
+       |ORDER BY split_kind""".stripMargin
+  }
+
   /** CCNet-style perplexity filtering: keep the 75% most-fluent docs
     * under the corpus bigram LM (docPerplexity scores), i.e. docs with
     * avg_nll_micro ≤ the exact p75 threshold in quantile_disc

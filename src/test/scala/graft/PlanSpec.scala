@@ -151,6 +151,10 @@ class PlanSpec extends AnyFunSuite {
       // docSimSparse (single-row corpus count) verbatim — the BNLJs
       // are the constituents' own allowlisted sides
       "rrf_hybrid" -> "broadcast sides = QueryCount (8) query vectors (dense leg) + single-row corpus doc count (sparse leg)",
+      // r10 late: margin mining — both neighbor scans are broadcast
+      // small-side passes over the corpus (the annTopK contract)
+      "bitext_margin" -> "broadcast sides = BitextQueryCount (8) query vectors (forward) + ≤ Q·K (32) candidate vectors (backward)",
+      "split_leakage" -> "broadcast side = single-row straddle-counter aggregate crossed with the single-row split-count aggregate",
     )
     for ((name, q) <- SparkEntry.queries) {
       val p = plan(q(spark, dir))
@@ -384,7 +388,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("media_pipeline: one corpus scan total — the checkpointed " +
-    "(doc_id, text) relation feeds all four payload legs; labels " +
+    "(doc_id, text) relation feeds all five payload legs; labels " +
     "arrive from the memoized fingerprint graphs") {
     // The single documents FileScan runs INSIDE the base
     // localCheckpoint; the final plan must contain ZERO parquet scans
@@ -393,7 +397,7 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(operators.MultimodalOps.mediaPipeline(spark, dir))
     assert("Scan parquet".r.findAllIn(p).isEmpty,
       s"a payload leg re-scans the corpus:\n$p")
-    assert("Scan ExistingRDD".r.findAllIn(p).size >= 4,
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 5,
       s"payload legs no longer share the checkpointed corpus:\n$p")
   }
 

@@ -855,7 +855,8 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     def item(id: Long, text: String) =
       (id, MultimodalOps.synthWav(id, text),
         MultimodalOps.synthBmp(id, text), MultimodalOps.synthPng(id, text),
-        operators.JpegOps.synthJpeg(id, text))
+        operators.JpegOps.synthJpeg(id, text),
+        operators.VideoOps.synthVideo(id, text))
     // id=3: sr=8000 -> dur 8ms OK; width 4 OK           -> survivor
     // id=4: sr=16000 -> dur 4ms OK; width 5 OK          -> survivor
     // id=5: sr=24000 -> dur 2ms < 3                     -> gate drop
@@ -863,19 +864,27 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     // id=19: dur 4ms OK, width 4 OK                     -> cluster loser
     // id=35: dur 8ms? 35%3=2 -> sr=24000 dur 2 — pick 36: 36%3=0 sr 8000
     //        width 1+36%16=5 OK                         -> corrupt WAV
+    // id=21: dur 8ms OK, width 6 OK                    -> corrupt VIDEO
+    // id=40: dur 4ms OK, width 9 OK                     -> video-cluster loser
     val rows = Seq(item(3L, base), item(4L, base + "y"), item(5L, base),
-      item(2L, base), item(19L, base), item(36L, base + "z"))
-    val corrupted = rows.map { case (id, w, b, p, jj) =>
+      item(2L, base), item(19L, base), item(36L, base + "z"),
+      item(21L, base + "w"), item(40L, base + "v"))
+    val corrupted = rows.map { case (id, w, b, p, jj, vv) =>
       if (id == 36L) { val bad = w.clone(); bad(0) = 'X'.toByte
-        (id, bad, b, p, jj) } else (id, w, b, p, jj)
+        (id, bad, b, p, jj, vv) }
+      else if (id == 21L) { val bad = vv.clone(); bad(0) = 'X'.toByte
+        (id, w, b, p, jj, bad) }
+      else (id, w, b, p, jj, vv)
     }
-    val wav = corrupted.map { case (i, w, _, _, _) => (i, w) }
+    val wav = corrupted.map { case (i, w, _, _, _, _) => (i, w) }
       .toDF("id", "payload")
-    val bmp = corrupted.map { case (i, _, b, _, _) => (i, b) }
+    val bmp = corrupted.map { case (i, _, b, _, _, _) => (i, b) }
       .toDF("id", "payload")
-    val png = corrupted.map { case (i, _, _, p, _) => (i, p) }
+    val png = corrupted.map { case (i, _, _, p, _, _) => (i, p) }
       .toDF("id", "payload")
-    val jpg = corrupted.map { case (i, _, _, _, jj) => (i, jj) }
+    val jpg = corrupted.map { case (i, _, _, _, jj, _) => (i, jj) }
+      .toDF("id", "payload")
+    val vid = corrupted.map { case (i, _, _, _, _, vv) => (i, vv) }
       .toDF("id", "payload")
     // synthetic cluster tables: 19 lost to keeper 4 in the image
     // modality; audio has no clusters
@@ -883,14 +892,18 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .toDF("id", "keep_id", "cluster_size")
     val audClusters = Seq.empty[(Long, Long, Long)]
       .toDF("id", "keep_id", "cluster_size")
-    val out = MultimodalOps.mediaPipelineOf(wav, bmp, png, jpg,
-      imgClusters, audClusters)
+    // 40 lost to keeper 3 in the video modality
+    val vidClusters = Seq((3L, 3L, 2L), (40L, 3L, 2L))
+      .toDF("id", "keep_id", "cluster_size")
+    val out = MultimodalOps.mediaPipelineOf(wav, bmp, png, jpg, vid,
+      imgClusters, audClusters, vidClusters)
     assert(out.columns.toSeq == Seq("id", "sample_rate", "dur_ms",
-      "width", "height", "pixel_sum", "dc_sum"))
+      "width", "height", "n_frames", "pixel_sum", "dc_sum"))
     val got = out.collect().map(_.getLong(0)).toSeq
     assert(got == Seq(3L, 4L),
       s"expected survivors {3, 4} (gate drops 2 and 5, image-cluster " +
-        s"loser drops 19, corrupt WAV drops 36), got $got")
+        s"loser drops 19, corrupt WAV drops 36, corrupt VIDEO drops 21, " +
+        s"video-cluster loser drops 40), got $got")
     // the registered row agrees with mediaPipelineOf over the planted
     // corpus tables (same graphs, same gates)
     val reg = operators.MultimodalOps.mediaPipeline(spark, dir)
@@ -899,8 +912,10 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       MultimodalOps.asBmpTable(spark, dir).toDF("id", "payload"),
       MultimodalOps.asPngTable(spark, dir).toDF("id", "payload"),
       operators.JpegOps.asJpegTable(spark, dir).toDF("id", "payload"),
+      operators.VideoOps.asVideoTable(spark, dir).toDF("id", "payload"),
       MultimodalOps.dedupImageClusters(spark, dir),
-      MultimodalOps.dedupAudioClusters(spark, dir))
+      MultimodalOps.dedupAudioClusters(spark, dir),
+      operators.VideoOps.videoClusterLabels(spark, dir))
     assert(reg.collect().toSeq == direct.collect().toSeq,
       "registered media_pipeline must equal the frame-level composition")
   }
@@ -915,7 +930,8 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       (id, "wav", MultimodalOps.synthWav(id, t)),
       (id, "bmp", MultimodalOps.synthBmp(id, t)),
       (id, "png", MultimodalOps.synthPng(id, t)),
-      (id, "jpeg", operators.JpegOps.synthJpeg(id, t))) }
+      (id, "jpeg", operators.JpegOps.synthJpeg(id, t)),
+      (id, "gvid", operators.VideoOps.synthVideo(id, t))) }
     val all = rows :+ ((99L, "wav", Array[Byte](1, 2, 3))) // corrupt
     // stage two landing files so maxFilesPerTrigger=1 forces two
     // micro-batches (FileStreamSource wants plain files in a dir)
