@@ -239,8 +239,14 @@ object Bench {
       "url_host_stats", "rrf_hybrid",
       // round-10 late: the video modality — frame-set Jaccard pairs
       // (df-capped fan-out like containment; output grows with the
-      // dup structure) and the corpus-linear cluster labels
-      "dedup_video", "dedup_video_clusters")
+      // dup structure), the corpus-linear cluster labels, and the
+      // per-row-linear parse scan
+      "dedup_video", "dedup_video_clusters", "multimodal_video",
+      // round-10 late: the evidence/assignment rows' own posture —
+      // margin mining is query-bounded (two broadcast small-side
+      // scans ⇒ ~linear), the leakage audit joins the output-bounded
+      // pair list to one tagged corpus scan
+      "bitext_margin", "split_leakage")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up
