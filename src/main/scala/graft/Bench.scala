@@ -132,6 +132,12 @@ object Bench {
           MultimodalOps.imageClusterLabels(spark, dir).count()
           MultimodalOps.audioClusterLabels(spark, dir).count(); ()
         },
+        // r10: the video cluster labels memo feeds dedup_video_clusters
+        // AND media_pipeline — train it here so neither row's first
+        // timed rep is charged for the pair+resolve chain
+        timed("video_labels") {
+          VideoOps.videoClusterLabels(spark, dir).count(); ()
+        },
         timed("bpe_learner") {
           BpeOps.learnedForDir(spark, dir, BpeOps.Merges); ()
         })
@@ -246,7 +252,12 @@ object Bench {
       // margin mining is query-bounded (two broadcast small-side
       // scans ⇒ ~linear), the leakage audit joins the output-bounded
       // pair list to one tagged corpus scan
-      "bitext_margin", "split_leakage")
+      "bitext_margin", "split_leakage",
+      // round-10 late: the bucketed batch planner — one range
+      // repartition + rank-offsets job + one hash agg, linear — and
+      // the probe-scored uncertainty selection (train scan + literal-
+      // dot scan + TakeOrdered k, ~linear flat)
+      "batch_plan", "margin_sample")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up

@@ -120,6 +120,9 @@ object SparkEntry {
     // exact nearest-centroid linear probe over embeddings: integer
     // mean-difference direction + midpoint threshold, one-vs-rest
     "embed_probe" -> (ProbeOps.embedProbe _),
+    // margin (uncertainty) sampling off the probe scores — the
+    // active-learning selection a labeling loop runs next
+    "margin_sample" -> (ProbeOps.marginSample _),
     "dedup_embedding" -> ((s: SparkSession, d: String) =>
       SimilarityOps.dedupEmbeddingBlocked(s, d)),
     "dedup_embedding_lsh" -> (SimilarityOps.dedupEmbeddingLshQuery _),
@@ -222,6 +225,9 @@ object SparkEntry {
       PipelineOps.groupSample(s, d)),
     "seq_pack" -> (PipelineOps.seqPack _),
     "global_shuffle" -> (PipelineOps.globalShuffle _),
+    // length-bucketed batch planning + padding-waste accounting (the
+    // group_by_length loader step; bucket = integer bit-length)
+    "batch_plan" -> (PipelineOps.batchPlan _),
     "rag_chunk" -> (PipelineOps.ragChunk _),
     "corpus_merge" -> (PipelineOps.corpusMerge _),
     "table_diff" -> (PipelineOps.tableDiff _),
@@ -354,6 +360,7 @@ object SparkEntry {
     "embed_project" -> ScalarQuantOps.embedProjectSql,
     "embed_pca" -> PcaOps.embedPcaSql,
     "embed_probe" -> ProbeOps.embedProbeSql,
+    "margin_sample" -> ProbeOps.marginSampleSql,
     // bits=0 LSH: candidate set provably complete ⇒ result ≡ exact top-k
     "ann_lsh_topk" -> SimilarityOps.annTopKSql,
     // round-8 promotions: the md5 seeding/sign planes made the three
@@ -432,6 +439,7 @@ object SparkEntry {
     "group_sample" -> PipelineOps.groupSampleSql,
     "seq_pack" -> PipelineOps.seqPackSql,
     "global_shuffle" -> PipelineOps.globalShuffleSql,
+    "batch_plan" -> PipelineOps.batchPlanSql,
     "rag_chunk" -> PipelineOps.ragChunkSql,
     "corpus_merge" -> PipelineOps.corpusMergeSql,
     "table_diff" -> PipelineOps.tableDiffSql,

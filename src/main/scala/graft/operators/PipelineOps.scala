@@ -378,4 +378,99 @@ object PipelineOps {
        |    ORDER BY hh, doc_id) AS BIGINT) AS pos
        |FROM sh
        |ORDER BY shard, pos""".stripMargin
+
+  // ---------------- length-bucketed batch planning ----------------
+
+  /** Docs per padded batch. */
+  val BatchSize = 16
+  /** Seed for the within-bucket batch order (simulates the epoch
+    * shuffle a loader runs before batching). */
+  val BatchSeed = 19L
+
+  /** Length-bucketed BATCH PLANNING with padding-waste accounting —
+    * the dynamic-batching step a finetuning/inference loader runs
+    * (fairseq/HF group_by_length lineage): batching arbitrary-length
+    * docs together pads every sequence to the batch max, so loaders
+    * first bucket by length (here: bucket = bit-length of the token
+    * count, i.e. ⌊log₂ n⌋+1 — INTEGER-exact in both engines via
+    * length(bin(n)), no float log), shuffle within the bucket
+    * (seeded hash — deterministic, cross-engine-exact), and cut
+    * [[BatchSize]]-doc batches. Output: one row per (bucket, batch)
+    * with n_docs, max_tok, sum_tok and pad_waste_ppm =
+    * 10⁶·(n_docs·max − Σtok) DIV (n_docs·max) — the padding fraction
+    * the bucketing exists to minimize (and the metric that justifies
+    * the bucket width choice).
+    *
+    * Scale shape: the within-bucket rank does NOT run as a window
+    * over the bucket key (log-many buckets ⇒ hot partitions at
+    * 100 TB); it rides the lengthCurriculum rank-offsets job — one
+    * range-repartition by the full (bucket, h, doc_id) sort key, a
+    * per-partition count collect (≤ partitions longs), and a
+    * partition-local running index; the within-bucket index is the
+    * global rank minus the bucket's min rank (one bounded agg,
+    * broadcast back). The batch stats are one partial+final hash agg
+    * on (bucket, batch). */
+  def batchPlan(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("bucket", length(bin(col("n_tok"))).cast("long"))
+      .withColumn("h", seededHash(col("doc_id"), BatchSeed))
+    val parts = base
+      .repartitionByRange(col("bucket"), col("h"), col("doc_id"))
+      .sortWithinPartitions(col("bucket"), col("h"), col("doc_id"))
+    val rdd = parts.rdd
+    val counts = rdd.mapPartitions(it => Iterator(it.size.toLong),
+      preservesPartitioning = true).collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val ranked = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var r = offsets(pi)
+      it.map { row =>
+        val out = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
+        r += 1
+        out
+      }
+    }
+    val withRank = spark.createDataFrame(ranked, parts.schema
+      .add("rank0", org.apache.spark.sql.types.LongType, nullable = false))
+    val bucketMin = withRank.groupBy(col("bucket"))
+      .agg(min(col("rank0")).as("b0"))
+    withRank.join(broadcast(bucketMin), Seq("bucket"))
+      .withColumn("batch_id", expr(s"(rank0 - b0) DIV $BatchSize"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .withColumn("pad_waste_ppm", expr(
+        "1000000 * (n_docs * max_tok - sum_tok) DIV (n_docs * max_tok)"))
+      .select(col("bucket"), col("batch_id"), col("n_docs"),
+        col("max_tok"), col("sum_tok"), col("pad_waste_ppm"))
+      .orderBy(col("bucket"), col("batch_id"))
+  }
+
+  val batchPlanSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(length(bin(n_tok)) AS BIGINT) AS bucket,
+       |    ${TextQueries.seededHashSqlExpr("doc_id", 19L)} AS h
+       |  FROM q),
+       |r AS (
+       |  SELECT bucket, n_tok,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1
+       |      AS rk
+       |  FROM b),
+       |g AS (
+       |  SELECT bucket, rk // $BatchSize AS batch_id,
+       |    COUNT(*) AS n_docs, MAX(n_tok) AS max_tok,
+       |    CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+       |  FROM r GROUP BY 1, 2)
+       |SELECT bucket, CAST(batch_id AS BIGINT) AS batch_id,
+       |  CAST(n_docs AS BIGINT) AS n_docs, max_tok, sum_tok,
+       |  CAST(1000000 * (n_docs * max_tok - sum_tok) //
+       |    (n_docs * max_tok) AS BIGINT) AS pad_waste_ppm
+       |FROM g
+       |ORDER BY bucket, batch_id""".stripMargin
 }

@@ -138,10 +138,14 @@ object ProbeOps {
     * cross-multiplied mean-difference direction → one sign-split
     * reduction → exact integer midpoint threshold → per-vector
     * projection and prediction. */
-  val embedProbeSql: String = {
-    def signDiv(x: String, sc: String): String =
-      s"CASE WHEN $x >= 0 THEN $x // $sc ELSE -((-($x)) // $sc) END"
-    s"""WITH q AS MATERIALIZED (
+  private def signDiv(x: String, sc: String): String =
+    s"CASE WHEN $x >= 0 THEN $x // $sc ELSE -((-($x)) // $sc) END"
+
+  /** The probe-training CTE chain (quantize → sums → direction →
+    * threshold), shared by [[embedProbeSql]] and [[marginSampleSql]]
+    * so the two oracles cannot drift. */
+  private val probeCtes: String = {
+    s"""q AS MATERIALIZED (
        |  SELECT vec_id, label,
        |    CASE WHEN label = $PosLabel THEN 1 ELSE 0 END AS y,
        |    ${VectorOps.QuantizeSql} AS xq
@@ -176,16 +180,65 @@ object ProbeOps {
              "(" + signDiv("a1", "n1") + " + " + signDiv("a0", "n0") + ")",
              "2")}
        |    AS BIGINT) AS th
-       |  FROM a, cnt)
-       |SELECT q.vec_id, CAST(q.label AS BIGINT) AS label,
-       |  CAST(q.y AS INT) AS y, sc.score,
-       |  CAST(CASE WHEN sc.score >= (SELECT th FROM th)
-       |    THEN 1 ELSE 0 END AS INT) AS pred
-       |FROM (
-       |  SELECT el.vec_id,
-       |    CAST(SUM(CAST(el.xi AS HUGEINT) * d.d) AS BIGINT) AS score
-       |  FROM el JOIN d USING (i) GROUP BY 1) sc
-       |JOIN q ON q.vec_id = sc.vec_id
-       |ORDER BY q.vec_id""".stripMargin
+       |  FROM a, cnt),
+       |scored AS MATERIALIZED (
+       |  SELECT q.vec_id, CAST(q.label AS BIGINT) AS label,
+       |    CAST(q.y AS INT) AS y, sc.score
+       |  FROM (
+       |    SELECT el.vec_id,
+       |      CAST(SUM(CAST(el.xi AS HUGEINT) * d.d) AS BIGINT) AS score
+       |    FROM el JOIN d USING (i) GROUP BY 1) sc
+       |  JOIN q ON q.vec_id = sc.vec_id)""".stripMargin
   }
+
+  /** Full bit-exact DuckDB replay: quantize → class-conditional sums →
+    * cross-multiplied mean-difference direction → one sign-split
+    * reduction → exact integer midpoint threshold → per-vector
+    * projection and prediction. */
+  val embedProbeSql: String =
+    s"""WITH $probeCtes
+       |SELECT vec_id, label, y, score,
+       |  CAST(CASE WHEN score >= (SELECT th FROM th)
+       |    THEN 1 ELSE 0 END AS INT) AS pred
+       |FROM scored
+       |ORDER BY vec_id""".stripMargin
+
+  /** How many least-certain vectors [[marginSample]] selects. */
+  val MarginSampleK = 25
+
+  /** MARGIN (uncertainty) SAMPLING — the active-learning selection
+    * rule (Lewis & Gale 1994; the margin variant of Settles' 2009
+    * taxonomy) run on the linear probe's scores: the [[MarginSampleK]]
+    * vectors with the SMALLEST |score − θ| are the ones the current
+    * classifier is least sure about — exactly the items a labeling /
+    * curation loop sends for human annotation next, and the selection
+    * step every classifier-bootstrapping pipeline (the FineWeb-Edu
+    * shape) iterates on.
+    *
+    * Scale shape: training is [[trainCentroidProbe]]'s one
+    * partial-agg scan; scoring is the zero-shuffle literal-dot map;
+    * the selection is top-k by (margin, vec_id) — TakeOrdered, never
+    * a global sort. All integer: margin = |score − θ| on exact
+    * longs. */
+  def marginSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = emb(spark, dir)
+    val (ds, theta) = trainCentroidProbe(d)
+    scoreWithProbe(d, ds, theta)
+      .withColumn("margin", abs(col("score") - lit(theta)))
+      .orderBy(col("margin").asc, col("vec_id").asc)
+      .limit(MarginSampleK)
+      .select(col("vec_id"), col("label"), col("score"), col("margin"))
+      .orderBy(col("vec_id"))
+  }
+
+  val marginSampleSql: String =
+    s"""WITH $probeCtes,
+       |m AS (
+       |  SELECT vec_id, label, score,
+       |    ABS(score - (SELECT th FROM th)) AS margin
+       |  FROM scored
+       |  ORDER BY margin ASC, vec_id ASC LIMIT $MarginSampleK)
+       |SELECT vec_id, label, score, CAST(margin AS BIGINT) AS margin
+       |FROM m
+       |ORDER BY vec_id""".stripMargin
 }

@@ -96,4 +96,33 @@ class ProbeSpec extends AnyFunSuite {
       assert(score == 0L && pred == 1)
     }
   }
+
+  test("margin_sample selects exactly the k least-certain vectors " +
+    "(smallest |score - theta|, ties on vec_id) off the corpus probe") {
+    import org.apache.spark.sql.functions.col
+    val dir = SparkFixture.Sf0001
+    val d = graft.sources.Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+    val (ds, theta) = ProbeOps.trainCentroidProbe(d)
+    val all = ProbeOps.scoreWithProbe(d, ds, theta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val ref = all
+      .map { case (id, label, score) =>
+        (id, label, score, math.abs(score - theta)) }
+      .sortBy { case (id, _, _, m) => (m, id) }
+      .take(ProbeOps.MarginSampleK)
+      .sortBy(_._1).toSeq
+    val got = ProbeOps.marginSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == ref)
+    // selection optimality: no unselected vector is strictly more
+    // uncertain than any selected one
+    val chosen = got.map(_._1).toSet
+    val maxSel = got.map(_._4).max
+    all.filterNot(t => chosen.contains(t._1)).foreach { case (id, _, sc) =>
+      assert(math.abs(sc - theta) >= maxSel,
+        s"unselected $id is more uncertain than a selected vector")
+    }
+  }
 }
