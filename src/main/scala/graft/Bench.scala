@@ -257,7 +257,10 @@ object Bench {
       // repartition + rank-offsets job + one hash agg, linear — and
       // the probe-scored uncertainty selection (train scan + literal-
       // dot scan + TakeOrdered k, ~linear flat)
-      "batch_plan", "margin_sample")
+      "batch_plan", "margin_sample",
+      // round-10 late: the incremental video arrival probe — per-
+      // arrival cost ∝ batch frames + matched live buckets
+      "dedup_video_ingest")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up

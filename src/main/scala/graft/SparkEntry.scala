@@ -295,6 +295,9 @@ object SparkEntry {
     "multimodal_video" -> (VideoOps.multimodalVideo _),
     "dedup_video" -> (VideoOps.dedupVideo _),
     "dedup_video_clusters" -> (VideoOps.dedupVideoClusters _),
+    // incremental: an arriving batch probes the live corpus' frame
+    // index (the dedup_ingest shape on the binary catalog)
+    "dedup_video_ingest" -> (VideoOps.dedupVideoIngest _),
     // end-to-end binary-catalog assembly: parse all five formats →
     // drop invalid payloads (chk_ok) → media quality gate → drop
     // image+audio near-dup cluster losers → cleaned catalog (the
@@ -483,5 +486,6 @@ object SparkEntry {
     "multimodal_video" -> VideoOps.multimodalVideoSql,
     "dedup_video" -> VideoOps.dedupVideoSql,
     "dedup_video_clusters" -> VideoOps.dedupVideoClustersSql,
+    "dedup_video_ingest" -> VideoOps.dedupVideoIngestSql,
   )
 }

@@ -243,7 +243,9 @@ object VideoOps {
   /** The oracle's frame relation: every (doc, frame) with the frame
     * CONTENT string as its key — geometry and pixels replayed from
     * (doc_id, text) exactly as [[synthVideo]] plants them. */
-  private[graft] val videoOccCte: String =
+  /** The (doc_id, frame-content key) relation replayed from
+    * (doc_id, text) — the shared prefix of every video-dedup oracle. */
+  private[graft] val videoFrameCte: String =
     s"""geom AS (
        |  SELECT doc_id, text, length(text) AS len,
        |    2 + length(text) % 4 AS w,
@@ -260,7 +262,10 @@ object VideoOps {
        |    array_to_string(list_transform(range(fr.w * fr.h),
        |      p -> (unicode(g.text[CAST((fr.f * 7 + p) % g.len AS INT) + 1])
        |            * 31 + fr.f) % 256), ',') AS fkey
-       |  FROM fr JOIN geom g ON fr.doc_id = g.doc_id),
+       |  FROM fr JOIN geom g ON fr.doc_id = g.doc_id)""".stripMargin
+
+  private[graft] val videoOccCte: String =
+    s"""$videoFrameCte,
        |kept AS (
        |  SELECT occ.doc_id, occ.fkey FROM occ
        |  JOIN (SELECT fkey FROM occ GROUP BY fkey
@@ -336,4 +341,93 @@ object VideoOps {
        |SELECT lab.id, lab.keep_id, sz.cluster_size
        |FROM lab JOIN sz ON sz.k = lab.keep_id
        |ORDER BY id""".stripMargin
+
+  // ---------------- incremental video ingest near-dup ----------------
+
+  /** Deterministic arrival slice. Mod 4 (a quarter of the corpus per
+    * arrival), not the text rows' mod 10: the video corpus' planted
+    * trim-dup structure is SPARSE at tiny scale factors, and mod 4
+    * rem 1 is the slice that puts qualifying pairs across the
+    * batch/live boundary at BOTH sf0.001 (the test fixture) and
+    * sf0.01 (the driver's correctness gate) — a vacuous 0-row oracle
+    * would verify nothing. */
+  val VideoIngestMod = 4L
+  val VideoIngestRem = 1L
+
+  /** Incremental VIDEO near-dup: an arriving batch (doc_id mod 10 = 5)
+    * probed against the LIVE corpus' frame-fingerprint index — the
+    * [[DedupOps.dedupIngest]] shape on the binary catalog. The index
+    * side is live-only (what a pipeline persists and re-probes per
+    * arrival: frame fingerprints + per-video set sizes + frame df);
+    * the df cap is computed on the LIVE index (a frame already carried
+    * by > [[VideoDfCap]] live videos is an intro card / logo — it
+    * neither generates candidates nor counts toward EITHER side's set
+    * size, the dedup_video cap contract restated incrementally), and
+    * batch-only frames count toward the batch set size so an arrival
+    * with mostly-new frames scores honestly low. Per-arrival cost ∝
+    * batch frames + matched index buckets — the live corpus is never
+    * re-paired against itself.
+    *
+    * Output: (new_id, live_id, shared_frames, jaccard_ppm) for
+    * J ≥ [[VideoJaccardPpm]]. */
+  def dedupVideoIngest(spark: SparkSession, dir: String): DataFrame = {
+    val occ = videoFrameSets(
+      asVideoTable(spark, dir).toDF("id", "payload")).localCheckpoint()
+    val isNew = col("id") % VideoIngestMod === VideoIngestRem
+    val live = occ.filter(!isNew)
+    val batch = occ.filter(isNew)
+    val overCap = live.groupBy(col("fkey"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > VideoDfCap)
+      .select(col("fkey"))
+    val keptLive = live.join(overCap, Seq("fkey"), "left_anti")
+    val keptBatch = batch.join(overCap, Seq("fkey"), "left_anti")
+    val liveSizes = keptLive.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val batchSizes = keptBatch.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    keptBatch.select(col("fkey"), col("id").as("new_id"))
+      .join(keptLive.select(col("fkey"), col("id").as("live_id")),
+        Seq("fkey"))
+      .groupBy(col("new_id"), col("live_id"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .join(batchSizes.select(col("id").as("new_id"), col("n").as("nn")),
+        Seq("new_id"))
+      .join(liveSizes.select(col("id").as("live_id"), col("n").as("nl")),
+        Seq("live_id"))
+      .withColumn("jaccard_ppm", expr(
+        "1000000 * shared_frames DIV (nn + nl - shared_frames)"))
+      .filter(col("jaccard_ppm") >= VideoJaccardPpm)
+      .select(col("new_id"), col("live_id"), col("shared_frames"),
+        col("jaccard_ppm"))
+      .orderBy(col("new_id"), col("live_id"))
+  }
+
+  /** Oracle: the dedup_video frame relation split into batch/live,
+    * the LIVE-side df cap, and the batch×live capped join. */
+  val dedupVideoIngestSql: String =
+    s"""WITH $videoFrameCte,
+       |live AS (SELECT * FROM occ
+       |  WHERE doc_id % $VideoIngestMod <> $VideoIngestRem),
+       |batch AS (SELECT * FROM occ
+       |  WHERE doc_id % $VideoIngestMod = $VideoIngestRem),
+       |overcap AS (
+       |  SELECT fkey FROM live GROUP BY fkey
+       |  HAVING COUNT(*) > $VideoDfCap),
+       |kl AS (SELECT * FROM live
+       |  WHERE fkey NOT IN (SELECT fkey FROM overcap)),
+       |kb AS (SELECT * FROM batch
+       |  WHERE fkey NOT IN (SELECT fkey FROM overcap)),
+       |ls AS (SELECT doc_id, COUNT(*) AS n FROM kl GROUP BY doc_id),
+       |bs AS (SELECT doc_id, COUNT(*) AS n FROM kb GROUP BY doc_id),
+       |pr AS (
+       |  SELECT b.doc_id AS new_id, l.doc_id AS live_id,
+       |    COUNT(*) AS shared_frames
+       |  FROM kb b JOIN kl l ON b.fkey = l.fkey
+       |  GROUP BY 1, 2)
+       |SELECT pr.new_id, pr.live_id, pr.shared_frames,
+       |  CAST(1000000 * pr.shared_frames //
+       |    (bs.n + ls.n - pr.shared_frames) AS BIGINT) AS jaccard_ppm
+       |FROM pr JOIN bs ON pr.new_id = bs.doc_id
+       |JOIN ls ON pr.live_id = ls.doc_id
+       |WHERE 1000000 * pr.shared_frames //
+       |    (bs.n + ls.n - pr.shared_frames) >= $VideoJaccardPpm
+       |ORDER BY new_id, live_id""".stripMargin
 }

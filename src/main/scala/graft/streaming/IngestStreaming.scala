@@ -377,6 +377,68 @@ object IngestStreaming {
       .start()
   }
 
+  /** Streaming VIDEO-arrival near-dup probe — the streaming twin of
+    * [[graft.operators.VideoOps.dedupVideoIngest]]: arriving
+    * (id, payload BINARY) video records probe the PERSISTENT
+    * live-corpus frame-fingerprint index per micro-batch, through the
+    * SAME [[graft.operators.VideoOps.videoFrameSets]] parser and the
+    * same live-side df-cap contract, so stream ≡ batch is an identity
+    * of code. The live index (capped frame occurrences + per-video
+    * set sizes) is computed ONCE and persisted — per-arrival cost ∝
+    * batch frames + matched buckets, the live corpus is never
+    * re-paired; corrupt arrivals fail the parser's validity gate and
+    * emit nothing. foreachBatch because the scoring is a multi-join
+    * aggregate over the micro-batch (batch semantics scoped to the
+    * trigger); no stream state beyond source offsets. */
+  def videoIngestStream(spark: SparkSession, landingDir: String,
+      liveVideos: DataFrame, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VideoOps
+    val liveOcc = VideoOps.videoFrameSets(liveVideos)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val overCap = liveOcc.groupBy(col("fkey"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > VideoOps.VideoDfCap)
+      .select(col("fkey"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keptLive = liveOcc.join(overCap, Seq("fkey"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val liveSizes = keptLive.groupBy(col("id")).agg(count(lit(1)).as("nl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reader = spark.readStream.schema("id LONG, payload BINARY")
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keptBatch = VideoOps.videoFrameSets(batch)
+          .join(overCap, Seq("fkey"), "left_anti")
+        val batchSizes = keptBatch.groupBy(col("id"))
+          .agg(count(lit(1)).as("nn"))
+        keptBatch.select(col("fkey"), col("id").as("new_id"))
+          .join(keptLive.select(col("fkey"), col("id").as("live_id")),
+            Seq("fkey"))
+          .groupBy(col("new_id"), col("live_id"))
+          .agg(count(lit(1)).as("shared_frames"))
+          .join(batchSizes.select(col("id").as("new_id"), col("nn")),
+            Seq("new_id"))
+          .join(liveSizes.select(col("id").as("live_id"), col("nl")),
+            Seq("live_id"))
+          .withColumn("jaccard_ppm", expr(
+            "1000000 * shared_frames DIV (nn + nl - shared_frames)"))
+          .filter(col("jaccard_ppm") >= VideoOps.VideoJaccardPpm)
+          .select(col("new_id"), col("live_id"), col("shared_frames"),
+            col("jaccard_ppm"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming length-profile drift — the incremental twin of the
     * batch KS detector ([[graft.operators.TextAnalysis.driftKs]]):
     * the per-source n_chars histogram as a plain streaming

@@ -967,4 +967,46 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got.count(!_._3) == 1 && !got.find(_._1 == 99L).get._3,
       "the corrupt arrival must land with chk_ok=false")
   }
+
+  test("streaming video ingest probe: micro-batched arrivals against " +
+    "the persistent live frame index reproduce the batch operator " +
+    "exactly (shared parser, shared cap contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.Files
+    val dir = SparkFixture.Sf0001
+    val vids = operators.VideoOps.asVideoTable(spark, dir)
+      .toDF("id", "payload")
+    val isNew = col("id") % operators.VideoOps.VideoIngestMod ===
+      operators.VideoOps.VideoIngestRem
+    val live = vids.filter(!isNew)
+    val arrivals = vids.filter(isNew).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(arrivals.nonEmpty)
+    // two landing files => two micro-batches under maxFilesPerTrigger=1
+    val landing = Files.createTempDirectory("graft_video_stream")
+    val (h1, h2) = arrivals.splitAt(arrivals.length / 2)
+    Seq(h1 -> "f1", h2 -> "f2").filter(_._1.nonEmpty).foreach {
+      case (half, nm) =>
+        val tmp = Files.createTempDirectory(s"graft_video_$nm").toString
+        half.toSeq.toDF("id", "payload").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, landing.resolve(s"$nm.parquet"))
+    }
+    val out = Files.createTempDirectory("graft_video_out").toString
+    val ckpt = Files.createTempDirectory("graft_video_ckpt").toString
+    val q = graft.streaming.IngestStreaming.videoIngestStream(spark,
+      landing.toString, live, out, ckpt, maxFilesPerTrigger = Some(1))
+    try q.awaitTermination() finally q.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = operators.VideoOps.dedupVideoIngest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want,
+      "micro-batched arrivals must reproduce the batch probe exactly")
+  }
 }

@@ -137,4 +137,54 @@ class VideoSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == Map(1L -> 1L, 3L -> 1L, 7L -> 1L))
   }
+
+  test("dedup_video_ingest: the arrival slice finds exactly its live " +
+    "near-dups under the live-side df cap (engine == all-pairs " +
+    "batch-by-live reference on the corpus)") {
+    import org.apache.spark.sql.functions.col
+    val dir = SparkFixture.Sf0001
+    // independent reference: frame sets straight off the synthesized
+    // bytes, df cap computed on the live side only
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.nonEmpty)
+    // the fingerprint includes the DIMENSIONS (a 6-byte frame of a
+    // 3x2 video is not the same frame as a byte-identical 2x3 one) —
+    // keying on bytes alone admits cross-text collisions the operator
+    // is defined to reject
+    def frames(id: Long, t: String): Set[(Int, Int, Seq[Byte])] = {
+      val p = VideoOps.synthVideo(id, t)
+      def u32(off: Int): Int =
+        (0 until 4).map(k => (p(off + k) & 0xFF) << (8 * k)).sum
+      val (nf, w, h) = (u32(4), u32(8), u32(12))
+      (0 until nf).map(f => (w, h,
+        p.slice(20 + f * w * h, 20 + (f + 1) * w * h).toSeq)).toSet
+    }
+    val all = docs.map { case (id, t) => id -> frames(id, t) }
+    val (batch, live) = all.partition(
+      _._1 % VideoOps.VideoIngestMod == VideoOps.VideoIngestRem)
+    val liveDf = live.flatMap(_._2).groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    val overCap = liveDf.filter(_._2 > VideoOps.VideoDfCap).keySet
+    def kept(s: Set[(Int, Int, Seq[Byte])]) = s -- overCap
+    val ref = (for {
+      (bi, bs) <- batch.map { case (i, s) => (i, kept(s)) }
+      (li, ls) <- live.map { case (i, s) => (i, kept(s)) }
+      shared = (bs intersect ls).size if shared > 0
+      if bs.nonEmpty && ls.nonEmpty
+      jppm = 1000000L * shared / (bs.size + ls.size - shared)
+      if jppm >= VideoOps.VideoJaccardPpm
+    } yield (bi, li, shared.toLong, jppm)).toSet
+    val got = VideoOps.dedupVideoIngest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == ref, s"engine $got != reference $ref")
+    // every emitted pair crosses the slice boundary
+    got.foreach { case (n, l, _, _) =>
+      assert(n % VideoOps.VideoIngestMod == VideoOps.VideoIngestRem &&
+        l % VideoOps.VideoIngestMod != VideoOps.VideoIngestRem)
+    }
+    assert(got.nonEmpty, "vacuous fixture: no cross-boundary pair")
+  }
 }
