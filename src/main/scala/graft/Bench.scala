@@ -260,7 +260,10 @@ object Bench {
       "batch_plan", "margin_sample",
       // round-10 late: the incremental video arrival probe — per-
       // arrival cost ∝ batch frames + matched live buckets
-      "dedup_video_ingest")
+      "dedup_video_ingest",
+      // round-10 late: the per-source datasheet composition (five
+      // linear constituents, source-cardinality joins)
+      "source_card")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up

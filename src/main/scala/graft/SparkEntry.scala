@@ -200,6 +200,9 @@ object SparkEntry {
     // cluster-aware split + the leakage counter: near-dup pairs
     // straddling the split under doc-hash vs cluster-hash assignment
     "split_leakage" -> (TextAnalysis.splitLeakage _),
+    // per-source datasheet: volume/quality/dup-mass/drift/langs as a
+    // composition of the already-oracled constituent rows
+    "source_card" -> (TextAnalysis.sourceCard _),
     "ppl_filter" -> (TextAnalysis.pplFilter _),
     "length_curriculum" -> (TextAnalysis.lengthCurriculum _),
     "novelty_score" -> (TextAnalysis.noveltyScore _),
@@ -422,6 +425,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "train_val_split" -> TextAnalysis.trainValSplitSql,
     "split_leakage" -> TextAnalysis.splitLeakageSql,
+    "source_card" -> TextAnalysis.sourceCardSql,
     "ppl_filter" -> TextAnalysis.pplFilterSql,
     "length_curriculum" -> TextAnalysis.lengthCurriculumSql,
     "novelty_score" -> TextAnalysis.noveltyScoreSql,

@@ -1211,6 +1211,64 @@ object TextAnalysis {
        |ORDER BY split_kind""".stripMargin
   }
 
+  /** SOURCE CARD — the per-source datasheet row ("Datasheets for
+    * Datasets", Gebru et al. 2021, reduced to its quantitative core):
+    * one row per source bundling the statistics a corpus consumer
+    * reads before mixing — volume (docs/tokens/share), mean quality,
+    * duplicate n-gram mass, length-profile drift vs the rest of the
+    * corpus, and language spread. A COMPOSITION row in the
+    * pretrain_pipeline/media_pipeline tradition: every column is an
+    * already-oracled constituent ([[domainMix]], [[qualityScore]],
+    * [[DedupOps.ngramDupMass]], [[driftKs]]) chained verbatim, so the
+    * oracle composes their committed SQL as subqueries and the card
+    * cannot drift from the standalone rows.
+    *
+    * Scale shape: every constituent is one linear scan + a
+    * source-cardinality agg; the final joins are equi-joins on the
+    * bounded source key. */
+  def sourceCard(spark: SparkSession, dir: String): DataFrame = {
+    val mix = domainMix(spark, dir)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("token_share_ppm"))
+    val q = docs(spark, dir).select(col("doc_id"), col("source"))
+      .join(qualityScore(spark, dir)
+        .select(col("doc_id"), col("quality_ppm")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(expr("CAST(sum(quality_ppm) DIV count(1) AS BIGINT)")
+        .as("mean_quality_ppm"))
+    val dup = DedupOps.ngramDupMass(spark, dir)
+      .select(col("source"), col("rep_ppm").as("dup_rep_ppm"))
+    val ks = driftKs(spark, dir).select(col("source"), col("ks_ppm"))
+    val langs = docs(spark, dir).groupBy(col("source"))
+      .agg(countDistinct(col("lang")).as("n_langs"))
+    mix.join(q, Seq("source")).join(dup, Seq("source"))
+      .join(ks, Seq("source")).join(langs, Seq("source"))
+      .orderBy(col("source"))
+  }
+
+  /** Composed replay: the constituents' committed SQL as subqueries
+    * (the rrf_hybrid chaining idiom). */
+  lazy val sourceCardSql: String =
+    s"""WITH q AS (
+       |  SELECT d.source,
+       |    CAST(SUM(t.quality_ppm) // COUNT(*) AS BIGINT)
+       |      AS mean_quality_ppm
+       |  FROM ($qualityScoreSql) t
+       |  JOIN documents d ON t.doc_id = d.doc_id
+       |  GROUP BY d.source),
+       |langs AS (
+       |  SELECT source, COUNT(DISTINCT lang) AS n_langs
+       |  FROM documents GROUP BY source)
+       |SELECT m.source, m.n_docs, m.n_tokens, m.token_share_ppm,
+       |  q.mean_quality_ppm, dup.rep_ppm AS dup_rep_ppm, ks.ks_ppm,
+       |  langs.n_langs
+       |FROM ($domainMixSql) m
+       |JOIN q USING (source)
+       |JOIN (${DedupOps.ngramDupMassSql}) dup USING (source)
+       |JOIN ($driftKsSql) ks USING (source)
+       |JOIN langs USING (source)
+       |ORDER BY source""".stripMargin
+
   /** CCNet-style perplexity filtering: keep the 75% most-fluent docs
     * under the corpus bigram LM (docPerplexity scores), i.e. docs with
     * avg_nll_micro ≤ the exact p75 threshold in quantile_disc

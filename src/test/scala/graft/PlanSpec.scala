@@ -155,6 +155,9 @@ class PlanSpec extends AnyFunSuite {
       // small-side passes over the corpus (the annTopK contract)
       "bitext_margin" -> "broadcast sides = BitextQueryCount (8) query vectors (forward) + ≤ Q·K (32) candidate vectors (backward)",
       "split_leakage" -> "broadcast side = single-row straddle-counter aggregate crossed with the single-row split-count aggregate",
+      // composition of allowlisted constituents: domainMix's single-row
+      // token total + driftKs's value-domain support grid
+      "source_card" -> "broadcast sides = the constituents' own bounded sides (domain_mix single-row total; drift_ks support grid)",
     )
     for ((name, q) <- SparkEntry.queries) {
       val p = plan(q(spark, dir))
