@@ -263,7 +263,9 @@ object Bench {
       "dedup_video_ingest",
       // round-10 late: the per-source datasheet composition (five
       // linear constituents, source-cardinality joins)
-      "source_card")
+      "source_card",
+      // round-10 late: fertility agg over the memoized BPE encode
+      "token_fertility")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up

@@ -195,6 +195,9 @@ object SparkEntry {
       BpeOps.bpeVocab(s, d)),
     "bpe_encode" -> ((s: SparkSession, d: String) =>
       BpeOps.bpeEncode(s, d)),
+    // per-(source, lang) subword fertility under the learned BPE —
+    // the token-budget allocator's input metric
+    "token_fertility" -> (BpeOps.tokenFertility _),
     "train_val_split" -> ((s: SparkSession, d: String) =>
       TextAnalysis.trainValSplit(s, d)),
     // cluster-aware split + the leakage counter: near-dup pairs
@@ -473,6 +476,7 @@ object SparkEntry {
     "kmeans_assign" -> ClusterOps.kmeansAssignSql,
     "semdedup" -> ClusterOps.semDedupSql,
     "bpe_encode" -> BpeOps.bpeEncodeSql,
+    "token_fertility" -> BpeOps.tokenFertilitySql,
     "bpe_vocab" -> BpeOps.bpeVocabSql,
     "prototype_prune" -> ClusterOps.prototypePruneSql,
     "text_classifier" -> TextClassifier.classifySql,

@@ -330,4 +330,47 @@ object BpeOps {
          |FROM enc ORDER BY doc_id""".stripMargin
     "WITH " + learnerCtes + ",\n" + tail
   }
+
+  /** TOKENIZER FERTILITY per (source, lang) — subword tokens per
+    * whitespace word under the corpus-learned BPE vocabulary, the
+    * metric multilingual mixing studies weight by (UniMax, Chung et
+    * al. 2023; fertility imbalance is why token-budgeted sampling and
+    * word-budgeted sampling disagree across languages/sources). A
+    * source whose fertility_milli reads high is more expensive per
+    * word under the shared tokenizer — exactly what a token-budget
+    * allocator needs to know before applying domain_mix weights.
+    *
+    * Reuses the memoized/oracled [[bpeEncode]] chain verbatim (the
+    * learner products are session-memoized and Bench-prep-trained);
+    * the aggregation is one (source, lang)-cardinality hash agg. */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir).select(col("doc_id"), col("source"), col("lang"))
+      .join(bpeEncode(spark, dir)
+        .select(col("doc_id"), col("n_words"), col("n_subword_tokens")),
+        Seq("doc_id"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subword_tokens")).as("n_subword_tokens"))
+      .withColumn("fertility_milli",
+        expr("1000 * n_subword_tokens DIV n_words"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** Composed replay: the committed bpe_encode SQL as a subquery (the
+    * source_card chaining idiom), re-keyed by (source, lang). */
+  lazy val tokenFertilitySql: String =
+    // the subquery is substituted AFTER stripMargin: bpe_encode's SQL
+    // contains `||` concatenations at line starts, which an outer
+    // stripMargin would mangle into bitwise-or
+    """SELECT d.source, d.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+      |  CAST(SUM(enc.n_subword_tokens) AS BIGINT) AS n_subword_tokens,
+      |  CAST(1000 * SUM(enc.n_subword_tokens) // SUM(enc.n_words)
+      |    AS BIGINT) AS fertility_milli
+      |FROM (__ENC__) enc
+      |JOIN documents d ON enc.doc_id = d.doc_id
+      |GROUP BY d.source, d.lang
+      |ORDER BY d.source, d.lang""".stripMargin
+      .replace("__ENC__", bpeEncodeSql)
 }

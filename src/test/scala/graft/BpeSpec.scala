@@ -134,4 +134,25 @@ class BpeSpec extends AnyFunSuite {
       assert(r.getLong(3) == 1000 * subs / words)
     }
   }
+
+  test("token_fertility: per-(source, lang) sums equal the doc-level " +
+    "encode rows, and fertility is >= 1000 milli (subwords >= words)") {
+    import org.apache.spark.sql.functions.col
+    val dir = SparkFixture.Sf0001
+    val docRows = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val enc = BpeOps.bpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ref = enc.groupBy { case (id, _, _) => docRows(id) }
+      .map { case ((src, lang), rows) =>
+        val (w, t) = (rows.map(_._2).sum, rows.map(_._3).sum)
+        (src, lang) -> (rows.size.toLong, w, t, 1000L * t / w)
+      }
+    val got = BpeOps.tokenFertility(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == ref)
+    got.values.foreach { case (_, _, _, f) => assert(f >= 1000L) }
+  }
 }
