@@ -140,4 +140,32 @@ object PropertySpec extends Properties("graft.kernels") {
       }.sum
       BigInt(got) == want
     }
+
+  // ------- GVID synth/parse round-trip (pure byte arithmetic) -------
+
+  private val videoTextGen: Gen[String] = for {
+    n <- Gen.chooseNum(1, 40)
+    cs <- Gen.listOfN(n, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', 'é', '中', '!', '\u00df')))
+  } yield cs.mkString
+
+  property("synthVideo header/geometry/frame-0 sum round-trip through"
+    + " the planted formulas for arbitrary (id, text)") =
+    Prop.forAll(Gen.chooseNum(0L, 1000000L), videoTextGen) { (id, t) =>
+      val p = graft.operators.VideoOps.synthVideo(id, t)
+      val len = t.codePointCount(0, t.length)
+      val w = 2 + (len % 4)
+      val h = 2 + ((len / 4) % 4)
+      val nf = 1 + (id % 8).toInt
+      def u32(off: Int): Long =
+        (0 until 4).map(k => (p(off + k) & 0xFFL) << (8 * k)).sum
+      val headerOk = p.length == 20 + nf * w * h &&
+        new String(p.take(4), "US-ASCII") == "GVID" &&
+        u32(4) == nf && u32(8) == w && u32(12) == h && u32(16) == 8L
+      val cps = t.codePoints().toArray
+      val frame0Ok = (0 until w * h).forall { q =>
+        (p(20 + q) & 0xFF) == (cps(q % len) * 31) % 256
+      }
+      headerOk && frame0Ok
+    }
 }
