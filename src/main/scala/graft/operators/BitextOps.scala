@@ -128,7 +128,7 @@ object BitextOps {
        |      (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) *
        |       sqrt(CAST(list_sum(list_transform(tv, x -> x * x)) AS DOUBLE))))
        |      * 1000000000.0) AS BIGINT) AS cos_q9
-       |  FROM q, t),
+       |  FROM q, t WHERE q_id <> t_id),
        |fwd AS (
        |  SELECT q_id, t_id, cos_q9 FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
@@ -143,7 +143,8 @@ object BitextOps {
        |      (sqrt(CAST(list_sum(list_transform(t.tv, x -> x * x)) AS DOUBLE)) *
        |       sqrt(CAST(list_sum(list_transform(s.sv, x -> x * x)) AS DOUBLE))))
        |      * 1000000000.0) AS BIGINT) AS cos_q9
-       |  FROM cand JOIN t ON cand.t_id = t.t_id, s),
+       |  FROM cand JOIN t ON cand.t_id = t.t_id, s
+       |  WHERE t.t_id <> s.s_id),
        |bq AS (
        |  SELECT t_id, SUM(cos_q9) AS bsum FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY t_id

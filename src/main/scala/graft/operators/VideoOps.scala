@@ -188,6 +188,13 @@ object VideoOps {
         col("n_frames").between(1L, 4096L) &&
         col("width").between(1L, 4096L) &&
         col("height").between(1L, 4096L) &&
+        // Total frame bytes bounded so every hex offset — up to
+        // (20 + n_frames·w·h)·2 + 1 — provably fits in INT (the
+        // substr cast below). 4096³ alone would overflow; the
+        // length-identity filter next makes >2 GB payloads
+        // unrepresentable anyway, but the bound makes it explicit.
+        col("n_frames") * col("width") * col("height") <=
+          (Int.MaxValue / 2 - 21).toLong &&
         length(col("hexs")).cast("long") ===
           (lit(20L) + col("n_frames") * col("width") * col("height")) * 2L)
       .withColumn("fbytes", (col("width") * col("height")).cast("int"))
@@ -354,7 +361,8 @@ object VideoOps {
   val VideoIngestMod = 4L
   val VideoIngestRem = 1L
 
-  /** Incremental VIDEO near-dup: an arriving batch (doc_id mod 10 = 5)
+  /** Incremental VIDEO near-dup: an arriving batch (doc_id mod
+    * [[VideoIngestMod]] = [[VideoIngestRem]], i.e. mod 4 = 1)
     * probed against the LIVE corpus' frame-fingerprint index — the
     * [[DedupOps.dedupIngest]] shape on the binary catalog. The index
     * side is live-only (what a pipeline persists and re-probes per
