@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[...] masters (LocalClusterSpec) spawn real executor
+// JVMs via the spark launcher, which needs the dist root and the
+// scala suffix it can't infer outside spark-submit. Inert for the
+// local[*] sessions every other suite uses.
+Test / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13")
 // Forked `run` output goes straight to this JVM's stdout/stderr with no
 // `[info] ` logger prefix — Bench's one-line JSON metrics contract needs
 // a parseable raw line on stdout (BENCH_r{1,2} had `parsed: null` because

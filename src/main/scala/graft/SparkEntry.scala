@@ -175,6 +175,9 @@ object SparkEntry {
     "para_dedup" -> (DedupOps.paraDedup _),
     "near_dup_clean" -> (DedupOps.nearDupClean _),
     "dedup_simhash" -> (DedupOps.dedupSimhash _),
+    // the widened-chunk variant (80-bit fingerprint, 4×20-bit chunks):
+    // random chunk collisions ∝ N²/2²⁰ — the scale configuration
+    "dedup_simhash_wide" -> (DedupOps.dedupSimhashWide _),
     "lang_id" -> (TextAnalysis.langId _),
     "quality_score" -> (TextAnalysis.qualityScore _),
     "corpus_clean" -> ((s: SparkSession, d: String) =>
@@ -206,6 +209,10 @@ object SparkEntry {
     // per-source datasheet: volume/quality/dup-mass/drift/langs as a
     // composition of the already-oracled constituent rows
     "source_card" -> (TextAnalysis.sourceCard _),
+    // the five-gate ingest door (scrub → URL → CDC → near-dup →
+    // decon/quality → admit) as ONE composition row; streaming twin
+    // in IngestStreaming.ingestDoorStream shares doorFrame verbatim
+    "ingest_door" -> (IngestDoor.ingestDoor _),
     "ppl_filter" -> (TextAnalysis.pplFilter _),
     "length_curriculum" -> (TextAnalysis.lengthCurriculum _),
     "novelty_score" -> (TextAnalysis.noveltyScore _),
@@ -385,6 +392,7 @@ object SparkEntry {
     "input_file_counts" -> TextQueries.inputFileCountsSql,
     "dedup_minhash" -> DedupOps.dedupMinhashSql,
     "dedup_ingest" -> DedupOps.dedupIngestSql,
+    "ingest_door" -> IngestDoor.ingestDoorSql,
     "ingest_jsonl" -> graft.sources.JsonlZst.ingestJsonlSql,
     "ingest_csv" -> graft.sources.CsvGz.ingestCsvSql,
     "pii_detect" -> PiiOps.piiDetectSql,
@@ -407,6 +415,7 @@ object SparkEntry {
     "dedup_fingerprint" -> DedupOps.dedupFingerprintSql,
     "dedup_jaccard" -> DedupOps.dedupJaccardSql,
     "dedup_simhash" -> DedupOps.dedupSimhashSql,
+    "dedup_simhash_wide" -> DedupOps.dedupSimhashWideSql,
     "dedup_clusters" -> DedupOps.dedupClustersSql,
     "dedup_soft" -> DedupOps.dedupSoftWeightsSql,
     "dedup_keep_best" -> DedupOps.dedupKeepBestSql,

@@ -259,12 +259,13 @@ object DedupOps {
         countDistinct(col("url")).as("n_url_variants"))
       .orderBy(col("survivor_id"))
 
-  /** DuckDB replay of [[dedupUrl]]: same mint, same canonicalization
-    * from split_part/substr/lower (the portable-builtin subset —
-    * split_part(x, d, 1..2) and substring_index agree when the
-    * delimiter occurs at most once, which the mint guarantees). */
-  lazy val dedupUrlSql: String =
-    s"""WITH urls AS (
+  /** The mint+canonicalize CTE chain — `urls(doc_id, url)` then
+    * `canon(doc_id, url, canon_url)` — shared by [[dedupUrlSql]] and
+    * the ingest-door composition ([[IngestDoor.ingestDoorSql]]) so
+    * the SQL twin of [[mintedCanonUrls]] has ONE spelling. Embed as
+    * `WITH $canonCtesSql, ...` (no trailing comma). */
+  private[graft] lazy val canonCtesSql: String =
+    s"""urls AS (
        |  SELECT doc_id,
        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||
        |     CASE doc_id % 3 WHEN 0 THEN 'WWW.'
@@ -288,7 +289,14 @@ object DedupOps {
        |        lower(split_part(split_part(split_part(
        |          url, '://', 2), '#', 1), '?', 1)) AS c1
        |      FROM urls) a) b
-       |)
+       |)""".stripMargin
+
+  /** DuckDB replay of [[dedupUrl]]: same mint, same canonicalization
+    * from split_part/substr/lower (the portable-builtin subset —
+    * split_part(x, d, 1..2) and substring_index agree when the
+    * delimiter occurs at most once, which the mint guarantees). */
+  lazy val dedupUrlSql: String =
+    s"""WITH $canonCtesSql
        |SELECT canon_url, MIN(doc_id) AS survivor_id,
        |  COUNT(*) AS n_copies, COUNT(DISTINCT url) AS n_url_variants
        |FROM canon GROUP BY canon_url ORDER BY survivor_id""".stripMargin
@@ -885,6 +893,123 @@ object DedupOps {
        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
        |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimhashOracleMaxHamming
+       |ORDER BY i, j""".stripMargin
+  }
+
+  // -------- widened-chunk SimHash (r11, VERDICT #4) ---------------
+  //
+  // The band-widening knob the dedup_simhash row has documented since
+  // r5, registered as its own row: the 60-bit fingerprint's 4×15-bit
+  // chunks make RANDOM chunk collisions ∝ N²/2¹⁵ — the measured ~3.3×
+  // structural probe ratio at 10× data. Widening to an 80-bit
+  // fingerprint in 4×20-bit chunks divides the random-collision mass
+  // by 2⁵ = 32 while keeping the pigeonhole guarantee (4 chunks
+  // partition all 80 bits, so hamming ≤ 3 leaves ≥ 1 chunk
+  // identical — the candidate set is COMPLETE, and the exact
+  // bit_count verify keeps precision 1). Same cross-engine-exact
+  // quadratic hash family ([[quadHash]]), third seed for the high
+  // 20 bits; same vocab-rank assignment (one window over the
+  // DISTINCT vocabulary). Fully oracled — DuckDB replays the
+  // fingerprint bit-exactly and verifies by all-pairs hamming.
+
+  val SimhashWideBits = 80
+  val SimhashWideChunkBits = 20
+
+  /** 80-bit oracled SimHash fingerprint per doc: (sh_lo bits 0..59,
+    * sh_hi bits 60..79). */
+  def simhashWide(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.select(col("tok")).distinct()
+      .withColumn("vid",
+        row_number().over(Window.orderBy(col("tok"))).cast("long"))
+      .withColumn("q0", quadHash(col("vid"), 7L))
+      .withColumn("q1", quadHash(col("vid"), 19L))
+      .withColumn("q2", quadHash(col("vid"), 31L))
+    val tv = toks.join(vocab, "tok")
+    val bitSums: Seq[Column] = (0 until SimhashWideBits).map { b =>
+      val src =
+        if (b < 30) col("q0") else if (b < 60) col("q1") else col("q2")
+      sum(when(shiftrightunsigned(src, b % 30).bitwiseAND(lit(1L)) === 1L,
+        1).otherwise(-1)).as(s"b$b")
+    }
+    tv.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sh_lo"),
+        (60 until SimhashWideBits).map(b =>
+          when(col(s"b$b") > 0, lit(1L << (b - 60))).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sh_hi"))
+  }
+
+  /** Complete hamming-≤3 pair list over the 80-bit fingerprint: four
+    * 20-bit chunk collisions (pigeonhole-complete) + exact two-word
+    * bit_count verify. Same co-partitioned exchange-free self-join
+    * shape as [[simhashOraclePairs]]. */
+  def simhashWidePairs(d: DataFrame): DataFrame = {
+    val s = simhashWide(d)
+    val m = (1L << SimhashWideChunkBits) - 1
+    val chunked = s.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+      posexplode(array(
+        col("sh_lo").bitwiseAND(lit(m)),
+        shiftrightunsigned(col("sh_lo"), 20).bitwiseAND(lit(m)),
+        shiftrightunsigned(col("sh_lo"), 40).bitwiseAND(lit(m)),
+        col("sh_hi").bitwiseAND(lit(m)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
+      .repartition(parallelism(s), col("chunk"), col("cv"))
+      .localCheckpoint()
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        (bit_count(col("x.sh_lo").bitwiseXOR(col("y.sh_lo"))) +
+          bit_count(col("x.sh_hi").bitwiseXOR(col("y.sh_hi"))))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimhashOracleMaxHamming)
+  }
+
+  /** Registered row: the widened-chunk SimHash pair list. */
+  def dedupSimhashWide(spark: SparkSession, dir: String): DataFrame =
+    simhashWidePairs(spread(docs(spark, dir)))
+      .select(col("i"), col("j"), col("hamming"))
+      .orderBy(col("i"), col("j"))
+
+  lazy val dedupSimhashWideSql: String = {
+    val bitSums = (0 until SimhashWideBits).map { b =>
+      val src = if (b < 30) "q0" else if (b < 60) "q1" else "q2"
+      s"SUM(CASE WHEN ($src >> ${b % 30}) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n    ")
+    val foldLo = (0 until 60).map { b =>
+      s"(CASE WHEN b$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END)"
+    }.mkString(" + ")
+    val foldHi = (60 until SimhashWideBits).map { b =>
+      s"(CASE WHEN b$b > 0 THEN CAST(1 AS BIGINT) << ${b - 60} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |vocab AS (
+       |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS vid
+       |  FROM (SELECT DISTINCT tok FROM toks) v),
+       |hashed AS (
+       |  SELECT tok, ${quadHashSql("vid", 7L)} AS q0,
+       |    ${quadHashSql("vid", 19L)} AS q1,
+       |    ${quadHashSql("vid", 31L)} AS q2 FROM vocab),
+       |tv AS (
+       |  SELECT t.doc_id, h.q0, h.q1, h.q2
+       |  FROM toks t JOIN hashed h USING (tok)),
+       |sums AS (
+       |  SELECT doc_id, $bitSums
+       |  FROM tv GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $foldLo AS sh_lo, $foldHi AS sh_hi FROM sums)
+       |SELECT x.doc_id AS i, y.doc_id AS j,
+       |  CAST(bit_count(xor(x.sh_lo, y.sh_lo))
+       |    + bit_count(xor(x.sh_hi, y.sh_hi)) AS BIGINT) AS hamming
+       |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sh_lo, y.sh_lo))
+       |    + bit_count(xor(x.sh_hi, y.sh_hi)) <= $SimhashOracleMaxHamming
        |ORDER BY i, j""".stripMargin
   }
 
@@ -1926,7 +2051,7 @@ object DedupOps {
   /** Dup-mass floor for CDC statistics: chunks shorter than this are
     * noise (single words); the floor recovers what real CDC's
     * min-clamp is for without the clamp's sequential state. */
-  private val CdcMinLen = 8
+  private[graft] val CdcMinLen = 8
 
   /** Content-defined-chunking dup mass (r10): per source, how much of
     * the corpus consists of chunks SHARED across documents — the
@@ -1980,8 +2105,13 @@ object DedupOps {
       .orderBy(col("source"))
   }
 
-  lazy val dedupCdcSql: String =
-    s"""WITH pos AS (
+  /** The CDC chunking CTE chain — boundary positions → chunk spans →
+    * `ch(doc_id, source, chunk)` — shared by [[dedupCdcSql]] and the
+    * ingest-door composition ([[IngestDoor.ingestDoorSql]]) so the
+    * SQL twin of [[graft.functions.CdcChunks]] has ONE spelling.
+    * Embed as `WITH $cdcChunkCtesSql,` (trailing comma required). */
+  private[graft] lazy val cdcChunkCtesSql: String =
+    s"""pos AS (
        |  SELECT doc_id, source, text,
        |    unnest(range(${graft.functions.CdcChunks.Gram},
        |      len(text) + 1)) AS i
@@ -2007,7 +2137,10 @@ object DedupOps {
        |  SELECT c.doc_id, d.source,
        |    substr(d.text, CAST(c.s AS BIGINT),
        |      CAST(c.e - c.s + 1 AS BIGINT)) AS chunk
-       |  FROM cks c JOIN documents d USING (doc_id)),
+       |  FROM cks c JOIN documents d USING (doc_id))""".stripMargin
+
+  lazy val dedupCdcSql: String =
+    s"""WITH $cdcChunkCtesSql,
        |allc AS (
        |  SELECT source, COUNT(*) AS n_chunks FROM ch GROUP BY source),
        |big AS (

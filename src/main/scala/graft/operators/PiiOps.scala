@@ -175,8 +175,14 @@ object PiiOps {
     * the redacted text — the digest proves byte-identical redaction
     * against the oracle without hauling the text through the compare.
     * Narrow projection, no shuffle (orderBy only for the gate). */
+  /** The minted-text projection (doc_id, text) over any (doc_id,
+    * text, …) frame — shared VERBATIM by [[piiRedact]] and the ingest
+    * door so the PII mint has one Spark spelling. */
+  private[graft] def mintedDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), minted.as("text"))
+
   def piiRedact(spark: SparkSession, dir: String): DataFrame =
-    scrubFrame(docs(spark, dir).select(col("doc_id"), minted.as("text")))
+    scrubFrame(mintedDocs(docs(spark, dir)))
       .orderBy(col("doc_id"))
 
   lazy val piiRedactSql: String = {

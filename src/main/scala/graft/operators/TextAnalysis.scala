@@ -62,6 +62,18 @@ object TextAnalysis {
   private val QualityPpmSqlExpr: String =
     "(50 * d + 30 * (n - s) + least(2 * c, 20 * n)) * 1000000 // (100 * n)"
 
+  /** (doc_id, quality_ppm) over any (doc_id, text, …) frame — the
+    * quality formula shared VERBATIM by the batch [[qualityScore]]
+    * row (same [[qualityPartCols]] + [[QualityPpmExpr]]) and the
+    * ingest door ([[IngestDoor.doorFrame]] /
+    * [[graft.streaming.IngestStreaming.ingestDoorStream]]), so the
+    * door's quality gate cannot drift from the standalone row. */
+  private[graft] def qualityPpmOf(d: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    d.select(col("doc_id") +: qualityPartCols(toks): _*)
+      .select(col("doc_id"), expr(QualityPpmExpr).as("quality_ppm"))
+  }
+
   /** Language ID: count marker-word hits per language, pick the argmax
     * with a fixed priority tie-break (en > es > fr > de), 'und' when
     * nothing hits. */
@@ -940,15 +952,24 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val decontaminateSql: String =
-    """WITH d AS (
+  /** The 3-shingle CTE chain — `d(doc_id, ts, text)` then
+    * `s(doc_id, sh)` — the SQL twin of [[docShingles]]' shingle
+    * definition (string shingles; the 64-bit hash is
+    * collision-free so counts match), shared by [[decontaminateSql]]
+    * and the ingest-door composition ([[IngestDoor.ingestDoorSql]]).
+    * Embed as `WITH $shingleCtesSql, ...`. */
+  private[graft] val shingleCtesSql: String =
+    """d AS (
       |  SELECT doc_id, string_split(text, ' ') AS ts, text FROM documents),
       |s AS (
       |  SELECT doc_id,
       |    CASE WHEN len(ts) < 3 THEN [text]
       |         ELSE list_transform(range(1, len(ts) - 1),
       |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS sh
-      |  FROM d),
+      |  FROM d)""".stripMargin
+
+  val decontaminateSql: String =
+    s"""WITH $shingleCtesSql,
       |bench AS (
       |  SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
       |corpus AS (

@@ -460,6 +460,68 @@ object IngestStreaming {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** THE STREAMING INGEST DOOR (r11, VERDICT #5): the five gate
+    * stages — PII scrub → URL gate → CDC probe → near-dup probe →
+    * decontamination + quality — chained as ONE stream, not five
+    * isolated twins. Every static side is built ONCE from the live
+    * corpus ([[graft.operators.IngestDoor.doorIndex]], persisted
+    * here; bucketed tables at 100 TB) and each micro-batch runs
+    * [[graft.operators.IngestDoor.doorFrame]] — shared VERBATIM with
+    * the batch `ingest_door` row, so stream ≡ batch is an identity of
+    * code (IngestDoorSpec pins it across a forced multi-micro-batch
+    * split).
+    *
+    * Cross-batch state is the URL gate's admitted-canon set, read
+    * back from the door's own output table per batch (the
+    * urlDedupStream discipline — the admitted table IS the state; a
+    * transactional table at production scale): across batches
+    * first-arrival wins, within a batch min-doc_id wins, so with
+    * doc_id-ordered landings the union over any micro-batch split
+    * equals the one-shot batch row. Every other stage is per-row or
+    * batch-vs-static, hence split-invariant by construction.
+    * foreachBatch scopes the gates to the arrivals (the
+    * nearDupIngestStream argument); the stream itself holds nothing
+    * beyond source offsets. Delivery is at-least-once on retry
+    * (parquet append); a production sink dedups on doc_id or uses a
+    * transactional table format. */
+  def ingestDoorStream(spark: SparkSession, landingDir: String,
+      liveDocs: DataFrame, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{DedupOps, IngestDoor}
+    val idx = IngestDoor.persistIndex(IngestDoor.doorIndex(liveDocs))
+    idx.liveCanon.count() // materialize the static sides once
+    // seed the admitted table so batch 1 reads a well-formed relation
+    // — ONLY when none exists yet (checkpoint-restart safety: see
+    // urlDedupStream)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seeded = fs.exists(outPath) &&
+      fs.listStatus(outPath).exists(st =>
+        !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+    val emptyPrior = DedupOps.mintedCanonUrls(liveDocs.limit(0))
+      .select(col("canon_url"))
+    if (!seeded)
+      IngestDoor.doorFrame(liveDocs.limit(0), idx, emptyPrior)
+        .write.mode("overwrite").parquet(outDir)
+    val reader = spark.readStream.schema(DocSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val prior = batch.sparkSession.read.parquet(outDir)
+          .filter(col("url_ok")).select(col("canon_url"))
+        IngestDoor.doorFrame(batch, idx, prior)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Shared cell-build expression — one explode + one (r, bucket)
     * partial+final agg; the spec runs it on the batch table to get
     * ground truth for the stream. */

@@ -188,6 +188,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(brute.exists { case (i, j, d) => i == 2L && j == 3L && d == 0L })
   }
 
+  test("widened simhash (80-bit, 4x20 chunks): identical docs at " +
+    "hamming 0, chunk candidates equal the all-pairs hamming scan") {
+    val fps = DedupOps.simhashWide(plantedDocs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(fps(2L) == fps(3L), "identical docs, identical fingerprint")
+    fps.values.foreach { case (lo, hi) =>
+      assert((lo >>> 60) == 0L, "sh_lo is a 60-bit word")
+      assert((hi >>> 20) == 0L, "sh_hi is a 20-bit word")
+    }
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    val ids = fps.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      d = ham(fps(i), fps(j))
+      if d <= DedupOps.SimhashOracleMaxHamming
+    } yield (i, j, d.toLong)).toSet
+    val viaChunks = DedupOps.simhashWidePairs(plantedDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaChunks == brute,
+      s"chunk-collision pairs $viaChunks != all-pairs $brute")
+    assert(brute.exists { case (i, j, d) => i == 2L && j == 3L && d == 0L })
+  }
+
   test("LSH ANN candidates are a subset of brute force and keep exact dups") {
     import spark.implicits._
     val dir = SparkFixture.Sf0001

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executor-boundary correctness (r10 verdict #3): a representative
+  * slice of the catalog on `local-cluster[2,2,2048]` — two SEPARATE
+  * executor JVMs, so closure serialization, accumulator merge across
+  * processes, the MR API's task-side state, the ArtifactStore's
+  * build-then-concurrent-read discipline, and a foreachBatch
+  * streaming sink all cross REAL process boundaries instead of the
+  * local[*] single JVM every other gate runs in.
+  *
+  * Run it in its OWN JVM (a SparkContext is one-per-JVM, and the
+  * shared SparkFixture session would otherwise satisfy getOrCreate
+  * with a local[*] master, silently testing nothing):
+  *
+  *   SPARK_GRAFT_LOCAL_CLUSTER=1 sbt "testOnly graft.LocalClusterSpec"
+  *
+  * Under a plain `sbt test` the suite cancels cleanly via assume()
+  * (the env var is absent), so the default gate stays green and
+  * fast; CI runs the dedicated invocation. Executor JVMs get the
+  * test JVM's full classpath via spark.executor.extraClassPath —
+  * graft classes, test classes (spec lambdas serialize into
+  * executor-deserialized closures), and the /opt/spark jars. */
+class LocalClusterSpec extends AnyFunSuite {
+
+  private val enabled =
+    sys.env.get("SPARK_GRAFT_LOCAL_CLUSTER").contains("1")
+  private val dir = SparkFixture.Sf0001
+
+  private lazy val spark: SparkSession = {
+    val work = Files.createTempDirectory("graft_lc_work").toString
+    // worker dirs out of the repo tree (sparkHome defaults to ".")
+    sys.props("spark.worker.dir") = work
+    SparkSession.builder()
+      .master("local-cluster[2,2,2048]")
+      .appName("graft-local-cluster")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path"))
+      .getOrCreate()
+  }
+
+  private def row(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("ten representative rows execute across executor JVM " +
+    "boundaries and return rows") {
+    assume(enabled, "set SPARK_GRAFT_LOCAL_CLUSTER=1 (own-JVM run)")
+    // relational agg + join, text explode/agg, window, LSH pair join,
+    // artifact-consuming labels, naive-Bayes joins, composition rows
+    val names = Seq("q1_agg", "q3_join_agg", "word_freq", "next_word_stats",
+      "dedup_minhash", "dedup_clusters", "text_classifier", "tf_idf",
+      "ann_topk", "ingest_door")
+    names.foreach { n =>
+      val c = row(n).count()
+      assert(c > 0, s"$n returned no rows on local-cluster")
+    }
+  }
+
+  test("MR-API rows (combiner + lazy reducer iterator) survive the " +
+    "executor boundary and agree with their relational twins") {
+    assume(enabled, "set SPARK_GRAFT_LOCAL_CLUSTER=1 (own-JVM run)")
+    val wfMr = row("word_freq_mr")
+    val total = wfMr.agg(sum(col("n"))).head().getLong(0)
+    val wcWords = row("wc_mr")
+      .filter(col("stat") === "words")
+      .head().getLong(1) // (stat, value)
+    val wfSql = row("word_freq").agg(sum(col("n"))).head().getLong(0)
+    assert(total === wfSql,
+      "MR combiner path must equal the relational word count across " +
+        "executor JVMs")
+    assert(wcWords > 0L,
+      "wc_mr's per-task tallies must survive executor-side " +
+        "mapper_final emission")
+  }
+
+  test("accumulator-backed counters merge across executor processes") {
+    assume(enabled, "set SPARK_GRAFT_LOCAL_CLUSTER=1 (own-JVM run)")
+    val acc = new graft.api.Counters(spark).counter("lc", "rows")
+    acc.reset()
+    val n = spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(8)
+      .mapPartitions { it =>
+        val c = it.size
+        acc.add(c.toLong)
+        Iterator.single(c)
+      }(org.apache.spark.sql.Encoders.scalaInt)
+      .collect().map(_.toLong).sum
+    assert(acc.value === n, "accumulator must merge partial counts " +
+      "from both executor JVMs")
+    assert(n === 500L)
+  }
+
+  test("streaming door (foreachBatch) runs its micro-batches on " +
+    "cluster executors and equals the batch row") {
+    assume(enabled, "set SPARK_GRAFT_LOCAL_CLUSTER=1 (own-JVM run)")
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+    val isNew = col("doc_id") % graft.operators.DedupOps.IngestMod ===
+      graft.operators.DedupOps.IngestRem
+    val tmp = Files.createTempDirectory("graft_lc_door")
+    val landing = tmp.resolve("landing").toString
+    Files.createDirectory(java.nio.file.Paths.get(landing))
+    val stage = tmp.resolve("stage").toString
+    d.filter(isNew).coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath,
+      java.nio.file.Paths.get(landing, "part-0.parquet"))
+    val q = graft.streaming.IngestStreaming.ingestDoorStream(
+      spark, landing, d.filter(!isNew),
+      tmp.resolve("out").toString, tmp.resolve("ckpt").toString)
+    try q.awaitTermination() finally q.stop()
+    val got = spark.read.parquet(tmp.resolve("out").toString).count()
+    val want = graft.operators.IngestDoor.ingestDoor(spark, dir).count()
+    assert(got === want)
+    spark.stop()
+  }
+}
