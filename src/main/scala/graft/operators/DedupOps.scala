@@ -814,14 +814,17 @@ object DedupOps {
     s"((($h) * ($h) % $p) * $a2 + $b2 + ($h)) % $p"
   }
 
-  /** 60-bit oracled SimHash fingerprint per doc. */
+  /** 60-bit oracled SimHash fingerprint per doc. Vocab rank via the
+    * distributed rank-offsets job ([[graft.functions.GlobalRank]]) —
+    * r11: the global `row_number()` window this used before funnels
+    * the whole vocabulary (corpus-growing; ~10⁷ rows at 100 TB)
+    * through ONE task; the range-sort rank is order-identical and
+    * distributed. */
   def simhashOracle(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = d.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
-    val vocab = toks.select(col("tok")).distinct()
-      .withColumn("vid",
-        row_number().over(Window.orderBy(col("tok"))).cast("long"))
+    val vocab = graft.functions.GlobalRank.withRank1(
+        toks.select(col("tok")).distinct(), "vid", col("tok"))
       .withColumn("q0", quadHash(col("vid"), 7L))
       .withColumn("q1", quadHash(col("vid"), 19L))
     val tv = toks.join(vocab, "tok")
@@ -918,12 +921,10 @@ object DedupOps {
   /** 80-bit oracled SimHash fingerprint per doc: (sh_lo bits 0..59,
     * sh_hi bits 60..79). */
   def simhashWide(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = d.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
-    val vocab = toks.select(col("tok")).distinct()
-      .withColumn("vid",
-        row_number().over(Window.orderBy(col("tok"))).cast("long"))
+    val vocab = graft.functions.GlobalRank.withRank1(
+        toks.select(col("tok")).distinct(), "vid", col("tok"))
       .withColumn("q0", quadHash(col("vid"), 7L))
       .withColumn("q1", quadHash(col("vid"), 19L))
       .withColumn("q2", quadHash(col("vid"), 31L))

@@ -416,23 +416,8 @@ object PipelineOps {
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .withColumn("bucket", length(bin(col("n_tok"))).cast("long"))
       .withColumn("h", seededHash(col("doc_id"), BatchSeed))
-    val parts = base
-      .repartitionByRange(col("bucket"), col("h"), col("doc_id"))
-      .sortWithinPartitions(col("bucket"), col("h"), col("doc_id"))
-    val rdd = parts.rdd
-    val counts = rdd.mapPartitions(it => Iterator(it.size.toLong),
-      preservesPartitioning = true).collect()
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val ranked = rdd.mapPartitionsWithIndex { case (pi, it) =>
-      var r = offsets(pi)
-      it.map { row =>
-        val out = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
-        r += 1
-        out
-      }
-    }
-    val withRank = spark.createDataFrame(ranked, parts.schema
-      .add("rank0", org.apache.spark.sql.types.LongType, nullable = false))
+    val withRank = graft.functions.GlobalRank.withRank0(
+      base, "rank0", col("bucket"), col("h"), col("doc_id"))
     val bucketMin = withRank.groupBy(col("bucket"))
       .agg(min(col("rank0")).as("b0"))
     withRank.join(broadcast(bucketMin), Seq("bucket"))

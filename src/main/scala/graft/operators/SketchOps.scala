@@ -143,13 +143,15 @@ object SketchOps {
     * both), so the row is FULLY ORACLED: DuckDB rebuilds the whole
     * sketch and every estimate matches exactly. */
   def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs(spark, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val vocab = tf.withColumn("vid",
-      row_number().over(Window.orderBy(col("tok"))).cast("long"))
+    // vocab rank via the distributed rank-offsets job (r11) — the
+    // global row_number window funneled the corpus-growing
+    // vocabulary through one task
+    val vocab = graft.functions.GlobalRank.withRank1(
+      tf, "vid", col("tok"))
     val buckets = (cmsRow: Int) =>
       pmod(DedupOps.quadHash(col("vid"), CmsSeeds(cmsRow)),
         lit(CmsWidth.toLong))

@@ -1451,24 +1451,8 @@ object TextAnalysis {
       .select(col("doc_id") +: qualityPartCols(toks): _*)
       .select(col("doc_id"), col("n"),
         expr(QualityPpmExpr).as("quality_ppm"))
-    val parts = scored
-      .repartitionByRange(col("quality_ppm"), col("doc_id"))
-      .sortWithinPartitions(col("quality_ppm"), col("doc_id"))
-    val rdd = parts.rdd
-    val counts = rdd.mapPartitions(it => Iterator(it.size.toLong),
-      preservesPartitioning = true).collect()
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val nn = offsets.last
-    val ranked = rdd.mapPartitionsWithIndex { case (pi, it) =>
-      var r = offsets(pi)
-      it.map { row =>
-        val out = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
-        r += 1
-        out
-      }
-    }
-    val withRank = spark.createDataFrame(ranked, parts.schema
-      .add("rank0", org.apache.spark.sql.types.LongType, nullable = false))
+    val (withRank, nn) = graft.functions.GlobalRank.withRank0AndCount(
+      scored, "rank0", col("quality_ppm"), col("doc_id"))
     // NTILE(4): the first nn%4 buckets hold nn DIV 4 + 1 rows, the
     // rest nn DIV 4 (max(...,1) guards the nn<4 fixture case, where
     // the ELSE branch is never taken but is still evaluated)

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GlobalRank
+
+/** The distributed rank-offsets job must equal the single-partition
+  * window it replaces (r11: the SimHash/CMS vocab ranks moved off
+  * `row_number().over(Window.orderBy(...))`). */
+class GlobalRankSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = SparkFixture.Sf0001
+
+  test("withRank1 equals row_number over the same total order on the " +
+    "real vocabulary") {
+    val vocab = graft.sources.Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val viaWindow = vocab
+      .withColumn("vid",
+        row_number().over(Window.orderBy(col("tok"))).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaRank = GlobalRank.withRank1(vocab, "vid", col("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaRank.nonEmpty)
+    assert(viaRank === viaWindow)
+  }
+
+  test("withRank0AndCount: rank is a 0-based permutation, count is " +
+    "the relation size, and the result is partitioning-invariant") {
+    import spark.implicits._
+    val df = (0 until 257).map(i => ((i * 131) % 257).toLong)
+      .toDF("k").repartition(7)
+    val (ranked, n) = GlobalRank.withRank0AndCount(df, "r", col("k"))
+    assert(n === 257L)
+    val pairs = ranked.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.map(_._2).sorted.toSeq === (0L until 257L))
+    // rank order == key order (k is a permutation of 0..256)
+    pairs.foreach { case (k, r) => assert(k === r) }
+  }
+
+  test("empty input ranks to an empty frame with count 0") {
+    import spark.implicits._
+    val (ranked, n) = GlobalRank.withRank0AndCount(
+      Seq.empty[Long].toDF("k"), "r", col("k"))
+    assert(n === 0L)
+    assert(ranked.count() === 0L)
+  }
+}
