@@ -154,7 +154,12 @@ object IngestDoor {
     * slice (doc_id mod [[DedupOps.IngestMod]] = [[DedupOps.IngestRem]])
     * vs the rest of the corpus as the live side. */
   def ingestDoor(spark: SparkSession, dir: String): DataFrame = {
+    // ONE corpus scan (the media_pipeline discipline): every gate
+    // reads only (doc_id, text, source), and the un-checkpointed
+    // composition re-scanned the table 15× — once per stage leg
     val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .localCheckpoint()
     val isNew =
       col("doc_id") % DedupOps.IngestMod === DedupOps.IngestRem
     val live = d.filter(!isNew)

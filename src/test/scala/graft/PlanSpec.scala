@@ -404,6 +404,19 @@ class PlanSpec extends AnyFunSuite {
       s"payload legs no longer share the checkpointed corpus:\n$p")
   }
 
+  test("ingest_door: one corpus scan total — the checkpointed " +
+    "(doc_id, text, source) relation feeds all five gate stages") {
+    // The un-checkpointed composition re-scanned the tiny test
+    // parquet 15× (once per stage leg) — at scale that is 15 corpus
+    // scans. The final plan must contain ZERO parquet scans and read
+    // the materialized RDD once per gate leg.
+    val p = plan(operators.IngestDoor.ingestDoor(spark, dir))
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      s"a gate stage re-scans the corpus:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 6,
+      s"gate stages no longer share the checkpointed corpus:\n$p")
+  }
+
   test("dedup_substring: join-free — three window/agg passes, no " +
     "candidate pairs (the §2.5 row's structural claim)") {
     // The removal is windows + one grouped count + the reassembly agg;
