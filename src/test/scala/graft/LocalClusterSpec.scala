@@ -57,7 +57,11 @@ class LocalClusterSpec extends AnyFunSuite {
     // artifact-consuming labels, naive-Bayes joins, composition rows
     val names = Seq("q1_agg", "q3_join_agg", "word_freq", "next_word_stats",
       "dedup_minhash", "dedup_clusters", "text_classifier", "tf_idf",
-      "ann_topk", "ingest_door")
+      "ann_topk", "ingest_door",
+      // GlobalRank-backed rows: the rank-offsets job's
+      // mapPartitionsWithIndex closures + offset arrays must
+      // serialize to executors (r11)
+      "dedup_simhash_wide", "batch_plan")
     names.foreach { n =>
       val c = row(n).count()
       assert(c > 0, s"$n returned no rows on local-cluster")
