@@ -788,10 +788,12 @@ object DedupOps {
   // all-pairs hamming scan DuckDB replays, and the row is FULLY
   // ORACLED.
   //
-  // Scale: the vocab rank assignment is one window over the DISTINCT
-  // vocabulary (vocab-bounded — ~10⁷ rows at 100 TB, trivial next to
-  // the corpus scan); everything else is the linear explode +
-  // groupBy + chunk-join shape of the production path.
+  // Scale: the vocab rank assignment runs the DISTRIBUTED
+  // rank-offsets job ([[graft.functions.GlobalRank]], r11 — the
+  // earlier global row_number window funneled the corpus-growing
+  // vocabulary, ~10⁷ rows at 100 TB, through one task); everything
+  // else is the linear explode + groupBy + chunk-join shape of the
+  // production path.
 
   val SimhashOracleBits = 60
   val SimhashOracleMaxHamming = 3
@@ -911,9 +913,9 @@ object DedupOps {
   // identical — the candidate set is COMPLETE, and the exact
   // bit_count verify keeps precision 1). Same cross-engine-exact
   // quadratic hash family ([[quadHash]]), third seed for the high
-  // 20 bits; same vocab-rank assignment (one window over the
-  // DISTINCT vocabulary). Fully oracled — DuckDB replays the
-  // fingerprint bit-exactly and verifies by all-pairs hamming.
+  // 20 bits; same distributed vocab-rank assignment
+  // ([[graft.functions.GlobalRank]]). Fully oracled — DuckDB replays
+  // the fingerprint bit-exactly and verifies by all-pairs hamming.
 
   val SimhashWideBits = 80
   val SimhashWideChunkBits = 20
