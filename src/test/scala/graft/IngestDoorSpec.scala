@@ -83,6 +83,68 @@ class IngestDoorSpec extends AnyFunSuite {
     assert(rows.exists(!_.getBoolean(9)), "some arrival must be gated")
   }
 
+  test("door stream survives a checkpoint RESTART mid-corpus: the " +
+    "admitted table is not re-seeded, processed files are not " +
+    "re-read, and cross-restart URL first-wins holds") {
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+    val isNew = col("doc_id") % DedupOps.IngestMod === DedupOps.IngestRem
+    val live = d.filter(!isNew)
+    val arriving = d.filter(isNew)
+    val ids = arriving.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    val tmp = Files.createTempDirectory("graft_door_restart")
+    val landing = tmp.resolve("landing").toString
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    Files.createDirectory(java.nio.file.Paths.get(landing))
+    def land(p: org.apache.spark.sql.Column, name: String): Unit = {
+      val stage = tmp.resolve(s"stage_$name").toString
+      arriving.filter(p).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, s"$name.parquet"))
+    }
+    // first half lands (lower doc_ids — the canon holders), door runs,
+    // then goes DOWN
+    land(col("doc_id") < cut, "part-0")
+    val q1 = IngestStreaming.ingestDoorStream(
+      spark, landing, live, out, ckpt)
+    try q1.awaitTermination() finally q1.stop()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0)
+    // second half arrives while the door is down; the restarted query
+    // must (a) NOT overwrite the admitted table with the empty seed
+    // (r7 urlDedupStream advice — rows admitted before the restart can
+    // never be re-derived), (b) resume the source's processed-file log
+    // (a re-read of part-0 would duplicate its rows), and (c) block a
+    // post-restart arrival whose canon a PRE-restart arrival already
+    // admitted — the cross-restart first-wins state lives in the
+    // admitted table itself
+    land(col("doc_id") >= cut, "part-1")
+    val q2 = IngestStreaming.ingestDoorStream(
+      spark, landing, live, out, ckpt)
+    try q2.awaitTermination() finally q2.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getBoolean(2),
+        Option(r.get(3)), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), Option(r.get(8)), r.getBoolean(9)))
+      .toSeq
+    val got = key(spark.read.parquet(out))
+    assert(got.map(_._1).distinct.length === got.length,
+      "a restart re-read a processed landing file (duplicate doc_ids)")
+    val want = key(IngestDoor.ingestDoor(spark, dir))
+    assert(got === want)
+    // the cross-restart block is non-vacuous: some post-restart
+    // arrival shares a canon with a pre-restart url_ok holder
+    val preCanon = got.filter(r => r._1 < cut && r._3).flatMap(_._2).toSet
+    assert(got.exists(r => r._1 >= cut && !r._3 &&
+        r._2.exists(preCanon.contains)),
+      "fixture lost the cross-restart canon collision")
+  }
+
   test("three-landing door stream equals the one-shot batch door, " +
     "including cross-batch URL first-wins") {
     val d = graft.sources.Tables.load(spark, dir, "documents")
