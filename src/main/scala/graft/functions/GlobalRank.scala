@@ -37,7 +37,11 @@ object GlobalRank {
     val parts = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val rdd = parts.rdd
-    val counts = rdd.mapPartitions(it => Iterator(it.size.toLong),
+    // Long fold, not Iterator.size: size returns Int, so a shuffle
+    // partition past 2^31 rows would silently wrap and corrupt every
+    // downstream offset — the exact regime this job exists for.
+    val counts = rdd.mapPartitions(
+      it => Iterator(it.foldLeft(0L)((n, _) => n + 1L)),
       preservesPartitioning = true).collect()
     val offsets = counts.scanLeft(0L)(_ + _)
     val ranked = rdd.mapPartitionsWithIndex { case (pi, it) =>

@@ -26,6 +26,13 @@ object ClusterOps {
   val K = 8
   val Iters = 5
   val Dim = 64
+
+  /** Default cosine τ shared by every semdedup spelling AND their
+    * audit rows — ONE constant so an audit can never silently pin a
+    * different pair set than the row it audits (r11 advice). The
+    * value's calibration rationale lives on [[semDedup]]'s scaladoc;
+    * the unrolled oracle SQL inlines the same literal. */
+  val DefaultSemDedupThreshold = 0.4
   val Shift = 1048576L // 2^20 > max |quantized| (~5.3e5): all values positive
   val ClusterSeed = 42L
 
@@ -230,7 +237,8 @@ object ClusterOps {
     * round, linear at any K) rather than semdedup-at-fixed-K, which
     * would measure the deliberately-degenerate configuration. */
   def semDedup(spark: SparkSession, dir: String,
-      threshold: Double = 0.4, k: Int = K): DataFrame =
+      threshold: Double = DefaultSemDedupThreshold,
+      k: Int = K): DataFrame =
     withinClusterPairs(spark, dir, kmeansAssign(spark, dir, k), threshold)
 
   /** The shared SemDeDup tail: cosine ≥ threshold pairs searched only
@@ -289,7 +297,7 @@ object ClusterOps {
       .min(1 << 20).toInt
 
   def semDedupScaled(spark: SparkSession, dir: String,
-      threshold: Double = 0.4,
+      threshold: Double = DefaultSemDedupThreshold,
       targetClusterSize: Long = TargetClusterSize): DataFrame =
     semDedup(spark, dir, threshold,
       scaledK(emb(spark, dir).count(), targetClusterSize))
@@ -385,7 +393,7 @@ object ClusterOps {
   }
 
   def semDedupShortlist(spark: SparkSession, dir: String,
-      threshold: Double = 0.4,
+      threshold: Double = DefaultSemDedupThreshold,
       targetClusterSize: Long = TargetClusterSize,
       nprobe: Int = ShortlistNprobe): DataFrame =
     withinClusterPairs(spark, dir,
@@ -475,12 +483,20 @@ object ClusterOps {
         Seq("i", "j"), "left")
       .agg(count(lit(1)).as("n_co"),
         coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+    // EXACT-ONCE coverage (r11 advice): a raw row-count compare would
+    // pass an assignment that duplicates one vec_id while dropping
+    // another. Assignment ids are drawn from the prepared relation by
+    // construction (⊆), so distinct == nVec pins the SET equal and
+    // total == nVec pins multiplicity 1.
     val nVec = prepared(spark, dir).count()
-    val nAsg = a.count()
+    val asgCnt = a.agg(count(lit(1)).as("n_asg"),
+      countDistinct(col("vec_id")).as("n_asg_distinct")).head()
+    val assignedOk =
+      asgCnt.getLong(0) == nVec && asgCnt.getLong(1) == nVec
     ref.agg(count(lit(1)).as("n_ref_pairs")).crossJoin(rec)
       .select(col("n_ref_pairs"),
         (col("n_hit") === col("n_co")).as("recall_ok"),
-        lit(nAsg == nVec).as("assigned_ok"))
+        lit(assignedOk).as("assigned_ok"))
   }
 
   /** Registered audit row for the rows-only [[semDedupScaled]]
@@ -515,7 +531,8 @@ object ClusterOps {
   def semDedupShortlistAudit(spark: SparkSession,
       dir: String): DataFrame = {
     val asg = shortlistAssign(spark, dir)
-    val sl = withinClusterPairs(spark, dir, asg, 0.4).localCheckpoint()
+    val sl = withinClusterPairs(spark, dir, asg,
+      DefaultSemDedupThreshold).localCheckpoint()
     // co-clustered identity + coverage vs the SHORTLIST's own
     // assignment (r11, same scale-invariant form as the scaled audit)
     val core = coClusteredAudit(spark, dir,

@@ -471,19 +471,29 @@ object IngestStreaming {
     * code (IngestDoorSpec pins it across a forced multi-micro-batch
     * split).
     *
-    * Cross-batch state is the URL gate's admitted-canon set, read
-    * back from the door's own output table per batch (the
-    * urlDedupStream discipline — the admitted table IS the state; a
-    * transactional table at production scale): across batches
-    * first-arrival wins, within a batch min-doc_id wins, so with
-    * doc_id-ordered landings the union over any micro-batch split
-    * equals the one-shot batch row. Every other stage is per-row or
-    * batch-vs-static, hence split-invariant by construction.
-    * foreachBatch scopes the gates to the arrivals (the
-    * nearDupIngestStream argument); the stream itself holds nothing
-    * beyond source offsets. Delivery is at-least-once on retry
-    * (parquet append); a production sink dedups on doc_id or uses a
-    * transactional table format. */
+    * Cross-batch state is the URL gate's admitted-canon set, kept in
+    * a DEDICATED compact state table (`<outDir>_canon`, one distinct
+    * canon_url column) rather than re-read from the full-width door
+    * output (r11 advice: the per-batch prior read then scales with
+    * ONE string column of admitted history, not the whole admitted
+    * table, and `.distinct()` on read absorbs at-least-once duplicate
+    * appends so retries can never feed back into the prior). The
+    * canon table is always RECONSTRUCTIBLE from the admitted table
+    * (url_ok rows' canon_url), and the stream rebuilds it at startup
+    * if it's missing — so the admitted table remains the durable
+    * source of truth (a transactional table at production scale).
+    * Per batch, output is appended FIRST and the batch's newly
+    * admitted canons second: a crash between the two retries the
+    * whole batch with the prior unchanged, which is plain
+    * at-least-once. Across batches first-arrival wins, within a
+    * batch min-doc_id wins, so with doc_id-ordered landings the
+    * union over any micro-batch split equals the one-shot batch row.
+    * Every other stage is per-row or batch-vs-static, hence
+    * split-invariant by construction. foreachBatch scopes the gates
+    * to the arrivals (the nearDupIngestStream argument); the stream
+    * itself holds nothing beyond source offsets. Delivery is
+    * at-least-once on retry (parquet append); a production sink
+    * dedups on doc_id or uses a transactional table format. */
   def ingestDoorStream(spark: SparkSession, landingDir: String,
       liveDocs: DataFrame, outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
@@ -494,17 +504,30 @@ object IngestStreaming {
     // seed the admitted table so batch 1 reads a well-formed relation
     // — ONLY when none exists yet (checkpoint-restart safety: see
     // urlDedupStream)
-    val outPath = new org.apache.hadoop.fs.Path(outDir)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val seeded = fs.exists(outPath) &&
-      fs.listStatus(outPath).exists(st =>
+    val canonDir = outDir.stripSuffix("/") + "_canon"
+    def hasData(p: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(path) && fs.listStatus(path).exists(st =>
         !st.getPath.getName.startsWith("_") &&
           !st.getPath.getName.startsWith("."))
+    }
+    val seeded = hasData(outDir)
     val emptyPrior = DedupOps.mintedCanonUrls(liveDocs.limit(0))
       .select(col("canon_url"))
-    if (!seeded)
+    if (!seeded) {
       IngestDoor.doorFrame(liveDocs.limit(0), idx, emptyPrior)
         .write.mode("overwrite").parquet(outDir)
+      emptyPrior.write.mode("overwrite").parquet(canonDir)
+    } else if (!hasData(canonDir)) {
+      // restart onto an admitted table with no canon sibling (a
+      // pre-canon-table output, or a lost sibling): rebuild the
+      // compact state from the source of truth, ONCE at startup —
+      // the only full-history read the stream ever does
+      spark.read.parquet(outDir).filter(col("url_ok"))
+        .select(col("canon_url")).distinct()
+        .write.mode("overwrite").parquet(canonDir)
+    }
     val reader = spark.readStream.schema(DocSchema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
@@ -513,10 +536,17 @@ object IngestStreaming {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val prior = batch.sparkSession.read.parquet(outDir)
-          .filter(col("url_ok")).select(col("canon_url"))
-        IngestDoor.doorFrame(batch, idx, prior)
-          .write.mode("append").parquet(outDir)
+        val ss = batch.sparkSession
+        // dedup on read: at-least-once retries may have appended the
+        // same canon twice; distinct keeps the prior a set
+        val prior = ss.read.parquet(canonDir).distinct()
+        // one materialization feeds both writes (doorFrame is a plan;
+        // two writes would run the five gates twice)
+        val res = IngestDoor.doorFrame(batch, idx, prior)
+          .localCheckpoint()
+        res.write.mode("append").parquet(outDir)
+        res.filter(col("url_ok")).select(col("canon_url")).distinct()
+          .write.mode("append").parquet(canonDir)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -123,6 +123,14 @@ class IngestDoorSpec extends AnyFunSuite {
     // admitted — the cross-restart first-wins state lives in the
     // admitted table itself
     land(col("doc_id") >= cut, "part-1")
+    // lose the compact canon-state sibling across the restart: the
+    // stream must rebuild it from the admitted table (the r11
+    // canon-table change keeps the admitted table the source of
+    // truth), so cross-restart first-wins still holds below
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(out + "_canon"))
     val q2 = IngestStreaming.ingestDoorStream(
       spark, landing, live, out, ckpt)
     try q2.awaitTermination() finally q2.stop()
