@@ -33,6 +33,38 @@ final case class ProbeReading(base: Double, x: Double,
     baseLoad: Double, xLoad: Double, retries: Int,
     deferred: Boolean, invalid: Boolean)
 
+/** The emission/gating decisions the driver's artifact depends on,
+  * factored pure so BenchLedgerSpec can pin them (r11 verdict #1:
+  * BENCH_r11.json was rc 124 / parsed null because the x100 tier ran
+  * by default and the only JSON line was emitted at the very end —
+  * a timeout anywhere left nothing parseable). */
+object BenchEmit {
+  /** The x100 blow-up tier is opt-IN (r11 verdict #1a): the driver
+    * sets no env and its wall budget must not pay first-build
+    * Blowup(100) synthesis plus minutes of probe legs. The committed
+    * builder artifacts keep the tier by exporting SPARK_GRAFT_X100=1. */
+  def x100Enabled(env: collection.Map[String, String]): Boolean =
+    env.get("SPARK_GRAFT_X100").contains("1")
+
+  /** One full-schema metrics line. `phase` states which emission this
+    * is — "catalog" (the early headline, written the moment the timed
+    * catalog finishes, with empty probe maps) or "final" (the
+    * enriched line that overwrites it when all tiers complete) — so
+    * the artifact itself says whether the probe tiers ran. */
+  def line(phase: String, total: Double, qs: String, sf: String,
+      floorSec: Double, probe10: String, probe100: String,
+      prep: String, prepX10: String, prepX100: String,
+      load: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","queries":$qs,"sf":"$sf","floor_sec":$floorSec,"blowup10x":$probe10,"blowup100x":$probe100,"prep":$prep,"prep_x10":$prepX10,"prep_x100":$prepX100,"load":$load}"""
+
+  /** The compact LAST stdout line: the full line is ~8 KB and the
+    * driver's captured tail (~2 KB) starts mid-line, so a tail parse
+    * of the full line fails (BENCH_r04). This always fits whole. */
+  def summary(phase: String, total: Double, nOk: Int, n: Int,
+      sf: String, file: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","n":$nOk,"n_queries":$n,"sf":"$sf","file":"$file"}"""
+}
+
 /** The probe ledger's pure decision/emission logic, factored out of
   * the Bench main so BenchLedgerSpec can pin it: the noise floor
   * (r10 verdict #6 — sub-`floorSec` base readings flip ±2× on JIT/GC
@@ -198,6 +230,14 @@ object Bench {
         }),
         "bpe_learner" -> (() => {
           BpeOps.learnedForDir(spark, dir, BpeOps.Merges); ()
+        }),
+        // r12 (r11 verdict #2): the door's build-once static sides —
+        // canon set, CDC chunk set, bench shingles, band index, plus
+        // the one-scan corpus checkpoint — trained untimed so the
+        // ingest_door row (and its probe legs) measures per-arrival
+        // cost, the operator's stated 100 TB posture
+        "door_index" -> (() => {
+          IngestDoor.doorSidesFor(spark, dir); ()
         }))
       items.filter { case (n, _) => keep.isEmpty || keep(n) }
         .map { case (n, f) => timed(n)(f()) }
@@ -211,6 +251,79 @@ object Bench {
     val doPrep =
       only.isEmpty || sys.env.get("SPARK_GRAFT_PREP").contains("1")
     val prep = if (doPrep) prepOf(sfDir) else Nil
+    val probeLoadGate = sys.env.getOrElse(
+      "SPARK_GRAFT_PROBE_LOAD_GATE", "8.0").toDouble
+    val probeRatioGate = sys.env.getOrElse(
+      "SPARK_GRAFT_PROBE_RATIO_GATE", "6.0").toDouble
+    // Noise floor (r10 verdict #6): a base leg under this many
+    // seconds flips ±2× on JIT/GC noise and carries no ratio signal —
+    // the artifact reports ratio:null for it and the ratio gate
+    // (hence retries/invalid) never fires on it. BASELINE §C states
+    // the floor.
+    val probeFloorSec = sys.env.getOrElse(
+      "SPARK_GRAFT_PROBE_FLOOR", "0.3").toDouble
+    // Tighter per-row gates for rows whose solo fresh-JVM pins sit
+    // well under the default gate (BASELINE §C ledger): a reading
+    // past the row's own band is contention by the committed
+    // evidence, so re-running it cheaply beats shipping an artifact
+    // that needs a next-round adjudication. Values = ~1.8× the worst
+    // committed solo ratio.
+    val rowRatioGate = Map(
+      "tf_idf" -> 2.7, "source_diversity" -> 2.0,
+      "dedup_minhash" -> 3.5, "dedup_containment" -> 5.0)
+    // rows whose x10 OUTPUT is quadratic by contract (concentrated
+    // near-dup mass: 86× pair growth) — a big ratio there is the
+    // documented output measurement, not contention; retrying would
+    // burn minutes re-measuring a true value every round. Their
+    // corpus-linear *_clusters companions carry the scale claim.
+    val outputQuadratic = Set("dedup_image", "dedup_audio")
+    def loadNum(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // ---- timed catalog FIRST (r11 verdict #1b) ----
+    // The catalog headline is the driver's one hard artifact, so it
+    // is timed and EMITTED before any probe tier runs: BENCH_r11
+    // timed out inside the (then-default) x100 tier and the
+    // end-of-run-only emission left rc 124 / parsed null. Probe
+    // self-heating from the catalog (the r8 concern that originally
+    // put the probes first) is handled where the probes run: a
+    // bounded settle() wait, per-leg load samples in the artifact,
+    // and the retry/deferred/invalid ledger — the ordering no longer
+    // has to carry that defense.
+    // Interleave reps (rep-major, not query-major) so a transient
+    // system hiccup hits one rep of many queries, not all reps of one.
+    val reruns = (1 to reps).map(_ => names.map(n => run(n, sfDir)))
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> median(reruns.map(_(i)))
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val loadAfterCatalog = loadAvg()
+    val nOk = results.count(_._2 >= 0)
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) are dev probes — they must
+    // NOT clobber the committed full-catalog artifact that BASELINE.md
+    // §C cites (the r3→r4 drift was exactly that: three single-query
+    // probes overwrote the 105-query record).
+    val outFile =
+      if (only.isDefined) "bench_subset_out.json"
+      // SPARK_GRAFT_OUT redirects a special-purpose full run (e.g.
+      // the 10× whole-catalog scale record) away from the committed
+      // clean-run artifact BASELINE §C cites
+      else sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")
+    def emit(phase: String, probe10: String, probe100: String,
+        prepX10: String, prepX100: String, load: String): Unit = {
+      val line = BenchEmit.line(phase, total, qs, sfDir, probeFloorSec,
+        probe10, probe100, prepJson(prep), prepX10, prepX100, load)
+      Files.write(Paths.get(outFile),
+        (line + "\n").getBytes(StandardCharsets.UTF_8))
+      println(line)
+      println(BenchEmit.summary(phase, total, nOk, results.size,
+        sfDir, outFile))
+    }
+    // the early headline: on disk and on stdout BEFORE any probe leg,
+    // so ANY later timeout still leaves a parseable driver artifact
+    emit("catalog", "{}", "{}", "{}", "{}",
+      s"""{"start":$loadStart,"after_catalog":$loadAfterCatalog}""")
     // Superlinearity probe (round-2 verdict #9): the heaviest queries
     // re-timed on a 10× blow-up of documents/embeddings whose
     // similarity structure grows LINEARLY with the factor (see
@@ -345,48 +458,19 @@ object Bench {
     val prepX10 =
       if (doPrep && probeNames.nonEmpty && blowDir != sfDir)
         prepOf(blowDir) else Nil
-    // ---- contention-robust probe block (round-8 verdict #1) ----
-    // The probes now run BEFORE the timed catalog: in r7 AND r8 the
-    // driver's probe legs ran last, after 155×(reps+1) queries had
-    // heated the box (the r8 artifact's own load field read 1.86 →
-    // 12.98 intra-run), and produced 10×+ readings on rows whose
-    // committed fresh-JVM ratios are 1.3–4.3×. Running the probe
-    // block first bounds self-heating to warmup+prep, and the block
-    // defends itself: the 1-min load is sampled immediately before
-    // each LEG and recorded in the artifact, the block first waits
-    // (bounded) for load to decay under the gate, and a probe whose
-    // ratio exceeds its gate or whose legs started over-gate is
-    // re-run (per-leg min kept, retry count recorded) — so an
-    // over-band reading in the artifact now carries the evidence to
-    // adjudicate contention vs plan regression.
-    val probeLoadGate = sys.env.getOrElse(
-      "SPARK_GRAFT_PROBE_LOAD_GATE", "8.0").toDouble
-    val probeRatioGate = sys.env.getOrElse(
-      "SPARK_GRAFT_PROBE_RATIO_GATE", "6.0").toDouble
-    // Noise floor (r10 verdict #6): a base leg under this many
-    // seconds flips ±2× on JIT/GC noise and carries no ratio signal —
-    // the artifact reports ratio:null for it and the ratio gate
-    // (hence retries/invalid) never fires on it. BASELINE §C states
-    // the floor.
-    val probeFloorSec = sys.env.getOrElse(
-      "SPARK_GRAFT_PROBE_FLOOR", "0.3").toDouble
-    // Tighter per-row gates for rows whose solo fresh-JVM pins sit
-    // well under the default gate (BASELINE §C ledger): a reading
-    // past the row's own band is contention by the committed
-    // evidence, so re-running it cheaply beats shipping an artifact
-    // that needs a next-round adjudication. Values = ~1.8× the worst
-    // committed solo ratio.
-    val rowRatioGate = Map(
-      "tf_idf" -> 2.7, "source_diversity" -> 2.0,
-      "dedup_minhash" -> 3.5, "dedup_containment" -> 5.0)
-    // rows whose x10 OUTPUT is quadratic by contract (concentrated
-    // near-dup mass: 86× pair growth) — a big ratio there is the
-    // documented output measurement, not contention; retrying would
-    // burn minutes re-measuring a true value every round. Their
-    // corpus-linear *_clusters companions carry the scale claim.
-    val outputQuadratic = Set("dedup_image", "dedup_audio")
-    def loadNum(): Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    // ---- contention-robust probe block (round-8 verdict #1;
+    // re-ordered AFTER the catalog in r12 per r11 verdict #1b — the
+    // driver's headline must already be on disk before any probe
+    // leg runs) ----
+    // Self-heating from the catalog (the r8 concern that once put the
+    // probes first) is defended INSIDE the block rather than by
+    // ordering: the 1-min load is sampled immediately before each LEG
+    // and recorded in the artifact, the block first waits (bounded)
+    // for load to decay under the gate, and a probe whose ratio
+    // exceeds its gate or whose legs started over-gate is re-run
+    // (retry count recorded), then deferred to the quiet-box pass,
+    // then flagged invalid — so an over-band reading in the artifact
+    // carries the evidence to adjudicate contention vs regression.
     spark.catalog.clearCache()
     System.gc()
     if (probeNames.nonEmpty) {
@@ -430,23 +514,17 @@ object Bench {
         val (x2, lx2) = leg(nm, blowDir)
         if (x2 >= 0 && (x10 < 0 || x2 < x10)) { x10 = x2; x10Load = lx2 }
       }
-      // retry budget exhausted still over a gate → defer to the
-      // post-catalog quiet-box pass (r10 verdict #2) instead of
-      // recording a contended reading as THE number
+      // NOTE (r11 advice): this tier keeps per-leg minima across
+      // retries DELIBERATELY — each leg is already best-of-2 in the
+      // shared JVM and a retry re-runs BOTH legs back-to-back, so the
+      // per-leg min is the tier's documented noise statistic (the
+      // x100 tier, whose legs are single-rep, keeps whole pairs
+      // instead). Retry budget exhausted still over a gate → defer to
+      // the quiet-box pass (r10 verdict #2) instead of recording a
+      // contended reading as THE number
       readings(nm) = cur.copy(deferred = gated(nm, cur, ratioGate))
     }
     val loadAfterProbes = loadAvg()
-    // ---- timed catalog (after the probes — see block comment) ----
-    // Interleave reps (rep-major, not query-major) so a transient
-    // system hiccup hits one rep of many queries, not all reps of one.
-    val reruns = (1 to reps).map(_ => names.map(n => run(n, sfDir)))
-    val results = names.zipWithIndex.map { case (n, i) =>
-      n -> median(reruns.map(_(i)))
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val loadAfterCatalog = loadAvg()
     // bounded wait for ambient load to decay under the gate — shared
     // by the deferred quiet-box pass and the x100 tier below
     def settle(): Unit = {
@@ -458,7 +536,7 @@ object Bench {
     }
     // ---- deferred quiet-box pass (r10 verdict #2) ----
     // A probe that exhausted its in-block retries still over a gate
-    // re-runs here, after the catalog, on a settled box. If the
+    // re-runs here, after the whole probe block, on a settled box. If the
     // quiet-box attempt ALSO finishes over a gate, the row is marked
     // "invalid": the numbers are recorded but flagged as a contention
     // artifact, not the measurement.
@@ -497,7 +575,9 @@ object Bench {
       "dedup_substring", "media_pipeline")
       .filter(n => only.forall(_.contains(n)))
       .filter(_ => !sys.env.get("SPARK_GRAFT_PROBE").contains("0"))
-      .filter(_ => !sys.env.get("SPARK_GRAFT_X100").contains("0"))
+      // opt-IN since r12 (r11 verdict #1a — BenchEmit.x100Enabled):
+      // the tier cost the driver its whole r11 artifact
+      .filter(_ => BenchEmit.x100Enabled(sys.env))
     val x100RatioGate = sys.env.getOrElse(
       "SPARK_GRAFT_X100_RATIO_GATE", "120.0").toDouble
     val blow100 = if (x100Names.nonEmpty)
@@ -517,54 +597,36 @@ object Bench {
         ProbeReading(b, x, lb, lx, 0, deferred = false, invalid = false)
       }
       var r = pair()
-      var retries = 0
-      def over = ProbeLedger.overRatioGate(r.base, r.x, x100RatioGate,
-        probeFloorSec, outputQuadratic.contains(nm)) ||
-        ProbeLedger.overLoadGate(r.baseLoad, r.xLoad, probeLoadGate)
-      if (over) {
-        retries = 1
+      def over(p: ProbeReading): Boolean =
+        ProbeLedger.overRatioGate(p.base, p.x, x100RatioGate,
+          probeFloorSec, outputQuadratic.contains(nm)) ||
+          ProbeLedger.overLoadGate(p.baseLoad, p.xLoad, probeLoadGate)
+      if (over(r)) {
         settle()
         val r2 = pair()
-        val best = ProbeReading(
-          if (r2.base >= 0 && (r.base < 0 || r2.base < r.base)) r2.base
-          else r.base,
-          if (r2.x >= 0 && (r.x < 0 || r2.x < r.x)) r2.x else r.x,
-          if (r2.base >= 0 && (r.base < 0 || r2.base < r.base)) r2.baseLoad
-          else r.baseLoad,
-          if (r2.x >= 0 && (r.x < 0 || r2.x < r.x)) r2.xLoad else r.xLoad,
-          retries, deferred = false, invalid = false)
-        r = best
-        r = r.copy(invalid = over)
+        // WHOLE pair, never per-leg minima (r11 advice): this tier's
+        // legs are single-rep, so a base leg from one pair with the
+        // x100 leg from the other would ratio across JVM states.
+        // Keep the pair that passes its gates; if both fail, the
+        // lower-ratio (least-contended) pair, ties to the retry.
+        def ratioOr(p: ProbeReading, dflt: Double): Double =
+          ProbeLedger.ratioOf(p.base, p.x, probeFloorSec).getOrElse(dflt)
+        val best =
+          if (!over(r2)) r2
+          else if (!over(r)) r
+          else if (ratioOr(r2, Double.MaxValue) <=
+            ratioOr(r, Double.MaxValue)) r2
+          else r
+        r = best.copy(retries = 1, invalid = over(best))
       }
       nm -> r
     }
     val probe100 = x100Readings.map { case (nm, r) =>
       s""""$nm":${ProbeLedger.json(r, probeFloorSec, xKey = "x100")}"""
     }.mkString("{", ",", "}")
-    val load =
-      s"""{"start":$loadStart,"after_probes":$loadAfterProbes,"after_catalog":$loadAfterCatalog,"end":${loadAvg()}}"""
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","floor_sec":$probeFloorSec,"blowup10x":$probe,"blowup100x":$probe100,"prep":${prepJson(prep)},"prep_x10":${prepJson(prepX10)},"prep_x100":${prepJson(prep100)},"load":$load}"""
-    // Subset runs (SPARK_GRAFT_BENCH_ONLY) are dev probes — they must
-    // NOT clobber the committed full-catalog artifact that BASELINE.md
-    // §C cites (the r3→r4 drift was exactly that: three single-query
-    // probes overwrote the 105-query record).
-    val outFile =
-      if (only.isDefined) "bench_subset_out.json"
-      // SPARK_GRAFT_OUT redirects a special-purpose full run (e.g.
-      // the 10× whole-catalog scale record) away from the committed
-      // clean-run artifact BASELINE §C cites
-      else sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")
-    Files.write(Paths.get(outFile),
-      (line + "\n").getBytes(StandardCharsets.UTF_8))
-    println(line)
-    // The LAST stdout line is a SHORT summary: the full line above is
-    // ~8 KB and the driver's captured tail (~2 KB) starts mid-line, so
-    // a parse of the tail fails (BENCH_r04.parsed == null). A compact
-    // final line always fits the tail window whole; the per-query map
-    // lives in the file it names.
-    val nOk = results.count(_._2 >= 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"n_queries":${results.size},"sf":"$sfDir","file":"$outFile"}""")
+    emit("final", probe, probe100, prepJson(prepX10),
+      prepJson(prep100),
+      s"""{"start":$loadStart,"after_catalog":$loadAfterCatalog,"after_probes":$loadAfterProbes,"end":${loadAvg()}}""")
     spark.stop()
   }
 }

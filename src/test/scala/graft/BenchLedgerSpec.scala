@@ -52,6 +52,37 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(j.contains("\"ratio\":7.0"))
   }
 
+  test("x100 tier is opt-IN: default env leaves it OFF (r11 verdict " +
+    "#1a — the tier cost the driver its whole r11 artifact)") {
+    assert(!BenchEmit.x100Enabled(Map.empty[String, String]))
+    assert(!BenchEmit.x100Enabled(Map("SPARK_GRAFT_X100" -> "0")))
+    assert(!BenchEmit.x100Enabled(Map("SPARK_GRAFT_X100" -> "")))
+    assert(BenchEmit.x100Enabled(Map("SPARK_GRAFT_X100" -> "1")))
+  }
+
+  test("early-emit headline (phase=catalog, empty probe maps) is a " +
+    "complete parseable metrics line on its own (r11 verdict #1b)") {
+    val line = BenchEmit.line("catalog", 144.3,
+      """{"q1_agg":1.04,"wc_mr":0.51}""", "/root/testdata/sf0.1",
+      0.3, "{}", "{}", "{}", "{}", "{}",
+      """{"start":1.2,"after_catalog":7.5}""")
+    // must survive a real JSON parse — the driver's whole check
+    val v = org.json4s.jackson.JsonMethods.parse(line)
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    assert((v \ "metric").extract[String] === "total")
+    assert((v \ "value").extract[Double] === 144.3)
+    assert((v \ "unit").extract[String] === "sec")
+    assert((v \ "phase").extract[String] === "catalog")
+    assert((v \ "queries" \ "q1_agg").extract[Double] === 1.04)
+    // the compact tail line parses too (the ~2 KB tail window)
+    val sum = BenchEmit.summary("catalog", 144.3, 176, 176,
+      "/root/testdata/sf0.1", "bench_out.json")
+    val sv = org.json4s.jackson.JsonMethods.parse(sum)
+    assert((sv \ "n").extract[Int] === 176)
+    assert(sum.length < 200, "summary must fit the tail window whole")
+  }
+
   test("failed legs emit -1 values with null ratio and null loads " +
     "stay null") {
     val j = ProbeLedger.json(
