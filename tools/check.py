@@ -38,6 +38,17 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str, out_dir: str) -> int:
+    # SWEEP_JSONL=<path>: also write one machine-readable line per
+    # query (the committed cross-SF sweep artifact, r11 verdict #4)
+    jsonl = open(os.environ["SWEEP_JSONL"], "w") \
+        if os.environ.get("SWEEP_JSONL") else None
+
+    def record(name, ok, reason=""):
+        if jsonl:
+            jsonl.write(json.dumps(
+                {"name": name, "ok": ok, "reason": reason,
+                 "sf_dir": sf_dir}) + "\n")
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -54,26 +65,31 @@ def main(sf_dir: str, out_dir: str) -> int:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            record(name, False, "no spark output")
             n_bad += 1
             continue
         try:
             got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
         except TypeError as e:
             print(f"FAIL {name}: spark output: {e}")
+            record(name, False, f"spark output: {e}")
             n_bad += 1
             continue
         try:
             exp = norm(con.execute(sql).fetchdf())
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            record(name, False, f"oracle sql error: {e}")
             n_bad += 1
             continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            record(name, False, "column mismatch")
             n_bad += 1
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            record(name, False, f"rows {len(got)} vs {len(exp)}")
             n_bad += 1
             continue
         # exact value compare (driver hashes values)
@@ -103,10 +119,17 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"FAIL {name}: col {c} differs, e.g. {diff}")
         if eq:
             print(f"OK   {name} ({len(got)} rows)")
+            record(name, True, f"{len(got)} rows")
             n_ok += 1
         else:
+            record(name, False, "value mismatch")
             n_bad += 1
     print(f"== {n_ok} ok, {n_bad} bad ==")
+    if jsonl:
+        jsonl.write(json.dumps(
+            {"name": "__summary__", "ok": n_bad == 0, "n_ok": n_ok,
+             "n_bad": n_bad, "sf_dir": sf_dir}) + "\n")
+        jsonl.close()
     return 1 if n_bad else 0
 
 
