@@ -45,7 +45,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g default (r12): the heaviest 10× probe legs (dedup_containment,
+  // ~64 concurrent sort/join buffers at 32 threads) ran borderline at
+  // 8g and one bench run OOM'd an executor thread; the box has 128 GiB
+  // and local[32] needs the headroom. Override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )
 // LocalClusterSpec needs its OWN JVM (SparkContext is one-per-JVM and
 // the shared local[*] fixture session would satisfy getOrCreate,

@@ -289,6 +289,14 @@ object Bench {
     // bounded settle() wait, per-leg load samples in the artifact,
     // and the retry/deferred/invalid ledger — the ordering no longer
     // has to carry that defense.
+    // One UNTIMED pass at the target SF first: under the old order
+    // the ~45-row probe block ran sf0.1/x10 legs before the catalog
+    // and left its code/IO paths hot — moving the catalog first
+    // uncovered that as a uniform ~11% median inflation (r12 A/B,
+    // median per-row ratio 1.11 with no per-row outlier shape).
+    // Warming at the measured scale makes the medians steady-state
+    // in EVERY ordering instead of an accident of what ran before.
+    names.foreach(run(_, sfDir))
     // Interleave reps (rep-major, not query-major) so a transient
     // system hiccup hits one rep of many queries, not all reps of one.
     val reruns = (1 to reps).map(_ => names.map(n => run(n, sfDir)))

@@ -73,11 +73,17 @@ object IngestDoor {
     nearDup = DedupOps.nearDupIndex(live))
 
   /** Persist + materialize every static side (the streaming caller's
-    * build-once step). */
+    * build-once step). DISK_ONLY, not MEMORY_AND_DISK: at 100 TB the
+    * static sides ARE disk tables (bucketed, read per arrival), and
+    * in-process the shingle/band relations are the door's bulkiest
+    * state — holding them on heap for both the base and blow-up
+    * corpora squeezed execution memory under the heaviest probe legs
+    * (an r12 bench run OOM'd exactly there). Local-disk reads are the
+    * honest cost the production posture pays. */
   def persistIndex(idx: DoorIndex): DoorIndex = {
     Seq(idx.liveCanon, idx.liveChunks, idx.bench,
       idx.nearDup.bands, idx.nearDup.shingles)
-      .foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+      .foreach(_.persist(StorageLevel.DISK_ONLY))
     idx
   }
 
