@@ -92,6 +92,26 @@ object ProbeLedger {
   private def jnum(d: Double): String = if (d < 0) "null" else
     (math.round(d * 100.0) / 100.0).toString
 
+  /** x100 retry arbitration (r11 advice): the tier's legs are
+    * single-rep, so the retry must keep a WHOLE pair — a base leg
+    * from one pair with the blown leg from the other would ratio
+    * across JVM states. Keep the pair that passes its gates; if both
+    * fail, the lower-ratio (least-contended) pair, ties to the retry;
+    * the returned reading records one retry and flags itself invalid
+    * when the kept pair is still over a gate. */
+  def pickPair(first: ProbeReading, retry: ProbeReading,
+      over: ProbeReading => Boolean, floorSec: Double): ProbeReading = {
+    def ratioOr(p: ProbeReading, dflt: Double): Double =
+      ratioOf(p.base, p.x, floorSec).getOrElse(dflt)
+    val best =
+      if (!over(retry)) retry
+      else if (!over(first)) first
+      else if (ratioOr(retry, Double.MaxValue) <=
+        ratioOr(first, Double.MaxValue)) retry
+      else first
+    best.copy(retries = 1, invalid = over(best))
+  }
+
   /** One row's artifact JSON. `xKey` names the blown leg ("x10" /
     * "x100"). */
   def json(r: ProbeReading, floorSec: Double,
@@ -611,21 +631,9 @@ object Bench {
           ProbeLedger.overLoadGate(p.baseLoad, p.xLoad, probeLoadGate)
       if (over(r)) {
         settle()
-        val r2 = pair()
-        // WHOLE pair, never per-leg minima (r11 advice): this tier's
-        // legs are single-rep, so a base leg from one pair with the
-        // x100 leg from the other would ratio across JVM states.
-        // Keep the pair that passes its gates; if both fail, the
-        // lower-ratio (least-contended) pair, ties to the retry.
-        def ratioOr(p: ProbeReading, dflt: Double): Double =
-          ProbeLedger.ratioOf(p.base, p.x, probeFloorSec).getOrElse(dflt)
-        val best =
-          if (!over(r2)) r2
-          else if (!over(r)) r
-          else if (ratioOr(r2, Double.MaxValue) <=
-            ratioOr(r, Double.MaxValue)) r2
-          else r
-        r = best.copy(retries = 1, invalid = over(best))
+        // WHOLE-pair arbitration, never per-leg minima (r11 advice;
+        // the rule itself is ProbeLedger.pickPair, BenchLedgerSpec)
+        r = ProbeLedger.pickPair(r, pair(), over, probeFloorSec)
       }
       nm -> r
     }

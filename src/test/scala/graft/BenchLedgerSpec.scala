@@ -83,6 +83,35 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(sum.length < 200, "summary must fit the tail window whole")
   }
 
+  test("x100 retry keeps a WHOLE pair — never a base leg from one " +
+    "pair with the blown leg from the other (r11 advice)") {
+    val gate = 120.0
+    def over(p: ProbeReading): Boolean =
+      ProbeLedger.overRatioGate(p.base, p.x, gate, Floor,
+        outputQuadratic = false) ||
+        ProbeLedger.overLoadGate(p.baseLoad, p.xLoad, 8.0)
+    def pair(b: Double, x: Double, lb: Double, lx: Double) =
+      ProbeReading(b, x, lb, lx, 0, deferred = false, invalid = false)
+    def legs(p: ProbeReading) = (p.base, p.x, p.baseLoad, p.xLoad)
+    // retry passes its gates → retry kept whole, one retry recorded
+    val first = pair(2.0, 500.0, 9.0, 3.0) // load-gated AND over ratio
+    val retryOk = pair(2.2, 90.0, 3.0, 3.1)
+    val k1 = ProbeLedger.pickPair(first, retryOk, over, Floor)
+    assert(legs(k1) === legs(retryOk) && k1.retries === 1 && !k1.invalid)
+    // retry ALSO fails → the lower-ratio whole pair, flagged invalid
+    val retryBad = pair(1.0, 400.0, 9.5, 3.0)
+    val k2 = ProbeLedger.pickPair(first, retryBad, over, Floor)
+    assert(legs(k2) === legs(first) || legs(k2) === legs(retryBad),
+      "mixed legs across pairs")
+    assert(legs(k2) === legs(first), // 250x < 400x
+      "must keep the lower-ratio pair")
+    assert(k2.invalid && k2.retries === 1)
+    // per-leg minima would have produced (1.0 base, 400 x) here —
+    // a 400x ratio neither pair measured; the whole-pair rule cannot
+    assert(!(k2.base === 1.0 && k2.x === 500.0) &&
+      !(k2.base === 2.0 && k2.x === 400.0))
+  }
+
   test("failed legs emit -1 values with null ratio and null loads " +
     "stay null") {
     val j = ProbeLedger.json(
