@@ -487,16 +487,19 @@ object ClusterOps {
     // pass an assignment that duplicates one vec_id while dropping
     // another. Assignment ids are drawn from the prepared relation by
     // construction (⊆), so distinct == nVec pins the SET equal and
-    // total == nVec pins multiplicity 1.
-    val nVec = prepared(spark, dir).count()
-    val asgCnt = a.agg(count(lit(1)).as("n_asg"),
-      countDistinct(col("vec_id")).as("n_asg_distinct")).head()
-    val assignedOk =
-      asgCnt.getLong(0) == nVec && asgCnt.getLong(1) == nVec
+    // total == nVec pins multiplicity 1. All three counts fold into
+    // the output plan as 1-row broadcast crossJoins — zero eager
+    // driver actions (the r12 .head() spelling cost the two audit
+    // rows ~+1 s each in extra Spark jobs).
+    val cov = a.agg(count(lit(1)).as("n_asg"),
+      countDistinct(col("vec_id")).as("n_asg_distinct"))
+    val nv = prepared(spark, dir).agg(count(lit(1)).as("n_vec"))
     ref.agg(count(lit(1)).as("n_ref_pairs")).crossJoin(rec)
+      .crossJoin(cov).crossJoin(nv)
       .select(col("n_ref_pairs"),
         (col("n_hit") === col("n_co")).as("recall_ok"),
-        lit(assignedOk).as("assigned_ok"))
+        (col("n_asg") === col("n_vec") &&
+          col("n_asg_distinct") === col("n_vec")).as("assigned_ok"))
   }
 
   /** Registered audit row for the rows-only [[semDedupScaled]]
