@@ -62,6 +62,15 @@ Test / testGrouping := {
   val tests = (Test / definedTests).value
   val forkOpts = (Test / forkOptions).value
   val (lc, rest) = tests.partition(_.name == "graft.LocalClusterSpec")
+  // Fail LOUDLY if the suite name drifts: with lc empty the dedicated
+  // group silently vanishes and the suite falls back to assume()-cancel
+  // in the shared JVM, quietly regressing the zero-canceled-tests
+  // guarantee (r12 advice). Guard only on full-catalog runs — a
+  // filtered `testOnly` legitimately defines every test but still
+  // partitions them all here, so `tests` is the full set either way.
+  require(tests.isEmpty || lc.nonEmpty,
+    "graft.LocalClusterSpec not found among defined tests — renamed? " +
+      "Update the testGrouping partition in build.sbt to match.")
   Seq(
     Tests.Group("default", rest, Tests.SubProcess(forkOpts)),
     Tests.Group("local-cluster", lc, Tests.SubProcess(

@@ -473,8 +473,13 @@ object EventQueries {
     * machinery, global).
     *
     * Scale: one user shuffle for the lag window, then the histogram
-    * path — the quantile window runs over distinct gap-seconds
-    * values (domain-bounded), never the event stream. */
+    * path — the quantile prefix sum runs over distinct gap-seconds
+    * values, never the event stream, and since r13 it is the
+    * DISTRIBUTED rank-offsets running sum
+    * ([[graft.functions.GlobalRank.withRunningSum]]; r12 verdict #3:
+    * gap-seconds is time-span-bounded, not ppm-bounded — a
+    * multi-year 100 TB event log has ~10⁸ distinct second values, too
+    * many for the previous single-task unpartitioned window). */
   def eventsGapStats(spark: SparkSession, dir: String): DataFrame = {
     val gaps = events(spark, dir)
       .select(col("user_id"), col("event_id"), tsMicros.as("us"))
@@ -484,8 +489,8 @@ object EventQueries {
       .filter(col("gap_sec").isNotNull)
       .select(col("gap_sec"))
     val hist = gaps.groupBy(col("gap_sec")).agg(count(lit(1)).as("cnt"))
-    val cum = hist.select(col("gap_sec"),
-      sum(col("cnt")).over(Window.orderBy(col("gap_sec"))).as("cum"))
+    val cum = graft.functions.GlobalRank.withRunningSum(hist, "cum",
+      col("cnt"), col("gap_sec"))
     val n = gaps.agg(count(lit(1)).as("n"))
     cum.crossJoin(broadcast(n))
       .agg(max(col("n")).as("n_gaps"),

@@ -1298,20 +1298,25 @@ object TextAnalysis {
     *
     * The threshold is computed the SCALABLE exact way: a value
     * HISTOGRAM (groupBy avg_nll_micro — distinct scores ≪ docs), a
-    * running sum over the sorted distinct values (the only global
-    * window, over histogram rows, not docs), min value whose
-    * cumulative count covers 3n/4, then one broadcast threshold
-    * filter over the scores. No global sort of the corpus ever
-    * happens — the 100 TB alternative for looser tolerance is
-    * percentile_approx (see eventsQuantiles), but p75-on-integers is
-    * exactly computable at scale with this histogram shape. */
+    * DISTRIBUTED running sum over the sorted distinct values
+    * ([[graft.functions.GlobalRank.withRunningSum]] — r12 verdict #3:
+    * the micro-nat score domain is ~min(N, 2·10⁷), so the previous
+    * unpartitioned `sum().over(Window.orderBy)` could funnel ~10⁷
+    * histogram rows through ONE WindowExec task at 100 TB; the
+    * rank-offsets job keeps the same exact prefix sums with no global
+    * funnel), min value whose cumulative count covers 3n/4, then one
+    * broadcast threshold filter over the scores. No global sort of
+    * the corpus ever happens — the 100 TB alternative for looser
+    * tolerance is percentile_approx (see eventsQuantiles), but
+    * p75-on-integers is exactly computable at scale with this
+    * histogram shape. */
   def pplFilter(spark: SparkSession, dir: String): DataFrame = {
     val ppl = docPerplexity(spark, dir)
       .select(col("doc_id"), col("avg_nll_micro"))
     val hist = ppl.groupBy(col("avg_nll_micro"))
       .agg(count(lit(1)).as("c"))
-    val cum = hist.select(col("avg_nll_micro"),
-      sum(col("c")).over(Window.orderBy(col("avg_nll_micro"))).as("cum"))
+    val cum = graft.functions.GlobalRank.withRunningSum(hist, "cum",
+      col("c"), col("avg_nll_micro"))
     val n = ppl.agg(count(lit(1)).as("n"))
     val thr = cum.crossJoin(broadcast(n))
       .filter(col("cum") * 4 >= col("n") * 3)

@@ -547,6 +547,11 @@ object IngestStreaming {
         res.write.mode("append").parquet(outDir)
         res.filter(col("url_ok")).select(col("canon_url")).distinct()
           .write.mode("append").parquet(canonDir)
+        // drop the checkpoint blocks NOW: leaving them to the
+        // ContextCleaner accumulates executor storage across
+        // micro-batches on a long-running stream (r12 advice)
+        res.unpersist(blocking = false)
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -112,6 +112,66 @@ class BenchLedgerSpec extends AnyFunSuite {
       !(k2.base === 2.0 && k2.x === 400.0))
   }
 
+  test("x100 tier list is env-gated both ways; the catalog headline " +
+    "is tier-independent (r12 verdict #5)") {
+    // default env (the driver's run): EMPTY tier — zero x100 legs,
+    // the bench exits after the 10x probes with rc 0
+    assert(BenchEmit.x100Tier(Map.empty[String, String], None,
+      probesEnabled = true).isEmpty)
+    // opted in (the committed builder runs): the full row list
+    val on = BenchEmit.x100Tier(Map("SPARK_GRAFT_X100" -> "1"), None,
+      probesEnabled = true)
+    assert(on === BenchEmit.X100Rows && on.contains("pagerank"))
+    // SPARK_GRAFT_PROBE=0 (whole-catalog scale record) wins even when
+    // the tier is opted in; subset filters intersect
+    assert(BenchEmit.x100Tier(Map("SPARK_GRAFT_X100" -> "1"), None,
+      probesEnabled = false).isEmpty)
+    assert(BenchEmit.x100Tier(Map("SPARK_GRAFT_X100" -> "1"),
+      Some(Set("pagerank")), probesEnabled = true) === Seq("pagerank"))
+    // the headline takes no env: identical inputs ⇒ identical line
+    // regardless of the tier (Bench emits it BEFORE consulting the
+    // tier list — the r11 rc-124 lesson)
+    val mk = () => BenchEmit.line("catalog", 10.0, """{"q":1.0}""",
+      "/sf", 0.3, "{}", "{}", "{}", "{}", "{}", "{}")
+    assert(mk() === mk())
+  }
+
+  test("x100 ledger rows carry output-row counts + rows_ratio; " +
+    "unsampled rows (x10 tier) omit them (r12 verdict #4)") {
+    val j = ProbeLedger.json(
+      ProbeReading(1.0, 50.0, 1.0, 1.0, 0, false, false,
+        rowsBase = 31L, rowsX = 3100L), Floor, xKey = "x100")
+    assert(j.contains("\"rows_base\":31"))
+    assert(j.contains("\"rows_x100\":3100"))
+    assert(j.contains("\"rows_ratio\":100.0"),
+      "rows grown ~100x is the linearity witness the wall ratio lacks")
+    // a failed count leg keeps the base sample and nulls the ratio
+    val jf = ProbeLedger.json(
+      ProbeReading(1.0, 50.0, 1.0, 1.0, 0, false, false,
+        rowsBase = 31L, rowsX = -1L), Floor, xKey = "x100")
+    assert(jf.contains("\"rows_base\":31") &&
+      jf.contains("\"rows_ratio\":null"))
+    // the default (-1, -1) — the x10 tier never samples rows — emits
+    // no rows fields at all, keeping that ledger's schema unchanged
+    val j10 = ProbeLedger.json(
+      ProbeReading(1.0, 5.0, 1.0, 1.0, 0, false, false), Floor)
+    assert(!j10.contains("rows_"))
+  }
+
+  test("paths with quotes/backslashes still emit parseable artifact " +
+    "lines (r12 advice: sf/file are env-supplied)") {
+    val line = BenchEmit.line("catalog", 1.0, """{"q":1.0}""",
+      """/odd "dir"/sf\0.1""", 0.3, "{}", "{}", "{}", "{}", "{}", "{}")
+    val v = org.json4s.jackson.JsonMethods.parse(line)
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    assert((v \ "sf").extract[String] === """/odd "dir"/sf\0.1""")
+    val sum = BenchEmit.summary("final", 1.0, 1, 1,
+      """/odd "dir"/sf\0.1""", """out"file.json""")
+    val sv = org.json4s.jackson.JsonMethods.parse(sum)
+    assert((sv \ "file").extract[String] === """out"file.json""")
+  }
+
   test("failed legs emit -1 values with null ratio and null loads " +
     "stay null") {
     val j = ProbeLedger.json(

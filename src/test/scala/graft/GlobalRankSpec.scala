@@ -48,4 +48,29 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(n === 0L)
     assert(ranked.count() === 0L)
   }
+
+  test("withRunningSum equals sum().over(Window.orderBy) on a real " +
+    "value histogram (the ppl_filter/events_gap_stats replacement)") {
+    // the exact relation the r12 verdict #3 rewrite feeds it: a
+    // (value, count) histogram with distinct keys — a total order
+    val hist = graft.sources.Tables.load(spark, dir, "documents")
+      .groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val viaWindow = hist
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val viaJob = GlobalRank.withRunningSum(hist.repartition(5), "cum",
+        col("c"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(viaJob.nonEmpty)
+    assert(viaJob === viaWindow)
+  }
+
+  test("withRunningSum on an empty histogram is empty") {
+    import spark.implicits._
+    val out = GlobalRank.withRunningSum(
+      Seq.empty[(Long, Long)].toDF("v", "c"), "cum", col("c"), col("v"))
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("v", "c", "cum"))
+  }
 }

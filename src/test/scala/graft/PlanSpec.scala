@@ -83,12 +83,31 @@ class PlanSpec extends AnyFunSuite {
     assert(hintCount(operators.TextAnalysis.wordPmi(spark, dir)) == 1)
   }
 
-  test("text_classifier: hints only on lang-sized relations, not probs") {
-    // labels, langTotals×2 (probs+unseen), vocab×2, nDocs, unseen,
-    // priors — all ≤ #langs rows; the vocab-sized probs join is
-    // unhinted. If this count grows, a vocab-sized hint likely
-    // reappeared.
-    assert(hintCount(operators.TextClassifier.classify(spark, dir)) <= 7)
+  test("text_classifier: broadcast hints only on lang-sized/single-row " +
+    "relations; the token×vocab join is a shuffle join building the " +
+    "vocab side") {
+    // r13 restructure: the only BROADCAST hints are lang-cardinality
+    // or single-row relations (langTotals, vocab, unseen, nDocs,
+    // labelInfo — some duplicated across subtrees). The vocab-sized
+    // delta table joins the token stream via a SHUFFLE_HASH strategy
+    // hint (counted separately — it forces a distributed build, the
+    // OPPOSITE of a collect): unhinted, the planner broadcast the
+    // EXPLODED TOKEN STREAM (its size estimate is the parquet scan's,
+    // explode multiplies rows but not stats) — a serial single-task
+    // ~250 MB hashed-relation build at the 10× probe, and the corpus
+    // to the driver at 100 TB.
+    val df = operators.TextClassifier.classify(spark, dir)
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint, SHUFFLE_HASH}
+    val hints = df.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h.hints.strategy
+    }
+    assert(hints.count(_.contains(BROADCAST)) <= 8,
+      "a vocab-sized broadcast hint likely reappeared")
+    assert(hints.count(_.contains(SHUFFLE_HASH)) === 1,
+      "the token×vocab join lost its shuffle-hash pin")
+    val p = plan(df)
+    assert(p.contains("ShuffledHashJoin"),
+      s"token×vocab join is not a shuffle hash join:\n$p")
   }
 
   test("dedup_embedding: blocked equi-join on label, no cartesian, no hint") {
@@ -489,6 +508,30 @@ class PlanSpec extends AnyFunSuite {
       s"dup-ness is a per-chunk degree, never a pair join:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       s"expected partial+final aggs on both legs:\n$p")
+  }
+
+  test("ppl_filter / events_gap_stats: no unpartitioned window — the " +
+    "quantile prefix sums ride the distributed rank-offsets job") {
+    // r12 verdict #3: these two histogram domains are NOT ppm-bounded
+    // (micro-nat scores ~min(N, 2·10⁷); gap-seconds ~time-span), so an
+    // unpartitioned running-sum window funnels up to ~10⁷⁺ histogram
+    // rows through ONE WindowExec task at 100 TB.
+    // GlobalRank.withRunningSum replaced it; any window still in these
+    // plans must carry partition keys (events' per-user lag). Global
+    // windows over genuinely value-domain-bounded grids (≤10⁶ rows by
+    // construction — drift_ks' n_chars support, ppm histograms, k-row
+    // centroid seeds) remain legitimate elsewhere.
+    for ((nm, df) <- Seq(
+        "ppl_filter" -> operators.TextAnalysis.pplFilter(spark, dir),
+        "events_gap_stats" ->
+          operators.EventQueries.eventsGapStats(spark, dir))) {
+      val unpart = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart.isEmpty,
+        s"$nm still plans an unpartitioned window:\n${plan(df)}")
+    }
   }
 
   test("whole-stage codegen covers the word_freq pipeline") {
