@@ -45,11 +45,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 12g default (r12): the heaviest 10× probe legs (dedup_containment,
-  // ~64 concurrent sort/join buffers at 32 threads) ran borderline at
-  // 8g and one bench run OOM'd an executor thread; the box has 128 GiB
-  // and local[32] needs the headroom. Override via SPARK_DRIVER_MEM.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // 16g default (r13; 12g in r12, 8g before): dedup_containment's 10×
+  // probe leg is the repeat offender — ~64 concurrent sort/join
+  // buffers at 32 threads ran borderline at 8g (r12 OOM), and an r13
+  // run OOM'd it at 12g under a GCLocker allocation storm (every
+  // worker thread logging "Retried waiting for GCLocker too often"
+  // before the heap-space throw). The box has 128 GiB and local[32]
+  // needs the headroom. Override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
 // LocalClusterSpec needs its OWN JVM (SparkContext is one-per-JVM and
 // the shared local[*] fixture session would satisfy getOrCreate,

@@ -88,8 +88,16 @@ object GlobalRank {
       sortCols: Column*): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
+    // Materialize the input ONCE before the range shuffle: callers
+    // pass value HISTOGRAMS (distinct-value aggregates, ≪ their
+    // corpus — ~320 MB at the 100 TB ppl domain), but the upstream
+    // aggregate chain can be expensive, and repartitionByRange runs a
+    // separate range-bounds SAMPLING job over its input — without the
+    // checkpoint that job re-executes the whole upstream (measured:
+    // ppl_filter's bigram-LM chain ran twice, +0.9 s at sf0.1).
     val tagged = df.withColumn(s"__${cumCol}_v",
       valueCol.cast(LongType))
+      .localCheckpoint()
     val parts = tagged.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val vi = parts.schema.fieldIndex(s"__${cumCol}_v")
