@@ -75,8 +75,18 @@ object BenchEmit {
     * `file` are env-supplied PATHS (SPARK_GRAFT_SF_DIR /
     * SPARK_GRAFT_OUT) — raw interpolation of a path containing `"`
     * or `\\` would emit an unparseable artifact line (r12 advice). */
-  private[graft] def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private[graft] def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"' => b.append("\\\"")
+      // control chars (a newline/tab smuggled into an env path) are
+      // just as artifact-breaking as a raw quote — \u-escape them
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append("\"").toString
+  }
 
   /** One full-schema metrics line. `phase` states which emission this
     * is — "catalog" (the early headline, written the moment the timed
@@ -147,9 +157,13 @@ object ProbeLedger {
   /** One row's artifact JSON. `xKey` names the blown leg ("x10" /
     * "x100"). Sampled output-row counts (x100 tier) ride along as
     * `rows_base`/`rows_<xKey>` + their ratio — the JIT-independent
-    * linearity witness next to the wall ratio (r12 verdict #4). */
+    * linearity witness next to the wall ratio (r12 verdict #4).
+    * `rowsSampled` = the caller ATTEMPTED the count legs: with it set,
+    * a double count-failure still emits `-1` rows fields instead of
+    * omitting them — "sampling failed" must stay distinguishable from
+    * "tier never samples" (the x10 rows). */
   def json(r: ProbeReading, floorSec: Double,
-      xKey: String = "x10"): String = {
+      xKey: String = "x10", rowsSampled: Boolean = false): String = {
     val ratio = ratioOf(r.base, r.x, floorSec)
       .map(v => (math.round(v * 100.0) / 100.0).toString)
       .getOrElse("null")
@@ -158,7 +172,7 @@ object ProbeLedger {
     val defTag = if (r.deferred) ",\"deferred\":true" else ""
     val invTag = if (r.invalid) ",\"invalid\":true" else ""
     val rowsTag =
-      if (r.rowsBase < 0 && r.rowsX < 0) ""
+      if (!rowsSampled && r.rowsBase < 0 && r.rowsX < 0) ""
       else {
         val rr = if (r.rowsBase > 0 && r.rowsX >= 0)
           (math.round(r.rowsX.toDouble / r.rowsBase * 100.0) / 100.0)
@@ -702,7 +716,8 @@ object Bench {
       nm -> r.copy(rowsBase = rowsOf(sfDir), rowsX = rowsOf(blow100))
     }
     val probe100 = x100Readings.map { case (nm, r) =>
-      s""""$nm":${ProbeLedger.json(r, probeFloorSec, xKey = "x100")}"""
+      s""""$nm":${ProbeLedger.json(r, probeFloorSec, xKey = "x100",
+        rowsSampled = true)}"""
     }.mkString("{", ",", "}")
     emit("final", probe, probe100, prepJson(prepX10),
       prepJson(prep100),

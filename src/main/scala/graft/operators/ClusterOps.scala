@@ -564,11 +564,17 @@ object ClusterOps {
     * the scaled audit's `got` and the shortlist audit's cross-
     * approximation reference. */
   private[graft] def scaledPairsFor(spark: SparkSession,
-      dir: String): DataFrame =
+      dir: String): DataFrame = {
+    // resolve the assignment BEFORE entering the pairs memo: the
+    // by-name build would otherwise call computeIfAbsent on the SAME
+    // ConcurrentHashMap from inside the outer computeIfAbsent's
+    // mapping function — JDK 9+ throws IllegalStateException
+    // ("Recursive update") whenever the two keys land in one hash bin
+    val asg = scaledAssignFor(spark, dir)
     auditRef(spark, dir, "semdedup_scaled_pairs",
       s"tcs=$TargetClusterSize,iters=$Iters,tau=$DefaultSemDedupThreshold")(
-      withinClusterPairs(spark, dir, scaledAssignFor(spark, dir),
-        DefaultSemDedupThreshold))
+      withinClusterPairs(spark, dir, asg, DefaultSemDedupThreshold))
+  }
 
   /** Registered audit row for the rows-only [[semDedupScaled]]
     * (round-7 verdict #5; r11 scale-invariant form): k is

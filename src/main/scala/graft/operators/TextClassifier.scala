@@ -122,7 +122,13 @@ object TextClassifier {
     val labelInfo = unseen.select(col("lang").as("label"),
         col("lp_unseen"))
       .join(priors.withColumnRenamed("lang", "label"), Seq("label"))
-    val scored = d.select(col("doc_id"), col("lang").as("labeled_lang"),
+    // isNotNull keeps the doc universe identical to the old
+    // token-stream form and the oracle: a NULL text explodes to zero
+    // tokens (the doc vanishes), while size(split(NULL)) is NULL —
+    // without the filter a null-text doc would surface with a
+    // null/garbage score the oracle never emits
+    val scored = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
         size(split(col("text"), " ")).cast("long").as("n_terms"))
       .crossJoin(broadcast(labelInfo))
       .join(seen, Seq("doc_id", "label"), "left")

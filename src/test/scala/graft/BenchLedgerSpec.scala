@@ -156,6 +156,15 @@ class BenchLedgerSpec extends AnyFunSuite {
     val j10 = ProbeLedger.json(
       ProbeReading(1.0, 5.0, 1.0, 1.0, 0, false, false), Floor)
     assert(!j10.contains("rows_"))
+    // but a tier that SAMPLED and had both count legs fail must stay
+    // distinguishable from never-sampled: rowsSampled forces -1 fields
+    val jboth = ProbeLedger.json(
+      ProbeReading(1.0, 50.0, 1.0, 1.0, 0, false, false), Floor,
+      xKey = "x100", rowsSampled = true)
+    assert(jboth.contains("\"rows_base\":-1") &&
+      jboth.contains("\"rows_x100\":-1") &&
+      jboth.contains("\"rows_ratio\":null"),
+      "a failed sample must not masquerade as not-applicable")
   }
 
   test("paths with quotes/backslashes still emit parseable artifact " +
@@ -170,6 +179,13 @@ class BenchLedgerSpec extends AnyFunSuite {
       """/odd "dir"/sf\0.1""", """out"file.json""")
     val sv = org.json4s.jackson.JsonMethods.parse(sum)
     assert((sv \ "file").extract[String] === """out"file.json""")
+    // control characters are artifact-breaking too: a newline/tab in
+    // an env path must come out \u-escaped, not raw
+    val ctl = BenchEmit.summary("final", 1.0, 1, 1,
+      "/dir\nwith\tctl", "out.json")
+    assert(!ctl.exists(_ < ' '), "raw control chars break the one-line artifact")
+    val cv = org.json4s.jackson.JsonMethods.parse(ctl)
+    assert((cv \ "sf").extract[String] === "/dir\nwith\tctl")
   }
 
   test("failed legs emit -1 values with null ratio and null loads " +
