@@ -125,6 +125,22 @@ object ProbeLedger {
       floorSec: Double, outputQuadratic: Boolean): Boolean =
     !outputQuadratic && ratioOf(base, x, floorSec).exists(_ > gate)
 
+  /** Rows-ADJUSTED ratio-gate trip for the output-quadratic contract
+    * rows (r13 verdict #1: the blanket exemption left dedup_image's
+    * 16× wall reading unadjudicated — a real compute regression there
+    * was invisible). Their 10× wall growth is dominated by OUTPUT
+    * volume (the documented ~86× pair growth on the concentrated
+    * blow-up corpus), so the raw wall ratio carries no signal — but
+    * wall growth far beyond the measured output growth does: trips
+    * when ratio > gate × max(1, rowsX/rowsBase). When sampling failed
+    * (−1 rows), falls back to the old exemption — the artifact's −1
+    * rows fields say why the gate could not fire. */
+  def overRowsAdjustedGate(base: Double, x: Double, gate: Double,
+      floorSec: Double, rowsBase: Long, rowsX: Long): Boolean =
+    rowsBase > 0 && rowsX >= 0 &&
+      ratioOf(base, x, floorSec).exists(
+        _ > gate * math.max(1.0, rowsX.toDouble / rowsBase))
+
   /** Load-gate trip: either leg started on a box already over the
     * ambient-load gate. */
   def overLoadGate(baseLoad: Double, xLoad: Double,
@@ -350,9 +366,12 @@ object Bench {
       "tf_idf" -> 2.7, "source_diversity" -> 2.0,
       "dedup_minhash" -> 3.5, "dedup_containment" -> 5.0)
     // rows whose x10 OUTPUT is quadratic by contract (concentrated
-    // near-dup mass: 86× pair growth) — a big ratio there is the
-    // documented output measurement, not contention; retrying would
-    // burn minutes re-measuring a true value every round. Their
+    // near-dup mass: 86× pair growth) — a big wall ratio there is the
+    // documented output measurement, not contention. Since r14 these
+    // rows carry an output-rows witness (rows_base/rows_x10 in the
+    // artifact) and a rows-ADJUSTED ratio gate instead of the old
+    // blanket exemption, so a compute regression beyond the output
+    // growth still trips the ledger (r13 verdict #1). Their
     // corpus-linear *_clusters companions carry the scale claim.
     val outputQuadratic = Set("dedup_image", "dedup_audio")
     def loadNum(): Double = java.lang.management.ManagementFactory
@@ -566,7 +585,12 @@ object Bench {
     // action and the ingest_door legs measure training+consumption,
     // contradicting the per-arrival contract (r12 advice). Re-persist
     // + re-count untimed, for both probe dirs.
-    if (doPrep && probeNames.contains("ingest_door")) {
+    // no doPrep gate (r13 advice): in a subset run without
+    // SPARK_GRAFT_PREP=1 the catalog leg still populates sidesMemo
+    // lazily via doorSidesFor, and clearCache() above just evicted
+    // those sides — rematerializeSides is a no-op when the dir was
+    // never touched, so gating on the probe list alone is safe.
+    if (probeNames.contains("ingest_door")) {
       graft.operators.IngestDoor.rematerializeSides(spark, sfDir)
       if (blowDir != sfDir)
         graft.operators.IngestDoor.rematerializeSides(spark, blowDir)
@@ -590,19 +614,39 @@ object Bench {
       val ts = Seq(run(nm, d), run(nm, d)).filter(_ >= 0)
       (if (ts.isEmpty) -1.0 else ts.min, l)
     }
+    // r14 (r13 verdict #1): the outputQuadratic rows now carry an
+    // output-rows witness in the 10× tier too — the blanket ratio-gate
+    // exemption is replaced by the rows-adjusted gate, so a genuine
+    // compute regression in dedup_image/dedup_audio trips the ledger
+    // while the documented ~86× pair-output growth does not.
     def gated(nm: String, r: ProbeReading, ratioGate: Double): Boolean =
-      ProbeLedger.overRatioGate(r.base, r.x, ratioGate, probeFloorSec,
-        outputQuadratic.contains(nm)) ||
+      (if (outputQuadratic.contains(nm))
+         ProbeLedger.overRowsAdjustedGate(r.base, r.x, ratioGate,
+           probeFloorSec, r.rowsBase, r.rowsX)
+       else ProbeLedger.overRatioGate(r.base, r.x, ratioGate,
+         probeFloorSec, outputQuadratic = false)) ||
         ProbeLedger.overLoadGate(r.baseLoad, r.xLoad, probeLoadGate)
     val readings =
       scala.collection.mutable.LinkedHashMap[String, ProbeReading]()
     probeNames.foreach { nm =>
+      // UNTIMED output-row samples for the rows-adjusted gate, taken
+      // BEFORE the timed legs (they double as the blow-up dir's
+      // warm-up; the legs are best-of-2 precisely to absorb JVM
+      // state). Only the outputQuadratic rows pay the count legs —
+      // every other row keeps the plain ratio gate.
+      val (rowsB, rowsX10) = if (outputQuadratic.contains(nm)) {
+        def rowsOf(d: String): Long =
+          try SparkEntry.queries(nm)(spark, d).count()
+          catch { case scala.util.control.NonFatal(_) => -1L }
+        (rowsOf(sfDir), rowsOf(blowDir))
+      } else (-1L, -1L)
       var (base, baseLoad) = leg(nm, sfDir)
       var (x10, x10Load) = leg(nm, blowDir)
       var retries = 0
       val ratioGate = rowRatioGate.getOrElse(nm, probeRatioGate)
       def cur = ProbeReading(base, x10, baseLoad, x10Load, retries,
-        deferred = false, invalid = false)
+        deferred = false, invalid = false, rowsBase = rowsB,
+        rowsX = rowsX10)
       while (gated(nm, cur, ratioGate) && retries < 2) {
         retries += 1
         System.gc()
@@ -651,12 +695,14 @@ object Bench {
       val (x2, lx2) = leg(nm, blowDir)
       if (x2 >= 0 && (x10 < 0 || x2 < x10)) { x10 = x2; x10Load = lx2 }
       val fin = ProbeReading(base, x10, baseLoad, x10Load,
-        prev.retries + 1, deferred = true, invalid = false)
+        prev.retries + 1, deferred = true, invalid = false,
+        rowsBase = prev.rowsBase, rowsX = prev.rowsX)
       val ratioGate = rowRatioGate.getOrElse(nm, probeRatioGate)
       readings(nm) = fin.copy(invalid = gated(nm, fin, ratioGate))
     }
     val probe = readings.map { case (nm, r) =>
-      s""""$nm":${ProbeLedger.json(r, probeFloorSec)}"""
+      s""""$nm":${ProbeLedger.json(r, probeFloorSec,
+        rowsSampled = outputQuadratic.contains(nm))}"""
     }.mkString("{", ",", "}")
     // ---- x100 blow-up tier (r10 verdict #1) ----
     // The ~8 heaviest rows whose 100-TB story rested on 10× probes,

@@ -102,14 +102,19 @@ object GlobalRank {
       .sortWithinPartitions(sortCols: _*)
     val vi = parts.schema.fieldIndex(s"__${cumCol}_v")
     val rdd = parts.rdd
+    // null-skipping like sum() (r13 advice): cast of a null value
+    // stays null, and getLong on a null cell throws mid-job; current
+    // callers pass count() aggregates (never null), but this helper
+    // is the designated drop-in for ANY sum().over(Window.orderBy)
+    def longAt(r: Row): Long = if (r.isNullAt(vi)) 0L else r.getLong(vi)
     val sums = rdd.mapPartitions(
-      it => Iterator(it.foldLeft(0L)((s, r) => s + r.getLong(vi))),
+      it => Iterator(it.foldLeft(0L)((s, r) => s + longAt(r))),
       preservesPartitioning = true).collect()
     val offsets = sums.scanLeft(0L)(_ + _)
     val summed = rdd.mapPartitionsWithIndex { case (pi, it) =>
       var s = offsets(pi)
       it.map { row =>
-        s += row.getLong(vi)
+        s += longAt(row)
         Row.fromSeq(row.toSeq :+ s)
       }
     }

@@ -491,7 +491,11 @@ object EventQueries {
     val hist = gaps.groupBy(col("gap_sec")).agg(count(lit(1)).as("cnt"))
     val cum = graft.functions.GlobalRank.withRunningSum(hist, "cum",
       col("cnt"), col("gap_sec"))
-    val n = gaps.agg(count(lit(1)).as("n"))
+    // n = the LAST prefix sum (Σ histogram counts ≡ |gaps| exactly):
+    // read from the materialized running-sum frame — the previous
+    // gaps.count() re-ran the whole per-user lag window a second
+    // time (r14; the pplFilter fix applied to the same idiom)
+    val n = cum.agg(max(col("cum")).as("n"))
     cum.crossJoin(broadcast(n))
       .agg(max(col("n")).as("n_gaps"),
         min(when(col("cum") * 2 >= col("n"), col("gap_sec"))).as("p50_sec"),

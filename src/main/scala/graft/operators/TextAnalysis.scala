@@ -1311,13 +1311,24 @@ object TextAnalysis {
     * p75-on-integers is exactly computable at scale with this
     * histogram shape. */
   def pplFilter(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the per-doc scores ONCE (r14): left as a view, the
+    // whole bigram-LM chain (two vocab² aggs + the corpus join) is
+    // planned under THREE consumers — the histogram, the corpus
+    // count, and the final filter — and each executed it from the
+    // scan (measured: 3 executions of the ~0.5 s chain under the
+    // 2.3 s row). The checkpoint is |docs| skinny (doc_id, score)
+    // rows — the same bytes the final filter must read anyway.
     val ppl = docPerplexity(spark, dir)
       .select(col("doc_id"), col("avg_nll_micro"))
+      .localCheckpoint()
     val hist = ppl.groupBy(col("avg_nll_micro"))
       .agg(count(lit(1)).as("c"))
     val cum = graft.functions.GlobalRank.withRunningSum(hist, "cum",
       col("c"), col("avg_nll_micro"))
-    val n = ppl.agg(count(lit(1)).as("n"))
+    // n = the LAST prefix sum (Σ histogram counts ≡ |ppl| exactly) —
+    // read from the materialized running-sum frame instead of a third
+    // pass over the scoring chain
+    val n = cum.agg(max(col("cum")).as("n"))
     val thr = cum.crossJoin(broadcast(n))
       .filter(col("cum") * 4 >= col("n") * 3)
       .agg(min(col("avg_nll_micro")).as("thr"))

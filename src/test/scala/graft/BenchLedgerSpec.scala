@@ -42,6 +42,33 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(!ProbeLedger.overLoadGate(2.0, 7.9, gate = 8.0))
   }
 
+  test("rows-adjusted gate (r13 verdict #1): output growth absorbs " +
+    "the wall ratio; compute growth beyond it still trips") {
+    // the r13 driver reading: wall 16x with the documented ~86x pair
+    // growth — linear compute per output row, no trip at gate 6
+    assert(!ProbeLedger.overRowsAdjustedGate(0.39, 6.27, gate = 6.0,
+      floorSec = Floor, rowsBase = 100L, rowsX = 8600L))
+    // same 16x wall with FLAT output: that IS a compute regression
+    assert(ProbeLedger.overRowsAdjustedGate(0.39, 6.27, gate = 6.0,
+      floorSec = Floor, rowsBase = 100L, rowsX = 100L))
+    // wall growth an order past even the output growth trips too
+    assert(ProbeLedger.overRowsAdjustedGate(0.5, 300.0, gate = 6.0,
+      floorSec = Floor, rowsBase = 100L, rowsX = 8600L))
+    // sampling failed (-1): fall back to the old exemption — the -1
+    // rows fields in the artifact say why the gate could not fire
+    assert(!ProbeLedger.overRowsAdjustedGate(0.39, 6.27, gate = 6.0,
+      floorSec = Floor, rowsBase = -1L, rowsX = -1L))
+    assert(!ProbeLedger.overRowsAdjustedGate(0.39, 6.27, gate = 6.0,
+      floorSec = Floor, rowsBase = 100L, rowsX = -1L))
+    // below the noise floor: no ratio signal, no trip, as everywhere
+    assert(!ProbeLedger.overRowsAdjustedGate(0.05, 4.0, gate = 6.0,
+      floorSec = Floor, rowsBase = 100L, rowsX = 100L))
+    // shrinking output never LOWERS the gate below the plain ratio
+    // gate (max(1, rows ratio) clamps at 1)
+    assert(!ProbeLedger.overRowsAdjustedGate(1.0, 5.0, gate = 6.0,
+      floorSec = Floor, rowsBase = 100L, rowsX = 10L))
+  }
+
   test("deferred and invalid flags reach the artifact JSON") {
     val j = ProbeLedger.json(
       ProbeReading(1.0, 7.0, 11.5, 19.4, 3, deferred = true,
@@ -151,8 +178,9 @@ class BenchLedgerSpec extends AnyFunSuite {
         rowsBase = 31L, rowsX = -1L), Floor, xKey = "x100")
     assert(jf.contains("\"rows_base\":31") &&
       jf.contains("\"rows_ratio\":null"))
-    // the default (-1, -1) — the x10 tier never samples rows — emits
-    // no rows fields at all, keeping that ledger's schema unchanged
+    // the default (-1, -1) — an x10-tier row outside the
+    // outputQuadratic set never samples rows — emits no rows fields
+    // at all, keeping that ledger's schema unchanged
     val j10 = ProbeLedger.json(
       ProbeReading(1.0, 5.0, 1.0, 1.0, 0, false, false), Floor)
     assert(!j10.contains("rows_"))
