@@ -33,8 +33,12 @@ object DedupOps {
     * already-split source the round-robin exchange is wasted work —
     * so only the hash-heavy pipelines call this, right below their
     * scan, where the per-row compute dominates the row movement. */
+  /** Since r14 delegates to [[graft.sources.Tables.spread]], which is
+    * CONDITIONAL: an already-split source (the cluster-scale case
+    * this scaladoc worried about) passes through with no exchange at
+    * all, instead of paying a wasted full-corpus round-robin. */
   private def spread(df: DataFrame): DataFrame =
-    df.repartition(parallelism(df))
+    graft.sources.Tables.spread(df)
 
   private def parallelism(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism

@@ -54,15 +54,36 @@ object GraphOps {
     * keeps analysis O(1) per round instead of O(round). */
   val PrIters = 10
 
+  /** Target edges per task for the iterated loop relations — the
+    * per-round join/agg work is a few ns per edge, so ~250k rows
+    * keeps each task in the low-ms range at any scale. */
+  private val EdgesPerLoopTask = 250000L
+
   def pageRank(spark: SparkSession, dir: String,
       iters: Int = PrIters): DataFrame = {
-    val e = wordEdges(spark, dir)
+    val e = wordEdges(spark, dir).persist()
+    // SIZE-ADAPTIVE loop parallelism (r14): the iterated relations
+    // are vocab²-bounded — usually orders of magnitude smaller than
+    // the corpus that produced them — but persist() froze them at the
+    // session default, so every one of the 10 rounds ran
+    // defaultParallelism-task stages over kilobytes (measured at
+    // sf0.1: 900 distinct edges / 31 nodes on 32-task stages, 4–7 s
+    // of per-stage CPU that was pure task overhead — ~90% of the
+    // row's wall). Deriving the partition count from the measured
+    // edge count (the count also materializes the persist, so it adds
+    // no extra pass) schedules 10 × ~5 one-task stages here while a
+    // 10⁹-edge corpus still gets its full defaultParallelism.
+    val loopParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (e.count() + EdgesPerLoopTask - 1L) / EdgesPerLoopTask)).toInt
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
     // pre-fuse out-degree onto edges: the loop body then touches one
     // relation, shuffled once on src and reused every round
-    val edges = e.join(deg, "src").persist()
+    val edges = e.join(deg, "src")
+      .repartition(loopParts, col("src")).persist()
     val nodes = e.select(col("src").as("w"))
-      .union(e.select(col("dst").as("w"))).distinct().persist()
+      .union(e.select(col("dst").as("w"))).distinct()
+      .repartition(loopParts, col("w")).persist()
     var ranks = nodes.select(col("w"), lit(1000000L).as("r"))
     for (i <- 1 to iters) {
       val inMass = edges.join(ranks, edges("src") === ranks("w"))
@@ -78,6 +99,7 @@ object GraphOps {
       // saved job) — every 3rd is the floor of this trade
       if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
+    e.unpersist()
     edges.unpersist()
     nodes.unpersist()
     ranks.select(col("w").as("word"), col("r").as("rank_ppm"))

@@ -356,6 +356,10 @@ object RelationalQueries {
     * values ≪ rows) into counts and min/max. The one sort-based agg
     * left runs over the compacted table, not the corpus. */
   def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    // NOT spread (r14, measured): redistributing the 3-partition scan
+    // before the ×|ProfileCols| explode just moved the cost — the
+    // scan+round-robin write itself serializes on the same 3 tasks
+    // and adds a 26 MB exchange for a ~flat wall (stage profile A/B)
     val l = Tables.load(spark, dir, "lineitem")
     val pairs = ProfileCols.map { case (c, isNum) =>
       struct(lit(c).as("pc"),

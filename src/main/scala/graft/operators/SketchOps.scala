@@ -247,7 +247,19 @@ object SketchOps {
     * per key with (key, n_exact, hll_estimate, v_empty). See
     * [[hllMd5]] for the determinism contract. */
   def hllEstimate(vals: DataFrame): DataFrame = {
-    val regs = vals
+    // ONE distinct pass feeds both legs (r14): HLL registers over the
+    // DISTINCT (key, v) set are provably identical to registers over
+    // the raw stream — md5 is a function of v, so a duplicate can only
+    // repeat a rho, never raise a bucket max — and the exact leg's
+    // countDistinct materializes the same distinct set internally
+    // anyway. Before: `vals` (for hll_distinct a 2× lineitem scan
+    // union) executed under BOTH legs and md5 ran per ROW (1.2 M
+    // hashes at sf0.1 where 63 k distinct values suffice). The two
+    // consumers build on the same Exchange subtree, so ReuseExchange
+    // shuffles it once; at 100 TB the distinct shuffle is the same
+    // one countDistinct already paid.
+    val dv = vals.distinct()
+    val regs = dv
       .withColumn("h",
         expr("CAST(conv(substr(md5(v), 1, 15), 16, 10) AS BIGINT)"))
       // top 12 bits → bucket, low 48 bits → rank input
@@ -269,8 +281,10 @@ object SketchOps {
         " * CAST(4611686018427387904 AS DOUBLE) / s_d"))
       .withColumn("e", expr("CASE WHEN e_raw <= 2.5*4096 AND " +
         "v_empty > 0 THEN 4096.0 * ln(4096.0 / v_empty) ELSE e_raw END"))
-    val exact = vals.groupBy(col("key"))
-      .agg(countDistinct(col("v")).as("n_exact"))
+    // count over the shared distinct set ≡ countDistinct(v) (count of
+    // a column skips NULLs exactly as countDistinct does)
+    val exact = dv.groupBy(col("key"))
+      .agg(count(col("v")).as("n_exact"))
     summ.join(exact, Seq("key"))
       .select(col("key"), col("n_exact"),
         expr("CAST(round(e) AS BIGINT)").as("hll_estimate"),

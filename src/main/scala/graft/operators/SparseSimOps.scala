@@ -60,6 +60,9 @@ object SparseSimOps {
   def docSimSparse(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val n = d.select(count(lit(1)).as("n"))
+    // NOT spread (r14, measured): the tokenize→tf chain is ~200 ms of
+    // serial CPU at sf0.1 — a Tables.spread here cost more in exchange
+    // + AQE stage overhead than it saved (2.31 s → 2.60 s A/B)
     val terms = d.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
       // consecutive spaces yield "" tokens — without this filter the

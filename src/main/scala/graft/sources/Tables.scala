@@ -22,6 +22,22 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread an UNDER-SPLIT input across the executors before CPU-heavy
+    * per-row work (tokenize/shingle/hash pipelines): the test corpus is
+    * a single-row-group parquet file — the same shape as a gzip text
+    * input at production scale — so the scan yields ONE partition and
+    * everything above it runs single-threaded unless redistributed
+    * (r14: doc_sim_sparse ran its whole tokenize→tf→champion→pair
+    * pipeline on 1 of 32 cores). CONDITIONAL, unlike a bare
+    * `repartition(n)`: a source that already scans at ≥ the session
+    * parallelism passes through untouched, so at cluster scale — where
+    * the input is split — no wasted full-corpus round-robin exchange
+    * is added. The partition probe plans the scan but runs no job. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Projection of an events `ts` column to epoch-micros BIGINT across
     * every physical encoding the table has shipped with: TIMESTAMP /
     * TIMESTAMP_NTZ (current parquet, micros precision) and the legacy
