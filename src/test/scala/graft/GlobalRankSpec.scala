@@ -66,6 +66,19 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(viaJob === viaWindow)
   }
 
+  test("withRunningSum skips null values like sum() (r13 advice: the " +
+    "helper is the designated drop-in for any sum().over(orderBy))") {
+    import spark.implicits._
+    val hist = Seq((1L, Some(2L)), (2L, None), (3L, Some(5L)),
+      (4L, None), (5L, Some(1L)))
+      .toDF("v", "c").repartition(3)
+    val cum = GlobalRank.withRunningSum(hist, "cum", col("c"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // null contributes 0 and the row still appears, exactly as
+    // sum(c).over(Window.orderBy(v)) treats it
+    assert(cum === Map(1L -> 2L, 2L -> 2L, 3L -> 7L, 4L -> 7L, 5L -> 8L))
+  }
+
   test("withRunningSum on an empty histogram is empty") {
     import spark.implicits._
     val out = GlobalRank.withRunningSum(

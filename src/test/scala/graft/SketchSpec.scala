@@ -128,4 +128,26 @@ class SketchSpec extends AnyFunSuite {
       assert(vEmpty >= 0 && vEmpty <= SketchOps.HllM)
     }
   }
+
+  test("hllEstimate is duplication-invariant (r14: one distinct pass " +
+    "feeds both legs — registers over distinct == registers over raw)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, lit, sequence}
+    val base = Seq("a" -> "x", "a" -> "y", "a" -> "z", "b" -> "x")
+      .toDF("key", "v")
+    // every row duplicated 1..7x: estimates, exact counts and empty-
+    // bucket counts must be BYTE-identical to the unduplicated input
+    val dup = base.withColumn("r",
+        explode(sequence(lit(1), (col("v").substr(1, 1) === "x")
+          .cast("int") * 6 + 1)))
+      .select(col("key"), col("v"))
+    val one = SketchOps.hllEstimate(base).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val many = SketchOps.hllEstimate(dup).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(one === many)
+    assert(one("a")._1 === 3L && one("b")._1 === 1L) // n_exact
+  }
 }
