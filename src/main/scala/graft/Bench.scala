@@ -105,6 +105,21 @@ object BenchEmit {
   def summary(phase: String, total: Double, nOk: Int, n: Int,
       sf: String, file: String): String =
     s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","n":$nOk,"n_queries":$n,"sf":${jstr(sf)},"file":${jstr(file)}}"""
+
+  /** One compact PER-QUERY stdout line (r14 verdict #1): the only
+    * line the driver's tail capture reliably parses is the final
+    * compact summary, which carries no `queries` map — so PERF_r13
+    * and PERF_r14 both ended with `per_query: {}` / geomean null and
+    * round-over-round adjudication degenerated to one noisy total.
+    * Emitting each row as its own short `{"metric":"query",...}` line
+    * (after the full line, before the summary, in BOTH the catalog
+    * and final emissions) makes every row individually parseable no
+    * matter where a bounded tail capture cuts in — a truncated tail
+    * loses the oldest rows, never the parseability of the rest. The
+    * timed-catalog methodology and every existing line are unchanged;
+    * this is additive emission only. */
+  def queryLine(name: String, sec: Double): String =
+    s"""{"metric":"query","name":${jstr(name)},"sec":$sec}"""
 }
 
 /** The probe ledger's pure decision/emission logic, factored out of
@@ -137,7 +152,16 @@ object ProbeLedger {
     * rows fields say why the gate could not fire. */
   def overRowsAdjustedGate(base: Double, x: Double, gate: Double,
       floorSec: Double, rowsBase: Long, rowsX: Long): Boolean =
-    rowsBase > 0 && rowsX >= 0 &&
+    if (rowsBase == 0L && rowsX >= 0L)
+      // A base leg that legitimately produced ZERO output rows is a
+      // successful sample, not a sampling failure (r14 advice #1):
+      // there is no linearity witness to scale the gate by, so clamp
+      // the rows ratio to 1 and apply the PLAIN ratio gate instead of
+      // silently reverting to the blanket exemption. The artifact
+      // marks the row `rows_clamped` (ProbeLedger.json) so the
+      // adjudication basis is readable from the ledger itself.
+      ratioOf(base, x, floorSec).exists(_ > gate)
+    else rowsBase > 0 && rowsX >= 0 &&
       ratioOf(base, x, floorSec).exists(
         _ > gate * math.max(1.0, rowsX.toDouble / rowsBase))
 
@@ -194,8 +218,14 @@ object ProbeLedger {
           (math.round(r.rowsX.toDouble / r.rowsBase * 100.0) / 100.0)
             .toString
         else "null"
+        // zero-output base leg: the rows-adjusted gate clamped the
+        // rows ratio to 1 (plain gate) — say so in the artifact
+        // (r14 advice #1) instead of leaving a null ratio that reads
+        // like a sampling failure
+        val clamped = if (r.rowsBase == 0L && r.rowsX >= 0L)
+          ",\"rows_clamped\":true" else ""
         s""","rows_base":${r.rowsBase},"rows_$xKey":${r.rowsX}""" +
-          s""","rows_ratio":$rr"""
+          s""","rows_ratio":$rr$clamped"""
       }
     s"""{"base":${r.base},"$xKey":${r.x},"base_load":${jnum(r.baseLoad)}""" +
       s""","${xKey}_load":${jnum(r.xLoad)},"retries":${r.retries}""" +
@@ -422,6 +452,14 @@ object Bench {
       Files.write(Paths.get(outFile),
         (line + "\n").getBytes(StandardCharsets.UTF_8))
       println(line)
+      // per-query lines (r14 verdict #1): each catalog row as its own
+      // short tail-parseable line, in both emissions (values are
+      // identical — the catalog is timed once; duplicates key by name)
+      // so a probe-phase timeout cannot cost the driver the per-query
+      // feed the early emission already printed
+      results.foreach { case (k, v) =>
+        println(BenchEmit.queryLine(k, v))
+      }
       println(BenchEmit.summary(phase, total, nOk, results.size,
         sfDir, outFile))
     }
@@ -686,19 +724,28 @@ object Bench {
       case (nm, r) if r.deferred => nm
     }.toSeq
     deferredNames.foreach { nm =>
-      settle()
       val prev = readings(nm)
+      val ratioGate = rowRatioGate.getOrElse(nm, probeRatioGate)
       var (base, baseLoad) = (prev.base, prev.baseLoad)
       var (x10, x10Load) = (prev.x, prev.xLoad)
-      val (b2, lb2) = leg(nm, sfDir)
-      if (b2 >= 0 && (base < 0 || b2 < base)) { base = b2; baseLoad = lb2 }
-      val (x2, lx2) = leg(nm, blowDir)
-      if (x2 >= 0 && (x10 < 0 || x2 < x10)) { x10 = x2; x10Load = lx2 }
-      val fin = ProbeReading(base, x10, baseLoad, x10Load,
-        prev.retries + 1, deferred = true, invalid = false,
+      var extra = 0
+      def fin(inv: Boolean) = ProbeReading(base, x10, baseLoad, x10Load,
+        prev.retries + extra, deferred = true, invalid = inv,
         rowsBase = prev.rowsBase, rowsX = prev.rowsX)
-      val ratioGate = rowRatioGate.getOrElse(nm, probeRatioGate)
-      readings(nm) = fin.copy(invalid = gated(nm, fin, ratioGate))
+      // Up to TWO quiet-box attempts, each behind its own bounded
+      // load-settle wait (r14 verdict #8: both r14 `invalid` flags
+      // were load-gate trips whose single quiet attempt fired into a
+      // still-loaded window and then needed manual solo pins — one
+      // more settle+retry is cheap next to a next-round adjudication).
+      while (extra < 2 && gated(nm, fin(false), ratioGate)) {
+        settle()
+        extra += 1
+        val (b2, lb2) = leg(nm, sfDir)
+        if (b2 >= 0 && (base < 0 || b2 < base)) { base = b2; baseLoad = lb2 }
+        val (x2, lx2) = leg(nm, blowDir)
+        if (x2 >= 0 && (x10 < 0 || x2 < x10)) { x10 = x2; x10Load = lx2 }
+      }
+      readings(nm) = fin(gated(nm, fin(false), ratioGate))
     }
     val probe = readings.map { case (nm, r) =>
       s""""$nm":${ProbeLedger.json(r, probeFloorSec,

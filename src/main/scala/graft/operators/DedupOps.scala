@@ -29,14 +29,13 @@ object DedupOps {
     * partition and every downstream hash runs single-threaded unless
     * explicitly redistributed. The shuffle moves only the raw doc
     * rows (kilobytes here; one pass of the input at any scale),
-    * against a 32× parallelism unlock for the hashing above it. On an
-    * already-split source the round-robin exchange is wasted work —
-    * so only the hash-heavy pipelines call this, right below their
-    * scan, where the per-row compute dominates the row movement. */
-  /** Since r14 delegates to [[graft.sources.Tables.spread]], which is
-    * CONDITIONAL: an already-split source (the cluster-scale case
-    * this scaladoc worried about) passes through with no exchange at
-    * all, instead of paying a wasted full-corpus round-robin. */
+    * against a 32× parallelism unlock for the hashing above it. Only
+    * the hash-heavy pipelines call this, right below their scan,
+    * where the per-row compute dominates the row movement — and since
+    * r14 it delegates to the CONDITIONAL [[graft.sources.Tables.spread]]:
+    * an already-split source (the cluster-scale case) passes through
+    * with no exchange at all, instead of paying a wasted full-corpus
+    * round-robin. */
   private def spread(df: DataFrame): DataFrame =
     graft.sources.Tables.spread(df)
 

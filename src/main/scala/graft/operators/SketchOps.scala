@@ -247,17 +247,23 @@ object SketchOps {
     * per key with (key, n_exact, hll_estimate, v_empty). See
     * [[hllMd5]] for the determinism contract. */
   def hllEstimate(vals: DataFrame): DataFrame = {
-    // ONE distinct pass feeds both legs (r14): HLL registers over the
-    // DISTINCT (key, v) set are provably identical to registers over
-    // the raw stream — md5 is a function of v, so a duplicate can only
-    // repeat a rho, never raise a bucket max — and the exact leg's
-    // countDistinct materializes the same distinct set internally
-    // anyway. Before: `vals` (for hll_distinct a 2× lineitem scan
-    // union) executed under BOTH legs and md5 ran per ROW (1.2 M
-    // hashes at sf0.1 where 63 k distinct values suffice). The two
-    // consumers build on the same Exchange subtree, so ReuseExchange
-    // shuffles it once; at 100 TB the distinct shuffle is the same
-    // one countDistinct already paid.
+    // ONE distinct pass, ONE consumer (r15; r14 verdict #6): r14 fed
+    // the distinct set to TWO consumers (register leg + exact-count
+    // leg, re-joined on key) and relied on AQE runtime exchange reuse
+    // to shuffle it once — reuse the committed plans could not prove
+    // (no ReusedExchange node; isFinalPlan=false) and that hll_md5
+    // measurably did not get (1.02 → 1.20 s). Now the exact count
+    // RIDES the register aggregation: the (key, bucket) agg also
+    // counts its non-null v's, and Σ over buckets of those counts ≡
+    // count(v) over the distinct set ≡ countDistinct(v) — bucket is a
+    // pure function of v, NULL v lands in the one NULL-h bucket where
+    // count(v) contributes 0, exactly matching countDistinct's NULL
+    // skip. One chain: distinct → md5-per-distinct-value →
+    // (key, bucket) agg → (key) agg; no second consumer, no join, no
+    // reliance on runtime reuse. Register math unchanged (md5 is a
+    // function of v — a duplicate can only repeat a rho, never raise
+    // a bucket max), so registers, estimate, and v_empty are
+    // bit-identical to r14's.
     val dv = vals.distinct()
     val regs = dv
       .withColumn("h",
@@ -268,11 +274,12 @@ object SketchOps {
       .withColumn("rho", expr(
         "CASE WHEN rem = 0 THEN 49 ELSE 49 - length(bin(rem)) END"))
       .groupBy(col("key"), col("bucket"))
-      .agg(max(col("rho")).as("r"))
-    val summ = regs.groupBy(col("key"))
+      .agg(max(col("rho")).as("r"), count(col("v")).as("nv"))
+    regs.groupBy(col("key"))
       .agg(count(lit(1)).as("present"),
         sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), " +
-          "CAST(62 - r AS INT)) AS DECIMAL(38,0))")).as("s_present"))
+          "CAST(62 - r AS INT)) AS DECIMAL(38,0))")).as("s_present"),
+        sum(col("nv")).as("n_exact"))
       .withColumn("v_empty", lit(HllM) - col("present"))
       .withColumn("s_d", expr("CAST(s_present + CAST(v_empty AS " +
         "DECIMAL(38,0)) * CAST(4611686018427387904 AS DECIMAL(38,0)) " +
@@ -281,11 +288,6 @@ object SketchOps {
         " * CAST(4611686018427387904 AS DOUBLE) / s_d"))
       .withColumn("e", expr("CASE WHEN e_raw <= 2.5*4096 AND " +
         "v_empty > 0 THEN 4096.0 * ln(4096.0 / v_empty) ELSE e_raw END"))
-    // count over the shared distinct set ≡ countDistinct(v) (count of
-    // a column skips NULLs exactly as countDistinct does)
-    val exact = dv.groupBy(col("key"))
-      .agg(count(col("v")).as("n_exact"))
-    summ.join(exact, Seq("key"))
       .select(col("key"), col("n_exact"),
         expr("CAST(round(e) AS BIGINT)").as("hll_estimate"),
         col("v_empty"))

@@ -32,7 +32,15 @@ object Tables {
     * `repartition(n)`: a source that already scans at ≥ the session
     * parallelism passes through untouched, so at cluster scale — where
     * the input is split — no wasted full-corpus round-robin exchange
-    * is added. The partition probe plans the scan but runs no job. */
+    * is added.
+    *
+    * PRECONDITION (r14 advice #2): pass a SCAN-shaped frame only —
+    * `df.rdd.getNumPartitions` is job-free for a raw file scan, but
+    * under AQE a frame with a shuffle upstream would eagerly EXECUTE
+    * those query stages at plan-construction time just to answer the
+    * probe. Every caller today passes a bare `Tables.load` projection;
+    * keep it that way (or switch the probe to the logical scan
+    * relation before widening the contract). */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)

@@ -67,6 +67,45 @@ class BenchLedgerSpec extends AnyFunSuite {
     // gate (max(1, rows ratio) clamps at 1)
     assert(!ProbeLedger.overRowsAdjustedGate(1.0, 5.0, gate = 6.0,
       floorSec = Floor, rowsBase = 100L, rowsX = 10L))
+    // a legitimately ZERO-output base leg is a successful sample, not
+    // a sampling failure (r14 advice #1): plain ratio gate applies
+    // (rows ratio clamped to 1) instead of the blanket exemption
+    assert(ProbeLedger.overRowsAdjustedGate(0.39, 6.27, gate = 6.0,
+      floorSec = Floor, rowsBase = 0L, rowsX = 0L),
+      "16x wall on zero-output legs must still be adjudicated")
+    assert(!ProbeLedger.overRowsAdjustedGate(1.0, 5.0, gate = 6.0,
+      floorSec = Floor, rowsBase = 0L, rowsX = 50L))
+    // zero base rows with a FAILED x-count still falls back to the
+    // old exemption (rowsX = -1 is a sampling failure)
+    assert(!ProbeLedger.overRowsAdjustedGate(0.39, 6.27, gate = 6.0,
+      floorSec = Floor, rowsBase = 0L, rowsX = -1L))
+    // and the artifact marks the clamped case distinctly
+    val jc = ProbeLedger.json(
+      ProbeReading(0.39, 6.27, 1.0, 1.0, 0, false, true,
+        rowsBase = 0L, rowsX = 0L), Floor, rowsSampled = true)
+    assert(jc.contains("\"rows_clamped\":true") &&
+      jc.contains("\"rows_ratio\":null"))
+    val jok = ProbeLedger.json(
+      ProbeReading(0.39, 6.27, 1.0, 1.0, 0, false, false,
+        rowsBase = 100L, rowsX = 8600L), Floor, rowsSampled = true)
+    assert(!jok.contains("rows_clamped"))
+  }
+
+  test("per-query stdout lines are individually parseable (r14 " +
+    "verdict #1: the tail capture must be able to read per-row " +
+    "seconds no matter where it cuts in)") {
+    val l = BenchEmit.queryLine("dedup_video_clusters", 0.130756971)
+    val v = org.json4s.jackson.JsonMethods.parse(l)
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    assert((v \ "metric").extract[String] === "query")
+    assert((v \ "name").extract[String] === "dedup_video_clusters")
+    assert((v \ "sec").extract[Double] === 0.130756971)
+    assert(l.length < 200, "each line must fit a tail window whole")
+    // a failed row (-1) still parses — the driver sees the failure
+    val lf = BenchEmit.queryLine("q1_agg", -1.0)
+    assert((org.json4s.jackson.JsonMethods.parse(lf) \ "sec")
+      .extract[Double] === -1.0)
   }
 
   test("deferred and invalid flags reach the artifact JSON") {
