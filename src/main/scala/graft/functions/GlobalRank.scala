@@ -31,10 +31,49 @@ object GlobalRank {
   /** df + `rankCol` = 0-based global rank in the total order of
     * `sortCols`, plus the relation's total row count (a by-product
     * of the offsets pass — callers that need N avoid a second agg). */
+  /** Target rows per range-sort task: rank work here is ~10–20 µs a
+    * row (string range-compare + quadratic-hash consumers dominate),
+    * so ~25k rows keeps tasks in the low-hundreds-of-ms band at any
+    * scale (measured: the 10× simhash vocab, 600k rows, ran 9.5 s of
+    * CPU — 16 µs/row). */
+  private val RowsPerRankTask = 25000L
+
+  private def rangeParts(spark: org.apache.spark.sql.SparkSession,
+      n: Long): Int =
+    math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (n + RowsPerRankTask - 1L) / RowsPerRankTask)).toInt
+
   def withRank0AndCount(df: DataFrame, rankCol: String,
       sortCols: Column*): (DataFrame, Long) = {
     val spark = df.sparkSession
-    val parts = df.repartitionByRange(sortCols: _*)
+    // EXPLICIT, SIZE-ADAPTIVE partition count (r15): without a number
+    // the range exchange is AQE-coalescible, and at the 10× probe the
+    // ~9 MB blow-up vocabulary was coalesced by BYTES to a SINGLE
+    // partition — re-creating the one-task funnel this job exists to
+    // kill (measured in dedup_simhash: a 1-task, 2.5 s-CPU stage
+    // doing the whole sort + quadHash; 32-way it is 0.4 s of wall). A
+    // fixed defaultParallelism over-splits fixture-scale inputs
+    // instead (+0.3 s per simhash row at sf0.1), so the count picks
+    // the width — off a localCheckpoint, which the range sampler
+    // wants anyway (repartitionByRange SAMPLES its input with a
+    // separate job; un-checkpointed, that job re-executes the whole
+    // upstream subtree, e.g. the vocab distinct, a second time).
+    // Ranks are provably independent of where the range bounds land,
+    // so the output is bit-identical at any partition count.
+    val mat = df.localCheckpoint()
+    val n = mat.count()
+    val np = rangeParts(spark, n)
+    // The checkpoint inherits its producer's AQE-coalesced layout —
+    // usually ONE partition at fixture scale — and the range
+    // exchange's MAP side (serialize + bound-search every row) runs
+    // at the source's width, so without the re-spread the heavy map
+    // stayed a single 1.9 s task at the 10× probe no matter what the
+    // reduce width was. A round-robin hop over already-materialized
+    // bytes is cheap and only paid when the count says the relation
+    // deserves width.
+    val src = if (np > 1) mat.repartition(np) else mat
+    val parts = src.repartitionByRange(np, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val rdd = parts.rdd
     // Long fold, not Iterator.size: size returns Int, so a shuffle
@@ -98,7 +137,13 @@ object GlobalRank {
     val tagged = df.withColumn(s"__${cumCol}_v",
       valueCol.cast(LongType))
       .localCheckpoint()
-    val parts = tagged.repartitionByRange(sortCols: _*)
+    // explicit size-adaptive N for the same AQE-coalescing reason as
+    // withRank0 (the count is one job over the checkpoint above),
+    // with the same pre-spread of the checkpoint's map side — prefix
+    // sums are likewise split-point-independent
+    val npS = rangeParts(spark, tagged.count())
+    val srcS = if (npS > 1) tagged.repartition(npS) else tagged
+    val parts = srcS.repartitionByRange(npS, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val vi = parts.schema.fieldIndex(s"__${cumCol}_v")
     val rdd = parts.rdd

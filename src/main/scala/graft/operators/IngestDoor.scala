@@ -134,13 +134,21 @@ object IngestDoor {
       .select(col("doc_id"), col("n_hits"))
     // Quality
     val qual = TextAnalysis.qualityPpmOf(arrivals)
+    // The six gate legs are INDEPENDENT subtrees over the same arrival
+    // slice — materialize them concurrently (guide §2.6, r14 verdict
+    // #4) instead of letting the final join chain execute them as ~15
+    // sequential small-stage rounds. Plans per leg unchanged ⇒ rows
+    // bit-identical; works unchanged under foreachBatch, so the
+    // stream ≡ batch code identity (IngestDoorSpec) is preserved.
+    val Seq(urlgM, piiM, cdcM, ndM, hitsM, qualM) =
+      ConcurrentLegs.materialize(Seq(urlg, pii, cdc, nd, hits, qual))
     base
-      .join(urlg, Seq("doc_id"), "left")
-      .join(pii, Seq("doc_id"), "left")
-      .join(cdc, Seq("doc_id"), "left")
-      .join(nd, Seq("doc_id"), "left")
-      .join(hits, Seq("doc_id"), "left")
-      .join(qual, Seq("doc_id"), "left")
+      .join(urlgM, Seq("doc_id"), "left")
+      .join(piiM, Seq("doc_id"), "left")
+      .join(cdcM, Seq("doc_id"), "left")
+      .join(ndM, Seq("doc_id"), "left")
+      .join(hitsM, Seq("doc_id"), "left")
+      .join(qualM, Seq("doc_id"), "left")
       .select(col("doc_id"), col("canon_url"),
         coalesce(col("url_ok"), lit(false)).as("url_ok"),
         col("n_pii"),

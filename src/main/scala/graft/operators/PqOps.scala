@@ -71,6 +71,13 @@ object PqOps {
   val K = SimilarityOps.K
   val QueryCount = SimilarityOps.QueryCount
 
+  /** Target (vec_id, m) rows per task for the Lloyd-loop relation —
+    * same convention as GraphOps.EdgesPerLoopTask: the per-round
+    * join/argmin work is ~ns per row, so ~250k rows (~25 MB with the
+    * subvector payload) keeps tasks in the low-ms range at any
+    * scale. */
+  private val RowsPerLoopTask = 250000L
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
@@ -104,10 +111,29 @@ object PqOps {
     val subSlices = (mm: Column) =>
       array((0 until m).map(sub =>
         slice(mm, sub * subDim + 1, subDim)): _*)
+    // r15 (§2.2/§2.4): hash-partition the exploded corpus by the
+    // argmin key ONCE, before the persist. Every Lloyd round (and the
+    // final encode) runs groupBy(vec_id, m) over a broadcast join that
+    // PRESERVES this partitioning, so all `iters + 1` argmin
+    // aggregations become exchange-free complete aggregations — one
+    // up-front shuffle of the (vec_id, m, sv) relation replaces
+    // iters+1 per-round shuffles of the same rows. The partition
+    // count is SIZE-ADAPTIVE (the pagerank treatment): a cached plan's
+    // partitioning is frozen (AQE never re-coalesces it), so a fixed
+    // `repartition(cols)` would pin defaultParallelism 1-row tasks
+    // under every loop stage at fixture scale (measured: 3.31 →
+    // 4.70 s). Deriving it from the vector count — the count also
+    // materializes `e`'s persist, which the cents init and re-rank
+    // reread anyway — schedules 1-task loop stages here while a
+    // 10⁹-vector corpus still gets full parallelism.
+    val esParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (e.count() * m + RowsPerLoopTask - 1L) / RowsPerLoopTask)).toInt
     val es = e.select(col("vec_id"),
         posexplode(subSlices(col("v"))).as(Seq("sm", "sv")))
       .select(col("vec_id"), col("sm").cast("long").as("m"), col("sv"))
       .withColumn("n2", VectorOps.norm2Q(col("sv")))
+      .repartition(esParts, col("vec_id"), col("m"))
       .persist()
     var cents = e.select(col("vec_id"), col("v"), hk.as("hk"))
       .orderBy(col("hk"), col("vec_id")).limit(ks)
@@ -120,28 +146,55 @@ object PqOps {
       .localCheckpoint()
     var assign: DataFrame = null
     for (i <- 1 to iters) {
-      assign = es.join(broadcast(cents), Seq("m"))
+      // r15 (§2.4): the update step used to RE-JOIN `assign` back to
+      // `es` on (vec_id, m) just to recover the winner's subvector —
+      // a hash join of two N·m-row relations (two exchanges + the join
+      // itself) every round. Every candidate row of a (vec_id, m)
+      // argmin group carries the SAME sv, so the winner's sv can ride
+      // the argmin struct instead: (dist, cl) is unique within a group
+      // (one row per centroid), so appending sv to the min-struct never
+      // participates in the comparison and the selected code is
+      // bit-identical. Per update round the (vec_id, m)-keyed work
+      // drops from THREE exchanges (argmin groupBy + both sides of the
+      // assign⋈es hash join) to ONE argmin groupBy — which now carries
+      // sv, roughly the bytes the join's es side shuffled anyway. The
+      // final round (codes only) keeps the narrow struct — no point
+      // paying sv bytes through the last exchange.
+      val cand = es.join(broadcast(cents), Seq("m"))
         .select(col("vec_id"), col("m"),
           (col("n2") + col("cn") -
             lit(2L) * VectorOps.dotQ(col("sv"), col("cv"))).as("dist"),
-          col("cl"))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("dist"), col("cl"))).as("mm"))
-        .select(col("vec_id"), col("m"), col("mm.cl").as("code"))
+          col("cl"), col("sv"))
       if (i < iters) {
-        cents = assign.join(es, Seq("vec_id", "m"))
-          .select(col("m"), col("code").as("cl"),
-            posexplode(col("sv")).as(Seq("d", "qv")))
-          .groupBy(col("m"), col("cl"), col("d"))
-          .agg(sum(col("qv")).as("s"), count(lit(1)).as("cnt"))
-          .select(col("m"), col("cl"), col("d"),
-            expr("s DIV cnt").as("qm"))
-          .groupBy(col("m"), col("cl"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("d"), col("qm")))),
-            s => s.getField("qm")).as("cv"))
+        val win = cand
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min(struct(col("dist"), col("cl"), col("sv"))).as("mm"))
+        // r15 (§2.4): element-wise centroid mean in ONE aggregation.
+        // The old chain exploded every winner's sv into (d, qv) rows,
+        // aggregated per (m, cl, d), then re-assembled the array via a
+        // second (m, cl) agg with array_sort(collect_list) — two
+        // exchanges and an N·m·subDim row explosion per round. Per-d
+        // sums over the sv ARRAY compute the same truncating integer
+        // mean (cnt is per-(m, cl), identical for every d since each
+        // winner contributes all subDim positions; `s DIV cnt` on the
+        // shift-positive quantized values is unchanged), and the array
+        // literal preserves d-order just as the array_sort did. One
+        // exchange per round, no explode, no collect_list.
+        cents = win
+          .groupBy(col("m"), col("mm.cl").as("cl"))
+          .agg(count(lit(1)).as("cnt"),
+            (0 until subDim).map(d =>
+              sum(element_at(col("mm.sv"), d + 1)).as(s"s$d")): _*)
+          .select(col("m"), col("cl"),
+            array((0 until subDim).map(d =>
+              expr(s"s$d DIV cnt")): _*).as("cv"))
           .withColumn("cn", VectorOps.norm2Q(col("cv")))
           .localCheckpoint() // ≤ m·ks rows: truncates iterative lineage
+      } else {
+        assign = cand
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min(struct(col("dist"), col("cl"))).as("mm"))
+          .select(col("vec_id"), col("m"), col("mm.cl").as("code"))
       }
     }
     val codes = assign.select(col("vec_id"), col("m"),

@@ -516,7 +516,7 @@ object SimilarityOps {
     val queries = assigned.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
         col("n2").as("qn"))
-    ivfSearch(queries, cents, assigned, probes)
+    ivfSearch(queries, cents, assigned, probes, cells)
   }
 
   /** Metadata-FILTERED vector search through the IVF index: top-k
@@ -606,7 +606,7 @@ object SimilarityOps {
     * `probes` best-cosine cells of `cents`, then exact-rerank only the
     * `assigned` vectors in those cells. */
   private def ivfSearch(queries: DataFrame, cents: DataFrame,
-      assigned: DataFrame, probes: Int): DataFrame = {
+      assigned: DataFrame, probes: Int, cells: Int = 16): DataFrame = {
     val pw = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("probe_cos").desc, col("cell").asc)
     val probed = queries.crossJoin(broadcast(cents))
@@ -616,15 +616,60 @@ object SimilarityOps {
       .withColumn("rk", row_number().over(pw))
       .filter(col("rk") <= probes)
       .select(col("q_vec_id"), col("qv"), col("qn"), col("cell"))
+    // r15 (§2.5): `cell` is a LOW-CARDINALITY join key — at the
+    // registered cells=16 the rerank join hashes into ≤16 reduce
+    // buckets no matter how many cores exist (measured at the 10×
+    // probe: the batch×live cosine work of ann_ingest ran as a
+    // 7-task stage, 109 s of CPU behind a 32 s straggler). Salt the
+    // key: each probed (query) row takes ONE deterministic salt from
+    // its q_vec_id hash, the assigned side is replicated across all
+    // salts, and the join keys on (cell, salt) — every (q, c) pair
+    // still matches exactly once (at q's salt), so the pair set is
+    // bit-identical. The salt count ADAPTS: ceil-free integer
+    // 4·parallelism/cells, clamped to [1, parallelism] — a production
+    // index (cells ~ √N ≫ cores) gets nSalt = 1, i.e. NO salt column,
+    // no replication, the exact pre-r15 plan; only a fixture-scale
+    // cell count pays the small assigned-side replication to unlock
+    // full-width reduce tasks.
+    val dp = queries.sparkSession.sparkContext.defaultParallelism
+    val nSalt = math.max(1, math.min(dp, 4 * dp / math.max(1, cells)))
+    val cside = assigned.select(col("cell"),
+      col("vec_id").as("c_vec_id"), col("v").as("cv"),
+      col("n2").as("cn"))
+    // Both sides carry an EXPLICIT repartition(dp) on the join key:
+    // the join's inputs are KBs-to-MBs (queries×probes rows and the
+    // replicated assigned side) while its OUTPUT is the quadratic
+    // pair expansion, so AQE's byte-based coalescing — blind to
+    // output CPU — squashed the salted join back to 6 reduce tasks
+    // (measured at the 10× probe: 31.5 s CPU behind a 7.9 s wall). A
+    // user REPARTITION_BY_NUM is exempt from coalescing and the two
+    // sides co-partition, so the join gets exactly dp full-width
+    // tasks and no extra exchange.
+    val paired = if (nSalt <= 1) probed.join(cside, Seq("cell"))
+      else probed
+        .withColumn("salt", pmod(xxhash64(col("q_vec_id")),
+          lit(nSalt.toLong)))
+        .repartition(dp, col("cell"), col("salt"))
+        .join(cside.withColumn("salt", explode(array(
+          (0 until nSalt).map(s => lit(s.toLong)): _*)))
+          .repartition(dp, col("cell"), col("salt")),
+          Seq("cell", "salt"))
     val w = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("cos").desc, col("c_vec_id").asc)
-    probed.join(assigned.select(col("cell"), col("vec_id").as("c_vec_id"),
-        col("v").as("cv"), col("n2").as("cn")), Seq("cell"))
+    // No dropDuplicates on (q_vec_id, c_vec_id): ivfAssignTo keeps
+    // exactly ONE cell per vector (row_number rk === 1), so a (q, c)
+    // pair can match in at most one probed cell and the pair set is
+    // structurally distinct already (r15; oracle-verified). The old
+    // defensive dedup cost a full pair-set exchange AND kept the
+    // rank-k WindowGroupLimit partial from running directly above the
+    // join — with it gone, each join task forwards only its local
+    // top-K per query into the window exchange instead of every pair
+    // (534 MB → KBs on the 10× probe leg).
+    paired
       .filter(col("q_vec_id") =!= col("c_vec_id"))
       .select(col("q_vec_id"), col("c_vec_id"),
         VectorOps.cosineFrom(VectorOps.dotQ(col("qv"), col("cv")),
           col("qn"), col("cn")).as("cos"))
-      .dropDuplicates("q_vec_id", "c_vec_id")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select(col("q_vec_id"), col("c_vec_id"), col("rank"), col("cos"))
@@ -723,11 +768,11 @@ object SimilarityOps {
     * streaming twin: per-batch cost ∝ batch·cells probe dots +
     * probed-cell join, never a corpus rescan. */
   def ivfProbe(batch: DataFrame, idx: IvfIndex,
-      probes: Int = 16): DataFrame =
+      probes: Int = 16, cells: Int = 16): DataFrame =
     ivfSearch(ivfVecs(batch)
         .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
           col("n2").as("qn")),
-      idx.cents, idx.assigned, probes)
+      idx.cents, idx.assigned, probes, cells)
 
   val annIngestSql: String =
     s"""WITH q AS (

@@ -10,6 +10,7 @@ mismatch per query. Dev-only tool (driver-side python libs).
 """
 import json
 import os
+import subprocess
 import sys
 import glob
 import duckdb
@@ -42,12 +43,18 @@ def main(sf_dir: str, out_dir: str) -> int:
     # query (the committed cross-SF sweep artifact, r11 verdict #4)
     jsonl = open(os.environ["SWEEP_JSONL"], "w") \
         if os.environ.get("SWEEP_JSONL") else None
+    # stamp each line with the tree the sweep ran against (r14 advice:
+    # a deterministic re-run produces byte-identical content, so
+    # "re-run at HEAD" was unverifiable from the committed artifact)
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True).stdout.strip() or "unknown"
 
     def record(name, ok, reason=""):
         if jsonl:
             jsonl.write(json.dumps(
                 {"name": name, "ok": ok, "reason": reason,
-                 "sf_dir": sf_dir}) + "\n")
+                 "sf_dir": sf_dir, "head": head}) + "\n")
 
     con = duckdb.connect()
     for t in TABLES:
