@@ -451,10 +451,19 @@ object DedupOps {
     val sigs = minhashSignaturesFromSets(spread(docs(spark, dir)),
       array_distinct(tokenHashes(col("text"))), k = 32,
       carry = Seq("lang", "source"))
+    // keyed NUMBERED repartition AFTER the checkpoint (r15): a
+    // localCheckpoint drops the plan's outputPartitioning (the
+    // executed plan re-exchanged BOTH self-join sides and AQE then
+    // byte-coalesced the pair expansion to a few tasks), so the old
+    // pre-checkpoint repartition was a wasted exchange. Placed above
+    // the checkpoint it is planned once, reused by both aliases
+    // (ReusedExchange), and — being REPARTITION_BY_NUM — is exempt
+    // from AQE coalescing, so the CPU-dense bucket join keeps full
+    // width.
     val banded = lshBands(sigs, k = 32, bands = 16,
       carry = Seq("lang", "source"))
-      .repartition(parallelism(sigs), col("band"), col("bh"))
       .localCheckpoint()
+      .repartition(parallelism(sigs), col("band"), col("bh"))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.lang") === col("y.lang") &&
@@ -654,12 +663,15 @@ object DedupOps {
   def minhashPairs(d: DataFrame, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val sigs = minhashSignatures(d, k)
-    // materialized once, co-partitioned on the bucket key: the band
-    // self-join then needs no exchange and keeps its parallelism
-    // (the dedupJaccard/containment lesson, r6)
+    // materialized once; the NUMBERED bucket-key repartition sits
+    // ABOVE the checkpoint (r15 — a localCheckpoint drops
+    // outputPartitioning, so the r6 "no exchange" claim had silently
+    // regressed to re-exchanging both join sides and AQE coalesced
+    // the pair expansion to 3 tasks): one non-coalescible exchange,
+    // reused by both aliases, full-width join
     val banded = lshBands(sigs, k, bands)
-      .repartition(parallelism(sigs), col("band"), col("bh"))
       .localCheckpoint()
+      .repartition(parallelism(sigs), col("band"), col("bh"))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -856,8 +868,12 @@ object DedupOps {
         shiftrightunsigned(col("simhash"), c * 15)
           .bitwiseAND(lit(0x7FFFL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
-      .repartition(parallelism(s), col("chunk"), col("cv"))
       .localCheckpoint()
+      // numbered repartition ABOVE the checkpoint (r15): checkpoints
+      // drop outputPartitioning, so the r6 co-partitioning claim had
+      // regressed to two fresh AQE-coalescible exchanges; this one is
+      // reused by both aliases and keeps the chunk join full-width
+      .repartition(parallelism(s), col("chunk"), col("cv"))
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -964,8 +980,10 @@ object DedupOps {
         shiftrightunsigned(col("sh_lo"), 40).bitwiseAND(lit(m)),
         col("sh_hi").bitwiseAND(lit(m)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
-      .repartition(parallelism(s), col("chunk"), col("cv"))
       .localCheckpoint()
+      // repartition above the checkpoint — same r15 fix as
+      // simhashOraclePairs (checkpoints drop outputPartitioning)
+      .repartition(parallelism(s), col("chunk"), col("cv"))
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -1887,15 +1905,18 @@ object DedupOps {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= cap)
       .select(col("sh"))
-    // hash-partitioned by the join key BEFORE the checkpoint (the
-    // checkpoint preserves outputPartitioning), so the pair self-join
-    // below needs no exchange AND keeps this parallelism — left to
-    // AQE, the few-MB shuffle coalesces to ONE partition and the
-    // Σ min(df,cap)² pair expansion runs single-threaded (measured
-    // 1.8 s of the row's 4 s)
+    // hash-partitioned by the join key AFTER the checkpoint (r15: a
+    // localCheckpoint does NOT preserve outputPartitioning as the old
+    // comment claimed — the executed plan re-exchanged both self-join
+    // sides). The NUMBERED repartition is planned once, reused by
+    // both aliases, and is exempt from AQE coalescing — left to AQE,
+    // the few-MB shuffle coalesces to a few partitions and the
+    // Σ min(df,cap)² pair expansion loses its parallelism (the r6
+    // single-thread pathology, measured then at 1.8 s of the row's
+    // 4 s).
     val rare = grams.join(rareSh, Seq("sh"))
-      .repartition(parallelism(grams), col("sh"))
       .localCheckpoint()
+      .repartition(parallelism(grams), col("sh"))
     val na = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
     val shared = rare.as("a")
       .join(rare.as("b"), col("a.sh") === col("b.sh") &&
@@ -1988,8 +2009,10 @@ object DedupOps {
     // ContextCleaner, unlike an unpaired persist) materializes each
     // ONCE and all four consumers read the cached rows.
     val prefixC = prefix
-      .repartition(parallelism(prefix), col("h"))
       .localCheckpoint()
+      // repartition above the checkpoint — same r15 fix as the other
+      // bucket self-joins (checkpoints drop outputPartitioning)
+      .repartition(parallelism(prefix), col("h"))
     val cands = prefixC.as("a").join(prefixC.as("b"),
         col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id") &&
