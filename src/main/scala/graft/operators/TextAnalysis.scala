@@ -239,8 +239,19 @@ object TextAnalysis {
     // (un-materialized, each consumer re-ran the whole stage-A
     // subtree: a measured 6-parquet-scan plan). Narrow survivor
     // metadata (4 columns), the standard between-stage materialization.
-    val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    // r15 (§2.6): s2 and the stage-D shingle expansion below are
+    // INDEPENDENT subtrees (each its own corpus scan; `sh` does not
+    // read s2) that were eagerly checkpointed one after the other —
+    // materialize them concurrently so the pipeline's two heavy scans
+    // overlap instead of running back-to-back. Leg plans unchanged ⇒
+    // rows bit-identical.
+    val Seq(s2, sh) = ConcurrentLegs.materialize(Seq(
+      s1.join(losers, Seq("doc_id"), "left_anti"),
+      docs(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"),
+          explode(array_distinct(DedupOps.shingleHashes64(col("ts"))))
+            .as("g"))))
     // C: per-source top-P thresholds over the surviving corpus (the
     // qualityTopP histogram idiom — no doc-level window)
     val hist = s2.groupBy(col("source"), col("quality_ppm"))
@@ -255,12 +266,7 @@ object TextAnalysis {
     val s3 = s2.join(broadcast(thr), Seq("source"))
       .filter(col("quality_ppm") >= col("thr"))
     // D: decontaminate — one shingle expansion feeds both sides
-    val sh = docs(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"),
-        explode(array_distinct(DedupOps.shingleHashes64(col("ts"))))
-          .as("g"))
-      .localCheckpoint()
+    // (`sh`, materialized above concurrently with s2)
     val bench = sh.filter(col("doc_id") % 97 === 0)
       .select(col("g")).distinct()
     val contaminated = sh.join(s3.select(col("doc_id")), Seq("doc_id"))
