@@ -599,4 +599,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // per JVM and the fixture owns it — but the predicate is exactly
     // sparkContext.isStopped, exercised here on the live side)
   }
+test("ivfAssign keeps exactly ONE cell per vector - the invariant " +
+    "the r15 ivfSearch dropDuplicates removal rests on") {
+    // ivfSearch no longer dedups (q, c) pairs after the cell join:
+    // that is sound only if assignment emits one row per vec_id (a
+    // (q, c) pair can then match in at most one probed cell). Pin it
+    // directly on the assignment relation.
+    val e = graft.sources.Tables.load(spark, SparkFixture.Sf0001,
+      "embeddings")
+    val a = graft.operators.SimilarityOps.ivfAssign(e)
+    val n = e.select("vec_id").distinct().count()
+    assert(a.count() == n, "assignment must emit one row per vector")
+    assert(a.select("vec_id").distinct().count() == n,
+      "duplicate vec_id in the assignment - ivfSearch would emit " +
+        "duplicate pairs without its old defensive dropDuplicates")
+  }
 }
